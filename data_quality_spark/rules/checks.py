@@ -1,0 +1,489 @@
+"""The reference's 15 check types as Rule factories (SURVEY.md §2.2).
+
+Each factory returns a :class:`~data_quality_spark.rules.core.Rule` whose
+``violation`` is a native Catalyst Column — no SQL-string assembly (the
+reference's entire "planner" is f-string SQL, ``check.py:84-126``), no Python
+in the row path. Reference files cited per factory.
+
+Cast semantics (reference-invariant): invalid casts yield NULL, never error —
+``try_cast`` / ``try_to_timestamp`` everywhere (reference: safe_cast probing,
+``bigquery.py:42-55``; pandas ``errors="coerce"``).
+NULL comparison results are folded to False via Rule.flag_col() (reference:
+``coalesce(cmp, false)``, ``dates_order.py:23-32``; SQL WHERE drops NULLs).
+"""
+
+from __future__ import annotations
+
+from itertools import combinations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from data_quality_spark.rules.core import Rule, conjoin, is_empty, not_empty
+
+# ---------------------------------------------------------------------------
+# casting helpers
+# ---------------------------------------------------------------------------
+
+
+def to_double(col: str) -> Column:
+    """Null-on-failure float cast (impala.py:57 `cast(col as float)`,
+    bigquery.py:57 `safe_cast(col as float64)`, values_order.py:109
+    `pd.to_numeric(errors='coerce')`)."""
+    return F.col(col).cast("string").try_cast("double")
+
+
+def to_ts(col: str, fmt: str | None = None) -> Column:
+    """Null-on-failure datetime cast with optional format
+    (impala.py:36-40, datetime_format.py:28-36)."""
+    from pyspark.sql.types import TimestampType, DateType
+
+    c = F.col(col)
+    if fmt is None:
+        return F.try_to_timestamp(c.cast("string"))
+    return F.try_to_timestamp(c.cast("string"), F.lit(fmt))
+
+
+def _ts_or_passthrough(df_col_type: str | None, col: str, fmt: str | None) -> Column:
+    # If the column is already a timestamp (our fixed-schema tables), skip
+    # the parse; the reference always parses because warehouses hand it strings.
+    return to_ts(col, fmt)
+
+
+def composite_key(cols: list[str]) -> Column:
+    """String composite key CONCAT(cast(c as string),'-',...)
+    (match_dimension_table.py:68-89, period_intersection.py:64-68)."""
+    parts: list[Column] = []
+    for i, c in enumerate(cols):
+        if i:
+            parts.append(F.lit("-"))
+        parts.append(F.col(c).cast("string"))
+    return F.concat(*parts) if len(cols) > 1 else F.col(cols[0]).cast("string")
+
+
+# ---------------------------------------------------------------------------
+# #1 / #3 — null index & not-empty column (index_null.py:7-35,
+#           not_empthy_column.py:7-29; NULL∪'' semantics utils.py:99-118)
+# ---------------------------------------------------------------------------
+
+
+def index_not_null(col: str, **kw) -> Rule:
+    return Rule(
+        rule_id=kw.pop("rule_id", f"index_not_null__{col}"),
+        description=kw.pop("description", f"Null value in index column {col}"),
+        violation=is_empty(col),
+        **kw,
+    )
+
+
+def not_empty_column(col: str, **kw) -> Rule:
+    return Rule(
+        rule_id=kw.pop("rule_id", f"not_empty__{col}"),
+        description=kw.pop("description", f"Null values in column {col}"),
+        violation=is_empty(col),
+        **kw,
+    )
+
+
+# ---------------------------------------------------------------------------
+# #2 — duplicate values (values_duplicate.py): row is KO if its (string-cast)
+#      value occurs >1× among non-null rows. Window count over a hash
+#      shuffle on the value — Spark's WindowExec replaces the reference's
+#      `count(*) OVER (PARTITION BY cast(col as string))` (:54) verbatim
+#      but partition-parallel.
+# ---------------------------------------------------------------------------
+
+
+def duplicate_values(col: str, **kw) -> Rule:
+    w = Window.partitionBy(F.col(col).cast("string"))
+    return Rule(
+        rule_id=kw.pop("rule_id", f"duplicate__{col}"),
+        description=kw.pop("description", "Duplicated index"),
+        violation=not_empty(col) & (F.count(F.lit(1)).over(w) > 1),
+        **kw,
+    )
+
+
+# ---------------------------------------------------------------------------
+# #4 — datetime format (datetime_format.py:18,28-36)
+# ---------------------------------------------------------------------------
+
+
+def datetime_format(col: str, fmt: str | None = None, **kw) -> Rule:
+    return Rule(
+        rule_id=kw.pop("rule_id", f"datetime_format__{col}"),
+        description=kw.pop("description", f"Wrong datetime format in column {col}"),
+        violation=not_empty(col) & to_ts(col, fmt).isNull(),
+        **kw,
+    )
+
+
+# ---------------------------------------------------------------------------
+# #5 — between values (column_between_values.py:38-51: violation =
+#      (cast < min) OR (cast > max), operators loosened to <= / >= when the
+#      bound is NOT included; NULL casts drop out via NULL-comparison→False)
+# ---------------------------------------------------------------------------
+
+
+def between_values(
+    col: str,
+    min_value: float | None = None,
+    max_value: float | None = None,
+    min_included: bool = True,
+    max_included: bool = True,
+    **kw,
+) -> Rule:
+    d = to_double(col)
+    conds: list[Column] = []
+    if min_value is not None:
+        conds.append(d < min_value if min_included else d <= min_value)
+    if max_value is not None:
+        conds.append(d > max_value if max_included else d >= max_value)
+    if not conds:
+        raise ValueError("need at least one bound")
+    viol = conds[0] if len(conds) == 1 else (conds[0] | conds[1])
+    return Rule(
+        rule_id=kw.pop("rule_id", f"between_values__{col}"),
+        description=kw.pop(
+            "description",
+            f"Value in column {col} not between {min_value} and {max_value}",
+        ),
+        violation=not_empty(col) & F.coalesce(viol, F.lit(False)),
+        **kw,
+    )
+
+
+# ---------------------------------------------------------------------------
+# #6 — between dates (column_between_dates.py; precondition: cast succeeded,
+#      :62-63). `not_in_future` variant: max = current_timestamp
+#      (table.py:531-551).
+# ---------------------------------------------------------------------------
+
+
+def between_dates(
+    col: str,
+    fmt: str | None = None,
+    min_date=None,
+    max_date=None,
+    min_included: bool = True,
+    max_included: bool = True,
+    **kw,
+) -> Rule:
+    ts = to_ts(col, fmt)
+    conds: list[Column] = []
+    if min_date is not None:
+        lo = F.lit(min_date).cast("timestamp")
+        conds.append(ts < lo if min_included else ts <= lo)
+    if max_date is not None:
+        hi = (
+            F.current_timestamp()
+            if max_date == "now"
+            else F.lit(max_date).cast("timestamp")
+        )
+        conds.append(ts > hi if max_included else ts >= hi)
+    if not conds:
+        raise ValueError("need at least one bound")
+    viol = conds[0] if len(conds) == 1 else (conds[0] | conds[1])
+    return Rule(
+        rule_id=kw.pop("rule_id", f"between_dates__{col}"),
+        description=kw.pop(
+            "description", f"Date in column {col} not between {min_date} and {max_date}"
+        ),
+        violation=not_empty(col) & ts.isNotNull() & F.coalesce(viol, F.lit(False)),
+        **kw,
+    )
+
+
+def date_not_in_future(col: str, fmt: str | None = None, **kw) -> Rule:
+    kw.setdefault("rule_id", f"date_not_in_future__{col}")
+    kw.setdefault("description", f"Date in column {col} is in the future")
+    return between_dates(col, fmt, min_date=None, max_date="now", **kw)
+
+
+# ---------------------------------------------------------------------------
+# #7 / #8 — dates/values order: all-pairs O(k²) predicate, NULL-safe OR
+#           (dates_order.py:23-32, values_order.py)
+# ---------------------------------------------------------------------------
+
+
+def _order_violation(casts: list[Column], strictly_ascending: bool) -> Column:
+    # ascending expected ⇒ violation if col_i > col_j (i<j); >= when the
+    # order must be strict (equal values violate strictness).
+    pair_viols = []
+    for i, j in combinations(range(len(casts)), 2):
+        cmp = casts[i] >= casts[j] if strictly_ascending else casts[i] > casts[j]
+        pair_viols.append(F.coalesce(cmp, F.lit(False)))
+    out = pair_viols[0]
+    for p in pair_viols[1:]:
+        out = out | p
+    return out
+
+
+def dates_order(
+    cols: list[str],
+    fmts: dict[str, str | None] | None = None,
+    strictly_ascending: bool = False,
+    **kw,
+) -> Rule:
+    fmts = fmts or {}
+    casts = [to_ts(c, fmts.get(c)) for c in cols]
+    return Rule(
+        rule_id=kw.pop("rule_id", "dates_order__" + "_".join(cols)),
+        description=kw.pop("description", f"Columns {cols} not in chronological order"),
+        violation=_order_violation(casts, strictly_ascending),
+        **kw,
+    )
+
+
+def values_order(cols: list[str], strictly_ascending: bool = False, **kw) -> Rule:
+    casts = [to_double(c) for c in cols]
+    return Rule(
+        rule_id=kw.pop("rule_id", "values_order__" + "_".join(cols)),
+        description=kw.pop("description", f"Columns {cols} not in ascending order"),
+        violation=_order_violation(casts, strictly_ascending),
+        **kw,
+    )
+
+
+# ---------------------------------------------------------------------------
+# #9 — values in list (values_in_list.py:24-33,45-54)
+# ---------------------------------------------------------------------------
+
+
+def values_in_list(col: str, values: list, case_sensitive: bool = True, **kw) -> Rule:
+    c = F.col(col).cast("string")
+    vals = [str(v) for v in values]
+    if not case_sensitive:
+        c = F.lower(c)
+        vals = [v.lower() for v in vals]
+    return Rule(
+        rule_id=kw.pop("rule_id", f"values_in_list__{col}"),
+        description=kw.pop("description", f"Value in column {col} not in list"),
+        violation=not_empty(col) & ~c.isin(vals),
+        **kw,
+    )
+
+
+# ---------------------------------------------------------------------------
+# #10 — match regex (match_regex.py; dialect fns impala.py:75-79).
+#       Ships the reference's PII regex seeds (utils.py:3-5) in functions/scrub.
+# ---------------------------------------------------------------------------
+
+
+def match_regex(col: str, regex: str, case_sensitive: bool = True, **kw) -> Rule:
+    pat = regex if case_sensitive else f"(?i){regex}"
+    return Rule(
+        rule_id=kw.pop("rule_id", f"match_regex__{col}"),
+        description=kw.pop("description", f"Value in column {col} does not match regex"),
+        violation=not_empty(col) & ~F.col(col).cast("string").rlike(pat),
+        **kw,
+    )
+
+
+# ---------------------------------------------------------------------------
+# #11 — custom condition (custom.py:19-40): arbitrary boolean SQL = violation.
+#       The seed of compiling Gopher/C4 heuristics to expressions.
+# ---------------------------------------------------------------------------
+
+
+def custom_condition(condition: str | Column, **kw) -> Rule:
+    viol = F.expr(condition) if isinstance(condition, str) else condition
+    return Rule(
+        rule_id=kw.pop("rule_id", "custom_condition"),
+        description=kw.pop("description", f"Rows match condition: {condition}"),
+        violation=viol,
+        **kw,
+    )
+
+
+# ---------------------------------------------------------------------------
+# #12 — match dimension table (match_dimension_table.py): FK with no PK match.
+#       The reference picks 1 of 4 strategies by operand *location*
+#       (:38-47, :68-89, :175-207, :209-227); Spark subsumes all with a
+#       broadcast LEFT join on the string-cast composite key — AQE/broadcast
+#       threshold picks hash vs sort-merge at scale.
+# ---------------------------------------------------------------------------
+
+
+def match_dimension(
+    dim_df: DataFrame,
+    fk_cols: list[str] | str,
+    pk_cols: list[str] | str | None = None,
+    broadcast_dim: bool = True,
+    **kw,
+) -> Rule:
+    fk_cols = [fk_cols] if isinstance(fk_cols, str) else list(fk_cols)
+    pk_cols = fk_cols if pk_cols is None else (
+        [pk_cols] if isinstance(pk_cols, str) else list(pk_cols)
+    )
+    rule_id = kw.pop("rule_id", "match_dimension__" + "_".join(fk_cols))
+    marker = f"__dim_hit_{rule_id}"
+    keycol = f"__dim_key_{rule_id}"
+
+    def prepare(df: DataFrame) -> DataFrame:
+        keys = (
+            dim_df.select(composite_key(pk_cols).alias(keycol))
+            .where(F.col(keycol).isNotNull())
+            .distinct()
+            .withColumn(marker, F.lit(1))
+        )
+        if broadcast_dim:
+            keys = F.broadcast(keys)
+        return df.join(
+            keys, composite_key(fk_cols) == F.col(keycol), "left"
+        ).drop(keycol)
+
+    return Rule(
+        rule_id=rule_id,
+        description=kw.pop(
+            "description", f"Value in columns {fk_cols} not in dimension table"
+        ),
+        violation=conjoin([not_empty(c) for c in fk_cols]) & F.col(marker).isNull(),
+        prepare=prepare,
+        **kw,
+    )
+
+
+# ---------------------------------------------------------------------------
+# #13 / #14 — order vs dimension (dates_order_dimension_table.py:31-55,
+#             values_order_dimension_table.py:51-55): join fact→dim on FK,
+#             violation = NOT (left op right), NULL→False. The reference
+#             left the mixed pandas×SQL combos unimplemented (TODOs at
+#             :93-95,:139-141); a single-engine design has no combos.
+# ---------------------------------------------------------------------------
+
+_OPS = {
+    ">": lambda l, r: l > r,
+    ">=": lambda l, r: l >= r,
+    "<": lambda l, r: l < r,
+    "<=": lambda l, r: l <= r,
+    "=": lambda l, r: l == r,
+}
+
+
+def _order_vs_dimension(
+    dim_df: DataFrame,
+    fk: str,
+    pk: str,
+    left_col: str,
+    right_col: str,
+    operator: str,
+    cast_fn,
+    rule_id: str,
+    description: str,
+    broadcast_dim: bool = True,
+    **kw,
+) -> Rule:
+    # bring dim's right_column into the fact frame; rename `_2` on clash
+    # (reference behaviour, dates_order_dimension_table.py:131-136)
+    right_out = right_col if right_col not in {left_col, fk} else f"{right_col}_2"
+    keycol = f"__dimo_key_{rule_id}"
+
+    def prepare(df: DataFrame) -> DataFrame:
+        dim = dim_df.select(
+            F.col(pk).cast("string").alias(keycol),
+            F.col(right_col).alias(right_out),
+        ).where(F.col(keycol).isNotNull()).dropDuplicates([keycol])
+        if broadcast_dim:
+            dim = F.broadcast(dim)
+        return df.join(dim, F.col(fk).cast("string") == F.col(keycol), "left").drop(
+            keycol
+        )
+
+    op = _OPS[operator]
+    viol = ~op(cast_fn(left_col), cast_fn(right_out))
+    return Rule(
+        rule_id=rule_id,
+        description=description,
+        violation=F.coalesce(viol, F.lit(False)),
+        prepare=prepare,
+        **kw,
+    )
+
+
+def dates_order_dimension(
+    dim_df: DataFrame,
+    fk: str,
+    pk: str,
+    left_col: str,
+    right_col: str,
+    operator: str = ">=",
+    fmt_left: str | None = None,
+    fmt_right: str | None = None,
+    **kw,
+) -> Rule:
+    rid = kw.pop("rule_id", f"dates_order_dim__{left_col}_{operator}_{right_col}")
+    return _order_vs_dimension(
+        dim_df, fk, pk, left_col, right_col, operator,
+        cast_fn=lambda c: to_ts(c, None),
+        rule_id=rid,
+        description=kw.pop(
+            "description", f"{left_col} not {operator} {right_col} in dimension table"
+        ),
+        **kw,
+    )
+
+
+def values_order_dimension(
+    dim_df: DataFrame,
+    fk: str,
+    pk: str,
+    left_col: str,
+    right_col: str,
+    operator: str = "<=",
+    **kw,
+) -> Rule:
+    rid = kw.pop("rule_id", f"values_order_dim__{left_col}_{operator}_{right_col}")
+    return _order_vs_dimension(
+        dim_df, fk, pk, left_col, right_col, operator,
+        cast_fn=to_double,
+        rule_id=rid,
+        description=kw.pop(
+            "description", f"{left_col} not {operator} {right_col} in dimension table"
+        ),
+        **kw,
+    )
+
+
+# ---------------------------------------------------------------------------
+# #15 — period intersection (period_intersection.py): sort by (id, start);
+#       violation₀ = lag(end) {>|>=} start within the id group; a row is ALSO
+#       KO if its successor is (`check OR LEAD(check)`, :45-50).
+#       extremes_exclude=False ⇒ '>' (touching endpoints OK), True ⇒ '>='
+#       (:29). Spark: WindowExec after a hash shuffle on the id key —
+#       at scale the partition key must have cardinality ≫ executors
+#       (id_columns=None ⇒ single global window: document that it
+#       single-threads; the reference has the same flaw implicitly).
+# ---------------------------------------------------------------------------
+
+
+def period_intersection(
+    start_col: str,
+    end_col: str,
+    id_columns: list[str] | str | None = None,
+    extremes_exclude: bool = False,
+    fmt: str | None = None,
+    **kw,
+) -> Rule:
+    if isinstance(id_columns, str):
+        id_columns = [id_columns]
+    start_ts = to_ts(start_col, fmt)
+    end_ts = to_ts(end_col, fmt)
+    if id_columns:
+        part = composite_key(id_columns)
+        w = Window.partitionBy(part).orderBy(start_ts, end_ts)
+    else:
+        w = Window.partitionBy(F.lit(1)).orderBy(start_ts, end_ts)
+    prev_end = F.lag(end_ts).over(w)
+    base = prev_end >= start_ts if extremes_exclude else prev_end > start_ts
+    check = F.coalesce(base, F.lit(False))
+    viol = check | F.coalesce(F.lead(check).over(w), F.lit(False))
+    return Rule(
+        rule_id=kw.pop("rule_id", f"period_intersection__{start_col}_{end_col}"),
+        description=kw.pop(
+            "description",
+            f"Rows intersection on period from {start_col} to {end_col}",
+        ),
+        violation=not_empty(start_col) & not_empty(end_col) & viol,
+        **kw,
+    )
