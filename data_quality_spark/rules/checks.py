@@ -36,11 +36,11 @@ def to_double(col: str) -> Column:
 def to_ts(col: str, fmt: str | None = None) -> Column:
     """Null-on-failure datetime cast with optional format
     (impala.py:36-40, datetime_format.py:28-36)."""
-    from pyspark.sql.types import TimestampType, DateType
-
     c = F.col(col)
     if fmt is None:
-        return F.try_to_timestamp(c.cast("string"))
+        # try_cast is identity on timestamp columns (exact, keeps micros) and
+        # a null-on-failure ISO parse on strings.
+        return c.try_cast("timestamp")
     return F.try_to_timestamp(c.cast("string"), F.lit(fmt))
 
 
@@ -463,17 +463,22 @@ def period_intersection(
     id_columns: list[str] | str | None = None,
     extremes_exclude: bool = False,
     fmt: str | None = None,
+    tiebreak_cols: list[str] | None = None,
     **kw,
 ) -> Rule:
     if isinstance(id_columns, str):
         id_columns = [id_columns]
     start_ts = to_ts(start_col, fmt)
     end_ts = to_ts(end_col, fmt)
+    # the reference orders by (id, start) only (period_intersection.py:35-36),
+    # which is nondeterministic on start ties; tiebreak_cols pins the order
+    # (required for cross-engine oracle parity).
+    order = [start_ts, end_ts] + [F.col(c) for c in (tiebreak_cols or [])]
     if id_columns:
         part = composite_key(id_columns)
-        w = Window.partitionBy(part).orderBy(start_ts, end_ts)
+        w = Window.partitionBy(part).orderBy(*order)
     else:
-        w = Window.partitionBy(F.lit(1)).orderBy(start_ts, end_ts)
+        w = Window.partitionBy(F.lit(1)).orderBy(*order)
     prev_end = F.lag(end_ts).over(w)
     base = prev_end >= start_ts if extremes_exclude else prev_end > start_ts
     check = F.coalesce(base, F.lit(False))
