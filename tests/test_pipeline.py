@@ -1,0 +1,126 @@
+"""Oracle-vs-engine parity for the quality-filter pipeline (BASELINE.md):
+keep/drop F1 ≥ 0.99 (we assert exact agreement target first, F1 as floor),
+byte-identical scrubbed text per url, fault classes caught, resume works.
+"""
+
+import json
+import os
+
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from data_quality_spark.pipeline import oracle as O
+from data_quality_spark.pipeline import pages
+from data_quality_spark.pipeline.quality_filter import (
+    annotate_pages,
+    metrics_by_partition,
+    run_pipeline,
+)
+
+N_ROWS = 1500
+
+
+@pytest.fixture(scope="module")
+def fixture_path(tmp_path_factory):
+    p = tmp_path_factory.mktemp("pages") / "pages.parquet"
+    pages.write_parquet(str(p), N_ROWS, seed=42)
+    return str(p)
+
+
+@pytest.fixture(scope="module")
+def engine_ann(spark, fixture_path):
+    ann = annotate_pages(spark.read.parquet(fixture_path))
+    return ann.select(
+        "url", "warc_ts", "fault_class", "keep", "fired_rules", "text_scrubbed"
+    ).toPandas()
+
+
+@pytest.fixture(scope="module")
+def oracle_ann(fixture_path):
+    import pyarrow.parquet as pq
+
+    pdf = pq.read_table(fixture_path).to_pandas()
+    return O.annotate_pandas(pdf)
+
+
+def _merged(engine_ann, oracle_ann):
+    e = engine_ann.set_index(["url", "warc_ts"]).sort_index()
+    o = oracle_ann.set_index(["url", "warc_ts"]).sort_index()
+    assert len(e) == len(o) == N_ROWS
+    return e, o
+
+
+def test_keep_drop_agreement(engine_ann, oracle_ann):
+    e, o = _merged(engine_ann, oracle_ann)
+    agree = (e["keep"].values == o["keep"].values).mean()
+    tp = ((e["keep"].values) & (o["keep"].values)).sum()
+    fp = ((e["keep"].values) & (~o["keep"].values)).sum()
+    fn = ((~e["keep"].values) & (o["keep"].values)).sum()
+    f1 = 2 * tp / (2 * tp + fp + fn)
+    assert f1 >= 0.99, f"F1 {f1}, agreement {agree}"
+    assert agree >= 0.995, f"agreement {agree}"
+
+
+def test_fired_rules_identical(engine_ann, oracle_ann):
+    e, o = _merged(engine_ann, oracle_ann)
+    mism = [
+        (i, list(a), list(b))
+        for i, (a, b) in enumerate(zip(e["fired_rules"], o["fired_rules"]))
+        if list(a) != list(b)
+    ]
+    assert len(mism) <= N_ROWS * 0.005, mism[:5]
+
+
+def test_scrubbed_text_byte_identical(engine_ann, oracle_ann):
+    e, o = _merged(engine_ann, oracle_ann)
+    for (idx, ev), ov in zip(e["text_scrubbed"].items(), o["text_scrubbed"]):
+        if ev is None or (isinstance(ov, float) and pd.isna(ov)):
+            assert ov is None or pd.isna(ov), idx
+        else:
+            assert ev == ov, f"scrub mismatch at {idx}: {ev[:80]!r} vs {ov[:80]!r}"
+
+
+def test_scrub_actually_scrubs(engine_ann):
+    pii = engine_ann[engine_ann.fault_class == "pii"]
+    assert len(pii) > 0
+    joined = "\n".join(pii["text_scrubbed"])
+    assert "@" not in joined
+    assert "4111-1111-1111-1111" not in joined
+    assert "<EMAIL>" in joined or "<CREDIT_CARD>" in joined or "<IP>" in joined
+
+
+def test_fault_classes_caught(engine_ann):
+    rates = engine_ann.groupby("fault_class")["keep"].mean()
+    assert rates["clean"] >= 0.99
+    assert rates["pii"] >= 0.99  # warning only — kept
+    for bad in ["empty", "gibberish", "length", "repeated_lines",
+                "symbol_spam", "wrong_lang"]:
+        assert rates[bad] <= 0.01, (bad, rates[bad])
+
+
+def test_pipeline_resume(spark, fixture_path, tmp_path):
+    out = str(tmp_path / "qf_out")
+    s1 = run_pipeline(spark, fixture_path, out, n_buckets=4)
+    assert s1["buckets_done"] == 4 and s1["buckets_skipped"] == 0
+    total_kept = s1["rows_kept"]
+    # restart: everything skipped, nothing recomputed
+    s2 = run_pipeline(spark, fixture_path, out, n_buckets=4)
+    assert s2["buckets_done"] == 0 and s2["buckets_skipped"] == 4
+    # partial manifest: drop one bucket → exactly one recomputed
+    m = json.load(open(os.path.join(out, "_manifest.json")))
+    m.pop("bucket=2")
+    json.dump(m, open(os.path.join(out, "_manifest.json"), "w"))
+    s3 = run_pipeline(spark, fixture_path, out, n_buckets=4)
+    assert s3["buckets_done"] == 1 and s3["buckets_skipped"] == 3
+    kept = spark.read.parquet(os.path.join(out, "kept", "bucket=*"))
+    assert kept.count() == total_kept
+    assert kept.filter(F.col("keep") == False).count() == 0  # noqa: E712
+
+
+def test_metrics_by_partition(spark, fixture_path):
+    ann = annotate_pages(spark.read.parquet(fixture_path))
+    m = metrics_by_partition(ann).toPandas()
+    assert m["n_rows"].sum() == N_ROWS
+    assert (m["n_dropped"] <= m["n_rows"]).all()
+    assert m["symbol_ratio"].sum() > 0  # some spam caught in every run
