@@ -1,0 +1,122 @@
+"""Benchmark harness (driver contract): run the headline queries at
+$SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS]
+and print ONE JSON line:
+
+    {"metric": ..., "value": total_sec, "unit": "sec",
+     "queries": {name: sec, ...}, "sf": 0.1, ...extras}
+
+Headline set = the scale-stressing shapes: the single-pass k-rule metrics
+scan, window checks (shuffle on partition key), the big fact×dim join checks,
+the full web-text quality-filter pipeline (extraction + features + two Arrow
+pandas-UDF model stages + rules + scrub) measured as docs/sec, and the
+training-data ops (dedup / similarity) once registered in __spark_entry__.
+
+The pages fixture for the pipeline is generated deterministically (seeded,
+pure function of row index — pipeline/pages.py) and cached under .bench/.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+CPUS = os.environ.get("SPARK_GRAFT_CPUS", "32")
+BENCH_DIR = os.path.join(os.path.dirname(os.path.abspath(__file__)), ".bench")
+
+# pages-table size scales with sf: sf0.1 -> 20k docs (each doc = full HTML page)
+PAGES_PER_SF = 200_000
+
+# Names (from __spark_entry__.queries()) included in the headline timing.
+HEADLINE = [
+    "rule_metrics",          # single-pass k-rule scan
+    "duplicate_rows",        # window count over partition key
+    "period_intersection",   # lag/lead window per user
+    "dates_order_dim",       # fact x dim left join (broadcastable dim? no - orders)
+    "values_order_dim",      # fact x part join
+    "dedup_minhash_lsh",     # shingle -> minhash -> band join (if registered)
+    "dedup_simhash",
+    "dedup_ngram_jaccard",
+    "sim_topk_cosine",
+    "sim_ann_lsh",
+    "text_quality_score",
+    "doc_fingerprint",
+]
+
+
+def sf_from_dir(path: str) -> float:
+    base = os.path.basename(path.rstrip("/"))
+    try:
+        return float(base.replace("sf", ""))
+    except ValueError:
+        return -1.0
+
+
+def pages_fixture(sf: float) -> tuple[str, int]:
+    n = max(200, int(PAGES_PER_SF * sf))
+    path = os.path.join(BENCH_DIR, f"pages_n{n}_seed42.parquet")
+    if not os.path.exists(path):
+        from data_quality_spark.pipeline.pages import write_parquet
+
+        write_parquet(path, n, seed=42)
+    return path, n
+
+
+def main() -> None:
+    from data_quality_spark.session import get_spark
+
+    import __spark_entry__ as E
+
+    sf = sf_from_dir(SF_DIR)
+    spark = get_spark(app_name="bench")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    qs = E.queries()
+    timings: dict[str, float] = {}
+
+    # warm the JVM/codegen once so timings measure the engine, not startup
+    spark.read.parquet(f"{SF_DIR}/documents.parquet").count()
+
+    for name in HEADLINE:
+        fn = qs.get(name)
+        if fn is None:
+            continue
+        t0 = time.perf_counter()
+        df = fn(spark, SF_DIR)
+        n = df.count()
+        timings[name] = round(time.perf_counter() - t0, 3)
+        _ = n
+
+    # full quality-filter pipeline: docs/sec headline (BASELINE.json metric)
+    from data_quality_spark.pipeline import quality_filter as QF
+
+    pages_path, n_pages = pages_fixture(sf)
+    pages = spark.read.parquet(pages_path).drop("fault_class")
+    t0 = time.perf_counter()
+    ann = QF.annotate_pages(pages)
+    counts = ann.groupBy("keep").count().collect()
+    qf_sec = time.perf_counter() - t0
+    timings["qf_pipeline"] = round(qf_sec, 3)
+    n_kept = sum(r["count"] for r in counts if r["keep"])
+
+    total = round(sum(timings.values()), 3)
+    out = {
+        "metric": "headline_queries_total",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf,
+        "cpus": int(CPUS) if CPUS.isdigit() else CPUS,
+        "qf_docs": n_pages,
+        "qf_docs_per_sec": round(n_pages / qf_sec, 1),
+        "qf_kept": n_kept,
+    }
+    print(json.dumps(out))
+
+
+if __name__ == "__main__":
+    main()
