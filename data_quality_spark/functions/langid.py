@@ -67,13 +67,32 @@ def _hash_ngram(s: str) -> int:
     return h % N_BUCKETS
 
 
-def _ngrams(text: str) -> list[int]:
+_FNV_OFFSET = np.uint64(0x811C9DC5)
+_FNV_PRIME = np.uint64(0x01000193)
+_MASK32 = np.uint64(0xFFFFFFFF)
+
+
+def _fnv_step(h: np.ndarray, b: np.ndarray) -> np.ndarray:
+    return ((h ^ b) * _FNV_PRIME) & _MASK32
+
+
+def _ngram_buckets(text: str) -> np.ndarray:
+    """Bucket ids of all char 2- and 3-grams of ' text.lower() ' — the
+    vectorized twin of scalar FNV-1a over each gram's UTF-8 bytes.
+
+    Grams are taken over the UTF-8 BYTE stream, which for multibyte chars
+    differs from char-grams — but it is applied identically at train time
+    (``_hash_ngram`` hashes encoded bytes too, and training words hash the
+    full word's bytes) and in every consumer, so the model is self-consistent.
+    """
     t = f" {text.lower()} "
-    out = []
-    for n in range(_NGRAM_RANGE[0], _NGRAM_RANGE[1] + 1):
-        for i in range(len(t) - n + 1):
-            out.append(_hash_ngram(t[i : i + n]))
-    return out
+    b = np.frombuffer(t.encode("utf-8"), dtype=np.uint8).astype(np.uint64)
+    if len(b) < 3:
+        return np.empty(0, dtype=np.int64)
+    h1 = _fnv_step(_FNV_OFFSET, b)
+    h2 = _fnv_step(h1[:-1], b[1:])  # all byte-bigrams
+    h3 = _fnv_step(h2[:-1], b[2:])  # all byte-trigrams
+    return np.concatenate([h2, h3]).astype(np.int64) % N_BUCKETS
 
 
 def _build_profiles() -> np.ndarray:
@@ -81,7 +100,7 @@ def _build_profiles() -> np.ndarray:
     mat = np.full((len(LANGS), N_BUCKETS), _ALPHA, dtype=np.float64)
     for li, lang in enumerate(LANGS):
         for word in SEED_WORDS[lang]:
-            for b in _ngrams(word):
+            for b in _ngram_buckets(word):
                 mat[li, b] += 1.0
     mat /= mat.sum(axis=1, keepdims=True)
     return np.log(mat)
@@ -103,11 +122,11 @@ def predict_one(text: str) -> tuple[str, float]:
     log-prob; low margin ⇒ uncertain."""
     if not text:
         return "und", 0.0
-    grams = _ngrams(text[:2000])
-    if not grams:
+    grams = _ngram_buckets(text[:2000])
+    if len(grams) == 0:
         return "und", 0.0
     P = profiles()
-    counts = np.bincount(np.asarray(grams, dtype=np.int64), minlength=N_BUCKETS)
+    counts = np.bincount(grams, minlength=N_BUCKETS)
     nz = counts.nonzero()[0]
     scores = P[:, nz] @ counts[nz].astype(np.float64)
     scores /= len(grams)

@@ -36,6 +36,21 @@ def _norm_char(ch: str) -> int:
     return _C2I.get(ch, _C2I[" "])
 
 
+# vectorized codepoint→id lookup table (codepoints above the table map to ' ')
+_MAX_CP = max(ord(c) for c in _CHARS) + 1
+_CP_TABLE = np.full(_MAX_CP, _C2I[" "], dtype=np.int64)
+for _c, _i in _C2I.items():
+    _CP_TABLE[ord(_c)] = _i
+
+
+def _char_ids(text: str) -> np.ndarray:
+    """Vectorized twin of [_norm_char(c) for c in text]: decode to
+    codepoints via utf-32 and table-lookup (unknown → space id)."""
+    cps = np.frombuffer(text.encode("utf-32-le"), dtype=np.uint32).astype(np.int64)
+    ids = np.where(cps < _MAX_CP, _CP_TABLE[np.minimum(cps, _MAX_CP - 1)], _C2I[" "])
+    return ids
+
+
 def _train():
     uni = np.full(V, _ALPHA)
     bi = np.full((V, V), _ALPHA)
@@ -69,9 +84,7 @@ def ppl_one(text: str, max_chars: int = 2000) -> float:
     """Char-level perplexity; empty text → +inf sentinel (1e9)."""
     if not text:
         return 1e9
-    ids = np.fromiter(
-        (_norm_char(c) for c in text[:max_chars].lower()), dtype=np.int64
-    )
+    ids = _char_ids(text[:max_chars].lower())
     if len(ids) < 3:
         return 1e9
     M = model()

@@ -168,12 +168,51 @@ FEATURES = {
 
 
 def with_features(df, text_col: str = "text", prefix: str = "f_"):
-    """Engine: attach every feature column in one projection."""
-    cols = [
-        col_fn(F.col(text_col)).alias(prefix + name)
-        for name, (col_fn, _) in FEATURES.items()
-    ]
-    return df.select("*", *cols)
+    """Engine: attach every feature column, tokenizing ONCE.
+
+    Semantically identical to applying each ``col_*`` function directly, but
+    hand-fused: the whitespace-split (the expensive regex pass) happens in
+    one projection and the features derive from the shared token array in
+    the next. Catalyst does not CSE across higher-order-function lambdas
+    (fresh lambda variable ids defeat expression equality), so without this
+    fusion every feature re-splits the text.
+    """
+    text = F.col(text_col)
+    toks_c, lines_c = "__qf_toks", "__qf_lines"
+    staged = df.withColumns({
+        toks_c: col_tokens(text),
+        lines_c: F.filter(F.split(text, r"\n"), lambda x: x != ""),
+    })
+    toks = F.col(toks_c)
+    lines = F.col(lines_c)
+    n_words = F.size(toks)
+    total_len = F.aggregate(
+        F.transform(toks, lambda t: F.length(t).cast("long")),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    n_sym = F.regexp_count(text, F.lit(SYMBOL_CLASS))
+    sw = F.array(*[F.lit(w) for w in ALL_STOPWORDS])
+    n_sw = F.size(F.filter(toks, lambda t: F.array_contains(sw, F.lower(t))))
+    n_lines = F.size(lines)
+    n_dist_lines = F.size(F.array_distinct(lines))
+    feature_cols = {
+        prefix + "n_chars": F.length(text),
+        prefix + "n_words": n_words,
+        prefix + "mean_word_len": F.when(
+            n_words > 0, total_len.cast("double") / n_words
+        ).otherwise(F.lit(0.0)),
+        prefix + "symbol_ratio": F.when(
+            n_words > 0, n_sym.cast("double") / n_words
+        ).otherwise(F.when(n_sym > 0, F.lit(1e9)).otherwise(F.lit(0.0))),
+        prefix + "repeated_line_fraction": F.when(
+            n_lines > 0, (n_lines - n_dist_lines).cast("double") / n_lines
+        ).otherwise(F.lit(0.0)),
+        prefix + "stopword_density": F.when(
+            n_words > 0, n_sw.cast("double") / n_words
+        ).otherwise(F.lit(0.0)),
+    }
+    return staged.withColumns(feature_cols).drop(toks_c, lines_c)
 
 
 def py_features(text: str, prefix: str = "f_") -> dict:

@@ -96,8 +96,9 @@ def quality_rules(cfg: QFConfig = DEFAULT_CONFIG) -> list[Rule]:
              scrub.native_pii_found(F.col("text_extracted")),
              severity="warning"),
         # duplicate url: all members of the dup group flagged (reference
-        # values_duplicate.py row semantics)
-        C.duplicate_values("url", rule_id="duplicate_url",
+        # values_duplicate.py row semantics). agg_join strategy: only the
+        # url column shuffles; the wide frame (html binary) never moves.
+        C.duplicate_values("url", strategy="agg_join", rule_id="duplicate_url",
                            description="duplicated url"),
     ]
     # precondition: content rules only apply when text is non-empty
@@ -109,9 +110,23 @@ def quality_rules(cfg: QFConfig = DEFAULT_CONFIG) -> list[Rule]:
     return R
 
 
-def annotate_pages(df: DataFrame, cfg: QFConfig = DEFAULT_CONFIG) -> DataFrame:
+def annotate_pages(
+    df: DataFrame, cfg: QFConfig = DEFAULT_CONFIG, min_parallelism: int | None = 0
+) -> DataFrame:
     """Full per-row annotation: extraction, features, model scores, rules,
-    scrubbed text, keep flag, lineage columns."""
+    scrubbed text, keep flag, lineage columns.
+
+    min_parallelism: repartition by url-hash when the input has fewer
+    partitions (local parquet fixtures arrive as a handful of splits; the
+    UDF/feature stages would serialize). 0/None = auto (2× default
+    parallelism); pass -1 to disable. On a real cluster the file splits
+    already provide parallelism and the url-hash salting also breaks up
+    pathological host clustering in the input order.
+    """
+    if min_parallelism is not None and min_parallelism >= 0:
+        target = min_parallelism or 2 * df.sparkSession.sparkContext.defaultParallelism
+        if df.rdd.getNumPartitions() < target:
+            df = df.repartition(target, F.xxhash64("url"))
     ext = extract.native_extract(F.col("html"))
     df = df.withColumn("text_extracted", F.coalesce(ext, F.col("text")))
     df = textstats.with_features(df, "text_extracted")

@@ -94,12 +94,39 @@ def not_empty_column(col: str, **kw) -> Rule:
 # ---------------------------------------------------------------------------
 
 
-def duplicate_values(col: str, **kw) -> Rule:
-    w = Window.partitionBy(F.col(col).cast("string"))
+def duplicate_values(col: str, strategy: str = "window", **kw) -> Rule:
+    """strategy='window' shuffles the FULL frame on the value (fine on slim
+    tables, wrong at 100 TB: the shuffle carries every column, html included).
+    strategy='agg_join' shuffles only the value column (groupBy count>1 →
+    small dup-key set) and joins it back — AQE picks broadcast when the dup
+    set is small, so the wide frame never moves. Same KO set either way."""
+    rule_id = kw.pop("rule_id", f"duplicate__{col}")
+    description = kw.pop("description", "Duplicated index")
+    if strategy == "window":
+        w = Window.partitionBy(F.col(col).cast("string"))
+        return Rule(
+            rule_id=rule_id,
+            description=description,
+            violation=not_empty(col) & (F.count(F.lit(1)).over(w) > 1),
+            **kw,
+        )
+    aux = f"__aux_dup__{rule_id}"
+
+    def prepare(df: DataFrame) -> DataFrame:
+        keys = (
+            df.where(not_empty(col))
+            .groupBy(F.col(col).cast("string").alias(aux))
+            .agg(F.count(F.lit(1)).alias(f"{aux}_n"))
+            .where(F.col(f"{aux}_n") > 1)
+            .select(aux)
+        )
+        return df.join(keys, on=df[col].cast("string") == keys[aux], how="left")
+
     return Rule(
-        rule_id=kw.pop("rule_id", f"duplicate__{col}"),
-        description=kw.pop("description", "Duplicated index"),
-        violation=not_empty(col) & (F.count(F.lit(1)).over(w) > 1),
+        rule_id=rule_id,
+        description=description,
+        violation=not_empty(col) & F.col(aux).isNotNull(),
+        prepare=prepare,
         **kw,
     )
 

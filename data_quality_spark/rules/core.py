@@ -125,9 +125,13 @@ class RuleEngine:
         single whole-stage-codegen projection.
         """
         df = self._prepared(df)
-        return df.select(
+        flagged = df.select(
             "*", *[r.flag_col().alias(self._flag_name(r)) for r in self.rules]
         )
+        # helper columns added by prepare transforms (convention: __aux_*)
+        # are internal — consumed by the flag projection, then dropped.
+        aux = [c for c in flagged.columns if c.startswith("__aux_")]
+        return flagged.drop(*aux) if aux else flagged
 
     # -- public ------------------------------------------------------------
     def annotate(self, df: DataFrame) -> DataFrame:
