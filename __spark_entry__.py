@@ -37,6 +37,7 @@ def entry(spark: SparkSession) -> DataFrame:
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     from data_quality_spark import queries as Q
+    from data_quality_spark import queries_ops as QO
 
     def wrap(fn):
         def run(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -45,10 +46,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return run
 
     out = {name: wrap(fn) for name, fn in Q.CHECK_QUERIES.items()}
+    out.update({name: wrap(fn) for name, fn in QO.OPS_QUERIES.items()})
     return out
 
 
 def oracle_sql() -> dict[str, str]:
     from data_quality_spark import queries as Q
+    from data_quality_spark import queries_ops as QO
 
-    return dict(Q.CHECK_ORACLES)
+    out = dict(Q.CHECK_ORACLES)
+    out.update(QO.OPS_ORACLES)
+    return out

@@ -1,0 +1,132 @@
+"""Similarity search over an embedding column (array<float>).
+
+* ``topk_cosine``      — brute-force cosine top-k against one query vector:
+                         the exact baseline. One scan, no shuffle except the
+                         final top-k (TakeOrderedAndProject).
+* ``cosine_pairs``     — all pairs ≥ threshold within blocking keys
+                         (near-duplicate detection on embeddings).
+* ``ann_lsh_topk``     — random-hyperplane LSH: 8 sign bits bucket the
+                         corpus ~256 ways; search only the query's bucket.
+                         The scale path: bucket assignment is a per-row
+                         projection (codegen), the candidate scan reads
+                         ~1/256 of the corpus (partition-prunable if the
+                         table is written bucketed by signature).
+
+Hyperplane constants are module-level literals (deterministic, shared with
+the SQL oracle verbatim), mirroring how the langid/perplexity models are
+embedded rather than downloaded. Dot products run in float64 with strict
+left-to-right array aggregation in BOTH engines so scores agree.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+EMB_DIM = 64
+N_HYPERPLANES = 8
+
+# deterministic hyperplanes, rounded so the SQL literal rendering is exact
+_rs = np.random.RandomState(7)
+HYPERPLANES: list[list[float]] = [
+    [round(float(v), 4) for v in row]
+    for row in _rs.standard_normal((N_HYPERPLANES, EMB_DIM))
+]
+
+
+def dot(a: Column, b: Column) -> Column:
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def norm(a: Column) -> Column:
+    return F.sqrt(
+        F.aggregate(
+            F.transform(a, lambda x: x * x), F.lit(0.0), lambda acc, x: acc + x
+        )
+    )
+
+
+def cosine(a: Column, b: Column) -> Column:
+    na, nb = norm(a), norm(b)
+    return F.when((na > 0) & (nb > 0), dot(a, b) / (na * nb)).otherwise(F.lit(0.0))
+
+
+def _as_double(col: Column) -> Column:
+    return col.cast("array<double>")
+
+
+def _lit_vec(vals: list[float]) -> Column:
+    return F.array(*[F.lit(float(v)) for v in vals])
+
+
+def topk_cosine(
+    df: DataFrame, id_col: str, vec_col: str, query_vec: list[float], k: int = 10
+) -> DataFrame:
+    """Exact top-k by cosine vs one query vector; deterministic tiebreak on
+    id. Physical plan: scan → project(cosine) → TakeOrderedAndProject (per-
+    partition top-k, then driver merge — no full sort, no shuffle)."""
+    q = _lit_vec(query_vec)
+    scored = df.select(
+        F.col(id_col),
+        F.round(cosine(_as_double(F.col(vec_col)), q), 6).alias("cos_sim"),
+    )
+    return scored.orderBy(F.col("cos_sim").desc(), F.col(id_col)).limit(k)
+
+
+def cosine_pairs(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    block_cols: list[str],
+    threshold: float,
+) -> DataFrame:
+    """All pairs within a block with cosine ≥ threshold (id_a < id_b)."""
+    base = df.select(id_col, *block_cols, _as_double(F.col(vec_col)).alias("v"))
+    l, r = base.alias("l"), base.alias("r")
+    return (
+        l.join(r, on=block_cols)
+        .where(F.col(f"l.{id_col}") < F.col(f"r.{id_col}"))
+        .select(
+            F.col(f"l.{id_col}").alias("id_a"),
+            F.col(f"r.{id_col}").alias("id_b"),
+            F.round(cosine(F.col("l.v"), F.col("r.v")), 6).alias("cos_sim"),
+        )
+        .where(F.col("cos_sim") >= threshold)
+    )
+
+
+def lsh_signature(vec: Column, planes: list[list[float]] | None = None) -> Column:
+    """Bit i set iff dot(vec, plane_i) >= 0."""
+    planes = planes if planes is not None else HYPERPLANES
+    sig = F.lit(0).cast("long")
+    for i, p in enumerate(planes):
+        sig = sig + F.when(
+            dot(vec, _lit_vec(p)) >= 0, F.lit(1 << i).cast("long")
+        ).otherwise(F.lit(0).cast("long"))
+    return sig
+
+
+def ann_lsh_topk(
+    df: DataFrame, id_col: str, vec_col: str, query_vec: list[float], k: int = 10
+) -> DataFrame:
+    """Approximate top-k: exact cosine ranking restricted to the query's
+    LSH bucket. Recall < 1 by construction (documented approximation); the
+    bucket filter is a pushdown-able projection predicate."""
+    qsig = 0
+    for i, p in enumerate(HYPERPLANES):
+        if float(np.dot(np.asarray(query_vec), np.asarray(p))) >= 0:
+            qsig |= 1 << i
+    v = _as_double(F.col(vec_col))
+    scored = df.select(
+        F.col(id_col),
+        lsh_signature(v).alias("lsh_sig"),
+        F.round(cosine(v, _lit_vec(query_vec)), 6).alias("cos_sim"),
+    ).where(F.col("lsh_sig") == qsig)
+    return scored.select(id_col, "cos_sim").orderBy(
+        F.col("cos_sim").desc(), F.col(id_col)
+    ).limit(k)

@@ -1,0 +1,126 @@
+"""Text-analysis operators for training-data pipelines: heuristic
+language-ID, composite quality scoring, token counting, and document
+fingerprinting. All pure Catalyst expressions (whole-stage codegen, zero
+Python in the row path) with exact SQL oracles.
+
+The model-based twins live in functions/langid.py (hashed n-gram classifier)
+and functions/perplexity.py (char LM) — those run as Arrow pandas UDFs and
+are verified by rows-only checks; the operators HERE are the SQL-expressible
+heuristic tier a 100 TB pipeline runs first (cheap, exact, auditable).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from data_quality_spark.functions.textstats import STOPWORDS
+from data_quality_spark.ops.hashing import portable_hash64
+
+LANGS = sorted(STOPWORDS)
+
+# BPE-ish pre-tokenizer: letter runs | single digits | single punctuation.
+# ASCII-explicit classes so Java (Spark) and RE2 (DuckDB oracle) agree.
+BPE_TOKEN_RE = r"[A-Za-z]+|[0-9]|[^A-Za-z0-9\s]"
+
+
+def _toks(text: Column) -> Column:
+    return F.filter(F.split(text, r"\s+"), lambda x: x != "")
+
+
+# ---------------------------------------------------------------------------
+# heuristic language-ID: argmax of per-language stopword hit counts
+# ---------------------------------------------------------------------------
+
+
+def stopword_hits(text: Column, lang: str) -> Column:
+    sw = F.array(*[F.lit(w) for w in STOPWORDS[lang]])
+    return F.size(F.filter(_toks(text), lambda t: F.array_contains(sw, F.lower(t))))
+
+
+def heuristic_langid(text: Column) -> Column:
+    """Predicted language = argmax over stopword-hit counts; ties broken by
+    language name ascending (deterministic); zero hits anywhere → 'und'."""
+    hits = [(lang, stopword_hits(text, lang)) for lang in LANGS]
+    best = F.greatest(*[h for _, h in hits])
+    pred = F.lit("und")
+    # reverse order so earlier (asc) languages win ties
+    for lang, h in reversed(hits):
+        pred = F.when(h == best, F.lit(lang)).otherwise(pred)
+    return F.when(best > 0, pred).otherwise(F.lit("und"))
+
+
+def with_heuristic_langid(df: DataFrame, text_col: str, out_col: str = "lang_heur"):
+    return df.withColumn(out_col, heuristic_langid(F.col(text_col)))
+
+
+# ---------------------------------------------------------------------------
+# composite quality score
+# ---------------------------------------------------------------------------
+
+
+def quality_score(text: Column) -> Column:
+    """Score in [0,1]: 0.4·length_term + 0.3·stopword_term + 0.3·alpha_term.
+
+      length_term   = least(n_words/100, 1)            (enough content)
+      stopword_term = least(stop_density·5, 1)          (natural prose)
+      alpha_term    = alpha_chars / greatest(n_chars,1) (not symbol soup)
+
+    Exact formula mirrored in the SQL oracle; round(6) pins the float."""
+    toks = _toks(text)
+    n_words = F.size(toks)
+    all_sw = F.array(
+        *[F.lit(w) for ws in STOPWORDS.values() for w in ws]
+    )
+    n_sw = F.size(F.filter(toks, lambda t: F.array_contains(all_sw, F.lower(t))))
+    stop_density = F.when(n_words > 0, n_sw.cast("double") / n_words).otherwise(
+        F.lit(0.0)
+    )
+    n_chars = F.length(text)
+    n_alpha = F.length(F.regexp_replace(text, r"[^A-Za-z]", ""))
+    length_term = F.least(n_words.cast("double") / 100.0, F.lit(1.0))
+    stop_term = F.least(stop_density * 5.0, F.lit(1.0))
+    alpha_term = n_alpha.cast("double") / F.greatest(n_chars, F.lit(1)).cast("double")
+    return F.round(0.4 * length_term + 0.3 * stop_term + 0.3 * alpha_term, 6)
+
+
+# ---------------------------------------------------------------------------
+# token counting
+# ---------------------------------------------------------------------------
+
+
+def token_counts(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """(id, n_ws_tokens, n_bpe_tokens): whitespace tokens and BPE-ish
+    pre-tokens (letter runs / digits / punctuation)."""
+    text = F.col(text_col)
+    return df.select(
+        F.col(id_col),
+        F.size(_toks(text)).alias("n_ws_tokens"),
+        F.size(
+            F.filter(
+                F.regexp_extract_all(text, F.lit(BPE_TOKEN_RE), 0),
+                lambda x: x != "",
+            )
+        ).alias("n_bpe_tokens"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# document fingerprinting (winnowing-style min-hash selection)
+# ---------------------------------------------------------------------------
+
+
+def fingerprint(df: DataFrame, id_col: str, text_col: str, n: int = 3) -> DataFrame:
+    """(id, fp_min, fp_max, n_shingles): min/max 60-bit hash over word
+    n-gram shingles — the two winnowing anchors. Equal fp_min across docs ⇒
+    shared rare shingle ⇒ near-dup candidate (cheap pre-cluster key)."""
+    from data_quality_spark.ops.dedup import word_shingles
+
+    sh = word_shingles(F.col(text_col), n)
+    hs = F.transform(sh, lambda s: portable_hash64(s))
+    return df.select(
+        F.col(id_col),
+        F.array_min(hs).alias("fp_min"),
+        F.array_max(hs).alias("fp_max"),
+        F.size(sh).alias("n_shingles"),
+    ).where(F.col("n_shingles") > 0)

@@ -1,0 +1,671 @@
+"""Driver-contract queries for the training-data operators (ops/*) plus the
+web-text quality-filter pipeline, each paired with a DuckDB oracle SQL string
+generated FROM THE SAME CONSTANTS (salts, hyperplanes, stopword lists,
+thresholds) the Spark operators use — one source of truth, two renderings.
+
+Near/exact-duplicate queries inject deterministic duplicates (documents has
+none naturally): modified copies at doc_id+1_000_000 / +2_000_000, the
+golden-corpus style of the reference's test_df.xlsx marked rows.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from data_quality_spark.ops import dedup as D
+from data_quality_spark.ops import multimodal as M
+from data_quality_spark.ops import similarity as S
+from data_quality_spark.ops import textops as T
+from data_quality_spark.ops.hashing import sql_hash64
+from data_quality_spark.functions.textstats import ALL_STOPWORDS, STOPWORDS, SYMBOL_CLASS
+from data_quality_spark.functions.scrub import ALL_PATTERNS
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+# ---------------------------------------------------------------------------
+# shared corpora: deterministic injected duplicates
+# ---------------------------------------------------------------------------
+
+NEAR_SUFFIX = " zz qq ww ee rr tt"
+
+
+def _near_dup_corpus(spark, sf_dir) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text", "lang", "source")
+    extra = docs.where(F.col("doc_id") % 25 == 0).select(
+        (F.col("doc_id") + 1_000_000).alias("doc_id"),
+        F.concat(F.col("text"), F.lit(NEAR_SUFFIX)).alias("text"),
+        "lang",
+        "source",
+    )
+    return docs.unionByName(extra)
+
+
+SQL_NEAR_CORPUS = f"""
+  SELECT doc_id, text, lang, source FROM documents
+  UNION ALL
+  SELECT doc_id + 1000000, text || '{NEAR_SUFFIX}', lang, source
+  FROM documents WHERE doc_id % 25 = 0
+"""
+
+
+def _exact_dup_corpus(spark, sf_dir) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    extra = docs.where(F.col("doc_id") % 31 == 0).select(
+        (F.col("doc_id") + 2_000_000).alias("doc_id"), "text"
+    )
+    return docs.unionByName(extra)
+
+
+SQL_EXACT_CORPUS = """
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + 2000000, text FROM documents WHERE doc_id % 31 = 0
+"""
+
+# DuckDB fragments mirroring ops.dedup shingling
+SQL_TOKS = r"list_filter(regexp_split_to_array(text, '\s+'), x -> x <> '')"
+SQL_SHINGLES = (
+    "list_distinct([toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] "
+    "for i in range(1, greatest(len(toks) - 1, 1))])"
+)
+
+
+# ---------------------------------------------------------------------------
+# dedup 1 — exact
+# ---------------------------------------------------------------------------
+
+
+def q_dedup_exact(spark, sf_dir):
+    return D.exact_dup_groups(_exact_dup_corpus(spark, sf_dir), "doc_id", "text")
+
+
+SQL_DEDUP_EXACT = f"""
+WITH corpus AS ({SQL_EXACT_CORPUS})
+SELECT md5(text) AS text_md5, count(*) AS n_dups, min(doc_id) AS keep_id
+FROM corpus WHERE text IS NOT NULL
+GROUP BY 1 HAVING count(*) > 1
+"""
+
+
+# ---------------------------------------------------------------------------
+# dedup 2 — MinHash + LSH (K=12, 4 bands x 3 rows, verify J >= 0.5)
+# ---------------------------------------------------------------------------
+
+MINHASH_THRESHOLD = 0.5
+
+
+def q_dedup_minhash_lsh(spark, sf_dir):
+    return D.minhash_lsh_pairs(
+        _near_dup_corpus(spark, sf_dir), "doc_id", "text",
+        threshold=MINHASH_THRESHOLD,
+    )
+
+
+def _sql_minhash_lsh() -> str:
+    mh = [
+        f"list_min(list_transform(sh, s -> {sql_hash64('s', f'#{i}')}))"
+        for i in range(D.MINHASH_K)
+    ]
+    bands = []
+    for b in range(D.LSH_BANDS):
+        vals = " || '_' || ".join(
+            f"({mh[b * D.LSH_ROWS + j]})::VARCHAR" for j in range(D.LSH_ROWS)
+        )
+        bands.append(f"'{b}' || '_' || {vals}")
+    band_list = ",\n      ".join(bands)
+    return f"""
+WITH corpus AS ({SQL_NEAR_CORPUS}),
+sh0 AS (
+  SELECT doc_id, {SQL_SHINGLES} AS sh
+  FROM (SELECT doc_id, {SQL_TOKS} AS toks FROM corpus)
+),
+sigs AS (SELECT doc_id, sh FROM sh0 WHERE len(sh) > 0),
+banded AS (
+  SELECT doc_id, unnest([
+      {band_list}
+  ]) AS band_key
+  FROM sigs
+),
+cand AS (
+  SELECT DISTINCT l.doc_id AS id_a, r.doc_id AS id_b
+  FROM banded l JOIN banded r USING (band_key)
+  WHERE l.doc_id < r.doc_id
+),
+verified AS (
+  SELECT id_a, id_b,
+         round(len(list_intersect(a.sh, b.sh))::DOUBLE /
+               (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))),
+               6) AS jaccard
+  FROM cand JOIN sigs a ON a.doc_id = id_a JOIN sigs b ON b.doc_id = id_b
+)
+SELECT id_a, id_b, jaccard FROM verified WHERE jaccard >= {MINHASH_THRESHOLD}
+"""
+
+
+# ---------------------------------------------------------------------------
+# dedup 3 — SimHash (32-bit, 4 byte-bands, Hamming <= 6)
+# ---------------------------------------------------------------------------
+
+SIMHASH_MAX_HAMMING = 6
+
+
+def q_dedup_simhash(spark, sf_dir):
+    return D.simhash_pairs(
+        _near_dup_corpus(spark, sf_dir), "doc_id", "text",
+        max_hamming=SIMHASH_MAX_HAMMING,
+    )
+
+
+def _sql_simhash() -> str:
+    bit_terms = " +\n      ".join(
+        f"CASE WHEN 2 * list_sum(list_transform(hs, h -> (h >> {j}) & 1)) - n > 0 "
+        f"THEN {1 << j} ELSE 0 END"
+        for j in range(D.SIMHASH_BITS)
+    )
+    band_bits = D.SIMHASH_BITS // D.SIMHASH_BANDS
+    mask = (1 << band_bits) - 1
+    band_list = ",\n      ".join(
+        f"'{b}' || '_' || ((simhash >> {b * band_bits}) & {mask})::VARCHAR"
+        for b in range(D.SIMHASH_BANDS)
+    )
+    return f"""
+WITH corpus AS ({SQL_NEAR_CORPUS}),
+sh0 AS (
+  SELECT doc_id, {SQL_SHINGLES} AS sh
+  FROM (SELECT doc_id, {SQL_TOKS} AS toks FROM corpus)
+),
+sigs AS (
+  SELECT doc_id,
+         list_transform(sh, s -> {sql_hash64('s')}) AS hs,
+         len(sh) AS n
+  FROM sh0 WHERE len(sh) > 0
+),
+sims AS (
+  SELECT doc_id, ({bit_terms})::BIGINT AS simhash FROM sigs
+),
+banded AS (
+  SELECT doc_id, simhash, unnest([
+      {band_list}
+  ]) AS band_key
+  FROM sims
+),
+cand AS (
+  SELECT DISTINCT l.doc_id AS id_a, r.doc_id AS id_b,
+         l.simhash AS sim_a, r.simhash AS sim_b
+  FROM banded l JOIN banded r USING (band_key)
+  WHERE l.doc_id < r.doc_id
+)
+SELECT id_a, id_b, bit_count(xor(sim_a, sim_b)) AS hamming
+FROM cand WHERE bit_count(xor(sim_a, sim_b)) <= {SIMHASH_MAX_HAMMING}
+"""
+
+
+# ---------------------------------------------------------------------------
+# dedup 4 — blocked exact n-gram Jaccard (baseline/verifier)
+# ---------------------------------------------------------------------------
+
+JACCARD_THRESHOLD = 0.5
+
+
+def q_dedup_ngram_jaccard(spark, sf_dir):
+    return D.ngram_jaccard_pairs(
+        _near_dup_corpus(spark, sf_dir), "doc_id", "text",
+        block_cols=["source"], threshold=JACCARD_THRESHOLD,
+    )
+
+
+SQL_DEDUP_NGRAM_JACCARD = f"""
+WITH corpus AS ({SQL_NEAR_CORPUS}),
+sh0 AS (
+  SELECT doc_id, source, {SQL_SHINGLES} AS sh
+  FROM (SELECT doc_id, source, {SQL_TOKS} AS toks FROM corpus)
+),
+sigs AS (SELECT doc_id, source, sh FROM sh0 WHERE len(sh) > 0),
+pairs AS (
+  SELECT l.doc_id AS id_a, r.doc_id AS id_b,
+         round(len(list_intersect(l.sh, r.sh))::DOUBLE /
+               (len(l.sh) + len(r.sh) - len(list_intersect(l.sh, r.sh))),
+               6) AS jaccard
+  FROM sigs l JOIN sigs r USING (source)
+  WHERE l.doc_id < r.doc_id
+)
+SELECT id_a, id_b, jaccard FROM pairs WHERE jaccard >= {JACCARD_THRESHOLD}
+"""
+
+
+# ---------------------------------------------------------------------------
+# similarity 1 — brute-force cosine top-k
+# ---------------------------------------------------------------------------
+
+QUERY_VEC_ID = 7
+TOPK = 10
+
+
+def _query_vec(spark, sf_dir) -> list[float]:
+    row = (
+        _t(spark, sf_dir, "embeddings")
+        .where(F.col("vec_id") == QUERY_VEC_ID)
+        .select("embedding")
+        .collect()[0]
+    )
+    return [float(x) for x in row["embedding"]]
+
+
+def q_sim_topk_cosine(spark, sf_dir):
+    emb = _t(spark, sf_dir, "embeddings")
+    return S.topk_cosine(emb, "vec_id", "embedding", _query_vec(spark, sf_dir), TOPK)
+
+
+SQL_COSINE = """
+  round(CASE WHEN sqrt(list_sum([v[i]*v[i] for i in range(1, len(v)+1)])) > 0
+              AND sqrt(list_sum([q[i]*q[i] for i in range(1, len(q)+1)])) > 0
+             THEN list_sum([v[i]*q[i] for i in range(1, len(v)+1)])
+                  / (sqrt(list_sum([v[i]*v[i] for i in range(1, len(v)+1)]))
+                     * sqrt(list_sum([q[i]*q[i] for i in range(1, len(q)+1)])))
+             ELSE 0.0 END, 6)
+"""
+
+SQL_SIM_TOPK = f"""
+WITH q0 AS (SELECT embedding::DOUBLE[] AS q FROM embeddings WHERE vec_id = {QUERY_VEC_ID}),
+scored AS (
+  SELECT vec_id, {SQL_COSINE} AS cos_sim
+  FROM (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings), q0
+)
+SELECT vec_id, cos_sim FROM scored ORDER BY cos_sim DESC, vec_id LIMIT {TOPK}
+"""
+
+
+# ---------------------------------------------------------------------------
+# similarity 2 — near-dup cosine pairs within label blocks
+# ---------------------------------------------------------------------------
+
+COSINE_PAIR_THRESHOLD = 0.25
+
+
+def q_sim_cosine_pairs(spark, sf_dir):
+    emb = _t(spark, sf_dir, "embeddings")
+    return S.cosine_pairs(
+        emb, "vec_id", "embedding", ["label"], COSINE_PAIR_THRESHOLD
+    )
+
+
+SQL_SIM_COSINE_PAIRS = f"""
+WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings),
+pairs AS (
+  SELECT l.vec_id AS id_a, r.vec_id AS id_b,
+         round(CASE WHEN sqrt(list_sum([l.v[i]*l.v[i] for i in range(1, len(l.v)+1)])) > 0
+                     AND sqrt(list_sum([r.v[i]*r.v[i] for i in range(1, len(r.v)+1)])) > 0
+                    THEN list_sum([l.v[i]*r.v[i] for i in range(1, len(l.v)+1)])
+                         / (sqrt(list_sum([l.v[i]*l.v[i] for i in range(1, len(l.v)+1)]))
+                            * sqrt(list_sum([r.v[i]*r.v[i] for i in range(1, len(r.v)+1)])))
+                    ELSE 0.0 END, 6) AS cos_sim
+  FROM e l JOIN e r USING (label)
+  WHERE l.vec_id < r.vec_id
+)
+SELECT id_a, id_b, cos_sim FROM pairs WHERE cos_sim >= {COSINE_PAIR_THRESHOLD}
+"""
+
+
+# ---------------------------------------------------------------------------
+# similarity 3 — LSH-bucketed ANN top-k
+# ---------------------------------------------------------------------------
+
+
+def q_sim_ann_lsh(spark, sf_dir):
+    emb = _t(spark, sf_dir, "embeddings")
+    return S.ann_lsh_topk(emb, "vec_id", "embedding", _query_vec(spark, sf_dir), TOPK)
+
+
+def _sql_ann_lsh() -> str:
+    hp_lits = [
+        "[" + ", ".join(repr(v) for v in plane) + "]::DOUBLE[]"
+        for plane in S.HYPERPLANES
+    ]
+    sig_terms = " +\n      ".join(
+        f"CASE WHEN list_sum([v[i] * ({hp_lits[b]})[i] for i in range(1, len(v)+1)]) >= 0 "
+        f"THEN {1 << b} ELSE 0 END"
+        for b in range(S.N_HYPERPLANES)
+    )
+    return f"""
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+sigs AS (
+  SELECT vec_id, v, ({sig_terms})::BIGINT AS lsh_sig FROM e
+),
+q0 AS (SELECT v AS q, lsh_sig AS qsig FROM sigs WHERE vec_id = {QUERY_VEC_ID}),
+scored AS (
+  SELECT vec_id, {SQL_COSINE} AS cos_sim
+  FROM sigs, q0 WHERE sigs.lsh_sig = q0.qsig
+)
+SELECT vec_id, cos_sim FROM scored ORDER BY cos_sim DESC, vec_id LIMIT {TOPK}
+"""
+
+
+# ---------------------------------------------------------------------------
+# text 1 — heuristic language-ID
+# ---------------------------------------------------------------------------
+
+
+def q_text_langid_heur(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents")
+    return T.with_heuristic_langid(docs, "text").select("doc_id", "lang_heur")
+
+
+def _sql_langid_heur() -> str:
+    langs = T.LANGS
+    count_cols = ",\n    ".join(
+        "len(list_filter(toks, t -> list_contains(["
+        + ", ".join(f"'{w}'" for w in STOPWORDS[lang])
+        + f"], lower(t)))) AS c_{lang}"
+        for lang in langs
+    )
+    g = "greatest(" + ", ".join(f"c_{lang}" for lang in langs) + ")"
+    case = " ".join(f"WHEN c_{lang} = {g} THEN '{lang}'" for lang in langs)
+    return f"""
+WITH toks0 AS (SELECT doc_id, {SQL_TOKS} AS toks FROM documents),
+counts AS (
+  SELECT doc_id,
+    {count_cols}
+  FROM toks0
+)
+SELECT doc_id,
+       CASE WHEN {g} = 0 THEN 'und' {case} ELSE 'und' END AS lang_heur
+FROM counts
+"""
+
+
+# ---------------------------------------------------------------------------
+# text 2 — composite quality score
+# ---------------------------------------------------------------------------
+
+
+def q_text_quality_score(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id", T.quality_score(F.col("text")).alias("q_score")
+    )
+
+
+def _sql_quality_score() -> str:
+    sw = ", ".join(f"'{w}'" for ws in STOPWORDS.values() for w in ws)
+    return f"""
+WITH f AS (
+  SELECT doc_id, text, {SQL_TOKS} AS toks FROM documents
+),
+g AS (
+  SELECT doc_id,
+         len(toks) AS n_words,
+         len(list_filter(toks, t -> list_contains([{sw}], lower(t)))) AS n_sw,
+         length(text) AS n_chars,
+         length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS n_alpha
+  FROM f
+)
+SELECT doc_id,
+       round(0.4 * least(n_words::DOUBLE / 100.0, 1.0)
+             + 0.3 * least((CASE WHEN n_words > 0
+                            THEN n_sw::DOUBLE / n_words ELSE 0.0 END) * 5.0, 1.0)
+             + 0.3 * (n_alpha::DOUBLE / greatest(n_chars, 1)::DOUBLE),
+             6) AS q_score
+FROM g
+"""
+
+
+# ---------------------------------------------------------------------------
+# text 3 — token counting (whitespace + BPE-ish)
+# ---------------------------------------------------------------------------
+
+
+def q_text_token_counts(spark, sf_dir):
+    return T.token_counts(_t(spark, sf_dir, "documents"), "doc_id", "text")
+
+
+SQL_TOKEN_COUNTS = rf"""
+SELECT doc_id,
+       len({SQL_TOKS}) AS n_ws_tokens,
+       len(list_filter(regexp_extract_all(text, '{T.BPE_TOKEN_RE}'),
+                       x -> x <> '')) AS n_bpe_tokens
+FROM documents
+"""
+
+
+# ---------------------------------------------------------------------------
+# text 4 — document fingerprint
+# ---------------------------------------------------------------------------
+
+
+def q_doc_fingerprint(spark, sf_dir):
+    return T.fingerprint(_t(spark, sf_dir, "documents"), "doc_id", "text")
+
+
+SQL_DOC_FINGERPRINT = f"""
+WITH sh0 AS (
+  SELECT doc_id, {SQL_SHINGLES} AS sh
+  FROM (SELECT doc_id, {SQL_TOKS} AS toks FROM documents)
+),
+hs AS (
+  SELECT doc_id, list_transform(sh, s -> {sql_hash64('s')}) AS h, len(sh) AS n
+  FROM sh0 WHERE len(sh) > 0
+)
+SELECT doc_id, list_min(h) AS fp_min, list_max(h) AS fp_max, n AS n_shingles
+FROM hs
+"""
+
+
+# ---------------------------------------------------------------------------
+# multimodal — binary payload plumbing through mapInPandas
+# ---------------------------------------------------------------------------
+
+
+def q_multimodal_meta(spark, sf_dir):
+    media = M.synthesize_media(_t(spark, sf_dir, "documents"), "doc_id", "text")
+    return M.decode_media_meta(media)
+
+
+SQL_MULTIMODAL_META = """
+SELECT doc_id AS media_id,
+       octet_length(encode(text)) AS n_bytes,
+       md5(text) AS digest_md5,
+       ['png','jpeg','wav'][doc_id % 3 + 1] AS format,
+       64 + ('0x' || substring(md5(text), 1, 2))::INT % 192 AS width,
+       64 + ('0x' || substring(md5(text), 3, 2))::INT % 192 AS height
+FROM documents WHERE text IS NOT NULL
+"""
+
+
+# ---------------------------------------------------------------------------
+# quality filter — heuristic keep/drop over documents (SQL-expressible tier)
+# ---------------------------------------------------------------------------
+
+QF_MIN_WORDS, QF_MAX_WORDS = 10, 2000
+QF_MIN_MWL, QF_MAX_MWL = 1.5, 14.0
+QF_MAX_SYMBOL = 0.1
+QF_MAX_REPEAT = 0.30
+QF_MIN_STOPWORD = 0.10
+
+
+def q_qf_heuristic_keep(spark, sf_dir):
+    """Gopher/C4 heuristic rules only (the model-free tier) over documents:
+    (doc_id, n_fired, keep_heur). Uses the SAME fused feature projection as
+    the full pipeline."""
+    from data_quality_spark.functions.textstats import with_features
+    from data_quality_spark.rules.core import is_empty
+
+    docs = _t(spark, sf_dir, "documents")
+    feats = with_features(docs, "text")
+    nonempty = ~is_empty("text")
+    fired = [
+        is_empty("text"),
+        nonempty & ((F.col("f_n_words") < QF_MIN_WORDS) | (F.col("f_n_words") > QF_MAX_WORDS)),
+        nonempty & ((F.col("f_mean_word_len") < QF_MIN_MWL) | (F.col("f_mean_word_len") > QF_MAX_MWL)),
+        nonempty & (F.col("f_symbol_ratio") > QF_MAX_SYMBOL),
+        nonempty & (F.col("f_repeated_line_fraction") > QF_MAX_REPEAT),
+        nonempty & (F.col("f_stopword_density") < QF_MIN_STOPWORD),
+    ]
+    n_fired = sum(f.cast("int") for f in fired)
+    return feats.select(
+        "doc_id",
+        n_fired.alias("n_fired"),
+        (n_fired == 0).alias("keep_heur"),
+    )
+
+
+def _sql_qf_heuristic_keep() -> str:
+    sw = ", ".join(f"'{w}'" for w in ALL_STOPWORDS)
+    return f"""
+WITH f AS (
+  SELECT doc_id, text, {SQL_TOKS} AS toks,
+         list_filter(regexp_split_to_array(text, '\\n'), x -> x <> '') AS lines
+  FROM documents
+),
+g AS (
+  SELECT doc_id, text,
+         len(toks) AS n_words,
+         CASE WHEN len(toks) > 0
+              THEN list_sum(list_transform(toks, t -> length(t)))::DOUBLE / len(toks)
+              ELSE 0.0 END AS mean_word_len,
+         len(regexp_extract_all(text, '{SYMBOL_CLASS}')) AS n_sym,
+         len(lines) AS n_lines,
+         len(list_distinct(lines)) AS n_dist_lines,
+         len(list_filter(toks, t -> list_contains([{sw}], lower(t)))) AS n_sw
+  FROM f
+),
+h AS (
+  SELECT doc_id,
+    CASE WHEN text IS NULL OR CAST(text AS VARCHAR) = '' THEN 1 ELSE 0 END AS r_empty,
+    CASE WHEN text IS NOT NULL AND CAST(text AS VARCHAR) <> ''
+          AND (n_words < {QF_MIN_WORDS} OR n_words > {QF_MAX_WORDS}) THEN 1 ELSE 0 END AS r_words,
+    CASE WHEN text IS NOT NULL AND CAST(text AS VARCHAR) <> ''
+          AND (mean_word_len < {QF_MIN_MWL} OR mean_word_len > {QF_MAX_MWL}) THEN 1 ELSE 0 END AS r_mwl,
+    CASE WHEN text IS NOT NULL AND CAST(text AS VARCHAR) <> ''
+          AND (CASE WHEN n_words > 0 THEN n_sym::DOUBLE / n_words
+                    WHEN n_sym > 0 THEN 1e9 ELSE 0.0 END) > {QF_MAX_SYMBOL} THEN 1 ELSE 0 END AS r_sym,
+    CASE WHEN text IS NOT NULL AND CAST(text AS VARCHAR) <> ''
+          AND (CASE WHEN n_lines > 0 THEN (n_lines - n_dist_lines)::DOUBLE / n_lines
+                    ELSE 0.0 END) > {QF_MAX_REPEAT} THEN 1 ELSE 0 END AS r_rep,
+    CASE WHEN text IS NOT NULL AND CAST(text AS VARCHAR) <> ''
+          AND (CASE WHEN n_words > 0 THEN n_sw::DOUBLE / n_words
+                    ELSE 0.0 END) < {QF_MIN_STOPWORD} THEN 1 ELSE 0 END AS r_sw
+  FROM g
+)
+SELECT doc_id,
+       (r_empty + r_words + r_mwl + r_sym + r_rep + r_sw) AS n_fired,
+       (r_empty + r_words + r_mwl + r_sym + r_rep + r_sw) = 0 AS keep_heur
+FROM h
+"""
+
+
+# ---------------------------------------------------------------------------
+# quality filter — PII/toxicity scrub (byte-identical regex chain)
+# ---------------------------------------------------------------------------
+
+
+def q_qf_scrub(spark, sf_dir):
+    """Scrub over documents with deterministic injected PII (documents.text
+    has none naturally)."""
+    from data_quality_spark.functions.scrub import native_scrub
+
+    docs = _t(spark, sf_dir, "documents").withColumn(
+        "text_pii",
+        F.when(
+            F.col("doc_id") % 5 == 0,
+            F.concat(
+                F.col("text"),
+                F.lit(" contact user"),
+                F.col("doc_id").cast("string"),
+                F.lit("@mail.example or +39 333 123 4567 at 10.0.0."),
+                (F.col("doc_id") % 256).cast("string"),
+            ),
+        ).otherwise(F.col("text")),
+    )
+    return docs.select(
+        "doc_id", native_scrub(F.col("text_pii")).alias("scrubbed")
+    )
+
+
+def _sql_qf_scrub() -> str:
+    expr = "text_pii"
+    for _, pat, repl in ALL_PATTERNS:
+        expr = f"regexp_replace({expr}, '{pat}', '{repl}', 'g')"
+    return f"""
+WITH p AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 5 = 0
+              THEN text || ' contact user' || doc_id::VARCHAR
+                   || '@mail.example or +39 333 123 4567 at 10.0.0.'
+                   || (doc_id % 256)::VARCHAR
+              ELSE text END AS text_pii
+  FROM documents
+)
+SELECT doc_id, {expr} AS scrubbed FROM p
+"""
+
+
+# ---------------------------------------------------------------------------
+# quality filter — full pipeline (model stages; rows-only check, no oracle:
+# langid + perplexity are not SQL-expressible)
+# ---------------------------------------------------------------------------
+
+
+def q_qf_pipeline_annotate(spark, sf_dir):
+    from data_quality_spark.pipeline.quality_filter import annotate_pages
+
+    docs = _t(spark, sf_dir, "documents")
+    pages = docs.select(
+        F.concat(F.lit("https://ex.example/doc/"), F.col("doc_id").cast("string")).alias("url"),
+        F.lit("2024-01-01 00:00:00").cast("timestamp").alias("warc_ts"),
+        F.encode(
+            F.concat(F.lit("<html><body><p>"), F.col("text"), F.lit("</p></body></html>")),
+            "UTF-8",
+        ).alias("html"),
+        F.col("text"),
+        F.col("lang"),
+    )
+    ann = annotate_pages(pages)
+    return ann.select(
+        "url", "keep", "lang_pred", F.round("ppl", 4).alias("ppl_r"),
+        F.size("fired_rules").alias("n_fired"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# registries
+# ---------------------------------------------------------------------------
+
+OPS_QUERIES = {
+    "dedup_exact": q_dedup_exact,
+    "dedup_minhash_lsh": q_dedup_minhash_lsh,
+    "dedup_simhash": q_dedup_simhash,
+    "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
+    "sim_topk_cosine": q_sim_topk_cosine,
+    "sim_cosine_pairs": q_sim_cosine_pairs,
+    "sim_ann_lsh": q_sim_ann_lsh,
+    "text_langid_heur": q_text_langid_heur,
+    "text_quality_score": q_text_quality_score,
+    "text_token_counts": q_text_token_counts,
+    "doc_fingerprint": q_doc_fingerprint,
+    "multimodal_meta": q_multimodal_meta,
+    "qf_heuristic_keep": q_qf_heuristic_keep,
+    "qf_scrub": q_qf_scrub,
+    "qf_pipeline_annotate": q_qf_pipeline_annotate,
+}
+
+OPS_ORACLES = {
+    "dedup_exact": SQL_DEDUP_EXACT,
+    "dedup_minhash_lsh": _sql_minhash_lsh(),
+    "dedup_simhash": _sql_simhash(),
+    "dedup_ngram_jaccard": SQL_DEDUP_NGRAM_JACCARD,
+    "sim_topk_cosine": SQL_SIM_TOPK,
+    "sim_cosine_pairs": SQL_SIM_COSINE_PAIRS,
+    "sim_ann_lsh": _sql_ann_lsh(),
+    "text_langid_heur": _sql_langid_heur(),
+    "text_quality_score": _sql_quality_score(),
+    "text_token_counts": SQL_TOKEN_COUNTS,
+    "doc_fingerprint": SQL_DOC_FINGERPRINT,
+    "multimodal_meta": SQL_MULTIMODAL_META,
+    "qf_heuristic_keep": _sql_qf_heuristic_keep(),
+    "qf_scrub": _sql_qf_scrub(),
+    # qf_pipeline_annotate: intentionally absent (model UDF stages)
+}

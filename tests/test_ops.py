@@ -1,0 +1,244 @@
+"""Unit tests for the training-data operators (ops/*): dedup tiers,
+similarity search, text analysis, multimodal plumbing. Small hand-built
+frames with known expected outcomes (the reference's marked-golden style,
+test_df.xlsx) plus cross-checks against the pure-Python hash twin."""
+
+import hashlib
+
+import pytest
+from pyspark.sql import functions as F
+
+from data_quality_spark.ops import dedup as D
+from data_quality_spark.ops import multimodal as M
+from data_quality_spark.ops import similarity as S
+from data_quality_spark.ops import textops as T
+from data_quality_spark.ops.hashing import portable_hash64, py_hash64
+
+
+# ---------------------------------------------------------------------------
+# hashing
+# ---------------------------------------------------------------------------
+
+
+def test_portable_hash_matches_python(spark):
+    rows = spark.range(1).select(
+        portable_hash64(F.lit("hello world")).alias("h"),
+        portable_hash64(F.lit("a"), "#3").alias("hs"),
+    ).collect()[0]
+    assert rows["h"] == py_hash64("hello world")
+    assert rows["hs"] == py_hash64("a", "#3")
+
+
+# ---------------------------------------------------------------------------
+# shingling
+# ---------------------------------------------------------------------------
+
+
+def test_word_shingles(spark):
+    df = spark.createDataFrame(
+        [("a b c d",), ("a b",), ("",), ("x  y \t z",)], "text string"
+    )
+    out = [r["sh"] for r in df.select(
+        D.word_shingles(F.col("text")).alias("sh")).collect()]
+    assert out[0] == ["a b c", "b c d"]
+    assert out[1] == []  # fewer than n words
+    assert out[2] == []
+    assert out[3] == ["x y z"]  # whitespace runs collapse
+
+
+def test_word_shingles_distinct(spark):
+    df = spark.createDataFrame([("a b a b a b a",)], "text string")
+    out = df.select(D.word_shingles(F.col("text")).alias("sh")).collect()[0]["sh"]
+    assert sorted(out) == ["a b a", "b a b"]
+
+
+# ---------------------------------------------------------------------------
+# dedup
+# ---------------------------------------------------------------------------
+
+DOCS = [
+    (1, "the quick brown fox jumps over the lazy dog today"),
+    (2, "the quick brown fox jumps over the lazy dog today"),          # exact dup of 1
+    # near dup of 1: J=0.889, chosen to share an LSH band deterministically
+    # (banding is probabilistic per-pair: P(candidate | J) = 1-(1-J^3)^4)
+    (3, "the quick brown fox jumps over the lazy dog today now"),
+    (4, "completely different words about spark query engines here"),
+    (5, None),
+]
+
+
+def _docs(spark):
+    return spark.createDataFrame(DOCS, "doc_id long, text string")
+
+
+def test_exact_dup_groups(spark):
+    out = D.exact_dup_groups(_docs(spark), "doc_id", "text").collect()
+    assert len(out) == 1
+    assert out[0]["n_dups"] == 2 and out[0]["keep_id"] == 1
+
+
+def test_drop_exact_dups(spark):
+    kept = D.drop_exact_dups(_docs(spark), "doc_id", "text")
+    ids = sorted(r["doc_id"] for r in kept.collect())
+    assert ids == [1, 3, 4, 5]  # 2 dropped (dup of 1); null-text row kept
+
+
+def test_minhash_lsh_pairs(spark):
+    pairs = D.minhash_lsh_pairs(
+        _docs(spark), "doc_id", "text", threshold=0.5
+    ).collect()
+    got = {(r["id_a"], r["id_b"]): r["jaccard"] for r in pairs}
+    assert got[(1, 2)] == 1.0          # identical text
+    assert (1, 3) in got and got[(1, 3)] >= 0.5  # near dup
+    assert all(4 not in p for p in got)  # unrelated doc never pairs
+
+
+def test_simhash_identical_and_distinct(spark):
+    out = D.simhash_pairs(_docs(spark), "doc_id", "text", max_hamming=3)
+    got = {(r["id_a"], r["id_b"]): r["hamming"] for r in out.collect()}
+    assert got[(1, 2)] == 0
+    assert all(4 not in p for p in got)
+
+
+def test_ngram_jaccard_pairs_blocked(spark):
+    df = _docs(spark).withColumn("blk", F.lit("x"))
+    out = D.ngram_jaccard_pairs(
+        df, "doc_id", "text", ["blk"], threshold=0.99
+    ).collect()
+    assert {(r["id_a"], r["id_b"]) for r in out} == {(1, 2)}
+
+
+# ---------------------------------------------------------------------------
+# similarity
+# ---------------------------------------------------------------------------
+
+
+def _vecs(spark):
+    rows = [
+        (1, [1.0, 0.0, 0.0], 0),
+        (2, [0.9, 0.1, 0.0], 0),
+        (3, [0.0, 1.0, 0.0], 0),
+        (4, [-1.0, 0.0, 0.0], 1),
+    ]
+    return spark.createDataFrame(rows, "vec_id long, v array<double>, label int")
+
+
+def test_topk_cosine(spark):
+    out = S.topk_cosine(_vecs(spark), "vec_id", "v", [1.0, 0.0, 0.0], k=2).collect()
+    assert [r["vec_id"] for r in out] == [1, 2]
+    assert out[0]["cos_sim"] == 1.0
+
+
+def test_cosine_pairs_blocked(spark):
+    out = S.cosine_pairs(_vecs(spark), "vec_id", "v", ["label"], 0.9).collect()
+    assert {(r["id_a"], r["id_b"]) for r in out} == {(1, 2)}
+
+
+def test_ann_lsh_excludes_opposite_bucket(spark):
+    planes = [[1.0, 0.0, 0.0]]
+    df = _vecs(spark)
+    sigs = df.select(
+        "vec_id", S.lsh_signature(F.col("v"), planes).alias("sig")
+    ).collect()
+    s = {r["vec_id"]: r["sig"] for r in sigs}
+    assert s[1] == 1 and s[2] == 1 and s[4] == 0
+    # orthogonal vector: dot == 0 → >= 0 → bucket 1 by convention
+    assert s[3] == 1
+
+
+def test_ann_lsh_topk_runs(spark):
+    out = S.ann_lsh_topk(
+        _vecs(spark).withColumn(
+            "v64", F.expr("transform(sequence(1,64), i -> element_at(v, (i-1) % 3 + 1))")
+        ),
+        "vec_id", "v64",
+        [1.0, 0.0, 0.0] * 21 + [1.0], k=3,
+    ).collect()
+    assert len(out) >= 1  # query-aligned vectors land in the query bucket
+
+
+# ---------------------------------------------------------------------------
+# text analysis
+# ---------------------------------------------------------------------------
+
+
+def test_heuristic_langid(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "the cat is on the table and it is happy"),
+            (2, "der hund ist auf der straße und er ist froh"),
+            (3, "xyzzy plugh qwerty"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r["lang_heur"] for r in
+           T.with_heuristic_langid(df, "text").collect()}
+    assert out[1] == "en" and out[2] == "de" and out[3] == "und"
+
+
+def test_token_counts(spark):
+    df = spark.createDataFrame([(1, "ab 12, cd!")], "doc_id long, text string")
+    r = T.token_counts(df, "doc_id", "text").collect()[0]
+    assert r["n_ws_tokens"] == 3
+    # ab | 1 | 2 | , | cd | !  = 6
+    assert r["n_bpe_tokens"] == 6
+
+
+def test_quality_score_bounds(spark):
+    df = spark.createDataFrame(
+        [(1, "the of and to in is it that for was " * 20), (2, "#### @@@@ ^^^^")],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r["q"] for r in df.select(
+        "doc_id", T.quality_score(F.col("text")).alias("q")).collect()}
+    assert 0.9 <= out[1] <= 1.0
+    assert out[2] <= 0.1
+
+
+def test_fingerprint_matches_py_hash(spark):
+    df = spark.createDataFrame([(1, "a b c d e")], "doc_id long, text string")
+    r = T.fingerprint(df, "doc_id", "text").collect()[0]
+    shingles = ["a b c", "b c d", "c d e"]
+    hs = [py_hash64(s) for s in shingles]
+    assert r["fp_min"] == min(hs) and r["fp_max"] == max(hs)
+    assert r["n_shingles"] == 3
+
+
+# ---------------------------------------------------------------------------
+# multimodal
+# ---------------------------------------------------------------------------
+
+
+def test_multimodal_roundtrip(spark):
+    docs = spark.createDataFrame(
+        [(1, "hello"), (2, "world"), (3, None)], "doc_id long, text string"
+    )
+    media = M.synthesize_media(docs, "doc_id", "text")
+    meta = {r["media_id"]: r for r in M.decode_media_meta(media).collect()}
+    assert set(meta) == {1, 2}  # null text filtered
+    d = hashlib.md5(b"hello").digest()
+    assert meta[1]["digest_md5"] == hashlib.md5(b"hello").hexdigest()
+    assert meta[1]["n_bytes"] == 5
+    assert meta[1]["width"] == 64 + d[0] % 192
+    assert meta[1]["height"] == 64 + d[1] % 192
+    assert meta[1]["format"] == "jpeg"  # 1 % 3 + 1 → index 2
+
+
+def test_multimodal_real_decode_stubbed(spark):
+    docs = spark.createDataFrame([(1, "x")], "doc_id long, text string")
+    media = M.synthesize_media(docs, "doc_id", "text")
+    with pytest.raises(NotImplementedError):
+        M.decode_media_meta(media, real_decode=True)
+
+
+def test_media_meta_native_agrees_with_pandas_path(spark):
+    docs = spark.createDataFrame(
+        [(i, f"text number {i}") for i in range(20)], "doc_id long, text string"
+    )
+    media = M.synthesize_media(docs, "doc_id", "text")
+    native = {r["media_id"]: r for r in M.media_meta_native(media).collect()}
+    pandas_path = {r["media_id"]: r for r in M.decode_media_meta(media).collect()}
+    assert set(native) == set(pandas_path)
+    for k in native:
+        assert native[k]["digest_md5"] == pandas_path[k]["digest_md5"]
+        assert native[k]["n_bytes"] == pandas_path[k]["n_bytes"]
