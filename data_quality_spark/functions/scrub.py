@@ -111,10 +111,15 @@ def spark_udf():
 
 
 def native_scrub(col: Column) -> Column:
+    """Gated rewrite: the 8-pattern regexp_replace chain allocates 8 full
+    string copies per row, but only a small fraction of a web corpus
+    contains PII — so run the cheap rlike detector first and rewrite ONLY
+    matching rows. Output identical by definition (non-matching text is a
+    fixed point of every replace)."""
     out = col
     for _, pat, repl in ALL_PATTERNS:
         out = F.regexp_replace(out, pat, repl)
-    return out
+    return F.when(native_pii_found(col), out).otherwise(col)
 
 
 def native_pii_found(col: Column) -> Column:

@@ -136,9 +136,8 @@ def py_repeated_line_fraction(text: str) -> float:
 
 
 def col_stopword_density(text: Column) -> Column:
-    toks = F.transform(col_tokens(text), lambda t: F.lower(t))
-    sw = F.array(*[F.lit(w) for w in ALL_STOPWORDS])
-    n_sw = F.size(F.filter(toks, lambda t: F.array_contains(sw, t)))
+    toks = col_tokens(text)
+    n_sw = F.size(F.filter(toks, lambda t: F.lower(t).isin(ALL_STOPWORDS)))
     n = F.size(toks)
     return F.when(n > 0, n_sw.cast("double") / n).otherwise(F.lit(0.0))
 
@@ -192,8 +191,9 @@ def with_features(df, text_col: str = "text", prefix: str = "f_"):
         lambda acc, x: acc + x,
     )
     n_sym = F.regexp_count(text, F.lit(SYMBOL_CLASS))
-    sw = F.array(*[F.lit(w) for w in ALL_STOPWORDS])
-    n_sw = F.size(F.filter(toks, lambda t: F.array_contains(sw, F.lower(t))))
+    # isin → Catalyst InSet (hash-set membership); array_contains would be
+    # a linear scan over the ~100 literals for every token
+    n_sw = F.size(F.filter(toks, lambda t: F.lower(t).isin(ALL_STOPWORDS)))
     n_lines = F.size(lines)
     n_dist_lines = F.size(F.array_distinct(lines))
     feature_cols = {

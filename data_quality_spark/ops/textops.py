@@ -34,8 +34,7 @@ def _toks(text: Column) -> Column:
 
 
 def stopword_hits(text: Column, lang: str) -> Column:
-    sw = F.array(*[F.lit(w) for w in STOPWORDS[lang]])
-    return F.size(F.filter(_toks(text), lambda t: F.array_contains(sw, F.lower(t))))
+    return F.size(F.filter(_toks(text), lambda t: F.lower(t).isin(STOPWORDS[lang])))
 
 
 def heuristic_langid(text: Column) -> Column:
@@ -69,10 +68,8 @@ def quality_score(text: Column) -> Column:
     Exact formula mirrored in the SQL oracle; round(6) pins the float."""
     toks = _toks(text)
     n_words = F.size(toks)
-    all_sw = F.array(
-        *[F.lit(w) for ws in STOPWORDS.values() for w in ws]
-    )
-    n_sw = F.size(F.filter(toks, lambda t: F.array_contains(all_sw, F.lower(t))))
+    all_sw = [w for ws in STOPWORDS.values() for w in ws]
+    n_sw = F.size(F.filter(toks, lambda t: F.lower(t).isin(all_sw)))
     stop_density = F.when(n_words > 0, n_sw.cast("double") / n_words).otherwise(
         F.lit(0.0)
     )

@@ -151,11 +151,19 @@ def generate_pandas(n_rows: int, seed: int = 42) -> pd.DataFrame:
     return pd.DataFrame([gen_row(i, seed) for i in range(n_rows)])
 
 
-def write_parquet(path: str, n_rows: int, seed: int = 42) -> str:
-    """Write the fixture with an explicit arrow schema (html as binary)."""
+def write_parquet(
+    path: str, n_rows: int, seed: int = 42, n_files: int | None = None
+) -> str:
+    """Write the fixture with an explicit arrow schema (html as binary).
+
+    Splits into multiple part files (like any real lake table) so Spark gets
+    parallel input splits — a single-file single-row-group parquet is
+    unsplittable and serializes the whole read."""
     import pyarrow as pa
     import pyarrow.parquet as pq
 
+    if n_files is None:
+        n_files = max(1, min(32, n_rows // 4000))
     pdf = generate_pandas(n_rows, seed)
     schema = pa.schema(
         [
@@ -168,8 +176,16 @@ def write_parquet(path: str, n_rows: int, seed: int = 42) -> str:
         ]
     )
     table = pa.Table.from_pandas(pdf, schema=schema, preserve_index=False)
-    os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
-    pq.write_table(table, path)
+    if n_files == 1:
+        os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
+        pq.write_table(table, path)
+        return path
+    os.makedirs(path, exist_ok=True)
+    step = (n_rows + n_files - 1) // n_files
+    for i in range(n_files):
+        chunk = table.slice(i * step, step)
+        if chunk.num_rows:
+            pq.write_table(chunk, os.path.join(path, f"part-{i:05d}.parquet"))
     return path
 
 

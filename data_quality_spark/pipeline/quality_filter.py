@@ -33,10 +33,10 @@ from dataclasses import asdict, dataclass
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from data_quality_spark.functions import langid, perplexity, scrub, textstats
+from data_quality_spark.functions import models, scrub, textstats
 from data_quality_spark.pipeline import extract
 from data_quality_spark.rules import checks as C
-from data_quality_spark.rules.core import Rule, RuleEngine, is_empty
+from data_quality_spark.rules.core import Rule, RuleEngine, is_empty, not_empty
 
 
 @dataclass(frozen=True)
@@ -96,10 +96,13 @@ def quality_rules(cfg: QFConfig = DEFAULT_CONFIG) -> list[Rule]:
              scrub.native_pii_found(F.col("text_extracted")),
              severity="warning"),
         # duplicate url: all members of the dup group flagged (reference
-        # values_duplicate.py row semantics). agg_join strategy: only the
-        # url column shuffles; the wide frame (html binary) never moves.
-        C.duplicate_values("url", strategy="agg_join", rule_id="duplicate_url",
-                           description="duplicated url"),
+        # values_duplicate.py row semantics). The dup-key set is computed on
+        # the RAW input in annotate_pages (column-pruned url-only scan,
+        # before the expensive stages) and lands here as __aux_dup_url —
+        # a prepare on the annotated frame would re-evaluate the whole
+        # extract/feature/UDF pipeline a second time for the key scan.
+        Rule("duplicate_url", "duplicated url",
+             not_empty("url") & F.coalesce(F.col("__aux_dup_url"), F.lit(False))),
     ]
     # precondition: content rules only apply when text is non-empty
     content = {"word_count", "mean_word_len", "symbol_ratio", "repeated_lines",
@@ -124,16 +127,38 @@ def annotate_pages(
     pathological host clustering in the input order.
     """
     if min_parallelism is not None and min_parallelism >= 0:
-        target = min_parallelism or 2 * df.sparkSession.sparkContext.defaultParallelism
+        target = min_parallelism or df.sparkSession.sparkContext.defaultParallelism
         if df.rdd.getNumPartitions() < target:
-            df = df.repartition(target, F.xxhash64("url"))
+            # spread narrow inputs across the cluster; the url-hash also
+            # breaks up pathological host clustering. When the input already
+            # has >= cores splits this exchange is pure overhead (it would
+            # move the full html payload) — skip it.
+            df = df.repartition(2 * target, F.xxhash64("url"))
+    # dup-url keys from the raw input: a column-pruned url-only scan +
+    # count>1 aggregate, broadcast-joined back (AQE) — the wide frame and
+    # the expensive downstream stages are never re-evaluated for this.
+    dup_keys = (
+        df.where(F.col("url").isNotNull())
+        .groupBy("url")
+        .agg(F.count(F.lit(1)).alias("__aux_n"))
+        .where(F.col("__aux_n") > 1)
+        .select("url", F.lit(True).alias("__aux_dup_url"))
+    )
+    df = df.join(dup_keys, on="url", how="left")
     ext = extract.native_extract(F.col("html"))
     df = df.withColumn("text_extracted", F.coalesce(ext, F.col("text")))
+    # html served its purpose — dropping the (dominant-width) payload here
+    # keeps it out of every downstream stage's row buffers
+    df = df.drop("html")
     df = textstats.with_features(df, "text_extracted")
-    df = df.withColumn("lid", langid.spark_udf()(F.col("text_extracted")))
-    df = df.select("*", F.col("lid.lang_pred").alias("lang_pred"),
-                   F.col("lid.lang_margin").alias("lang_margin")).drop("lid")
-    df = df.withColumn("ppl", perplexity.spark_udf()(F.col("text_extracted")))
+    # one fused Arrow stage for both models: text crosses JVM→Python once
+    df = df.withColumn("_m", models.spark_udf()(F.col("text_extracted")))
+    df = df.select(
+        "*",
+        F.col("_m.lang_pred").alias("lang_pred"),
+        F.col("_m.lang_margin").alias("lang_margin"),
+        F.col("_m.ppl").alias("ppl"),
+    ).drop("_m")
     eng = RuleEngine(quality_rules(cfg))
     df = eng.annotate(df)
     df = df.withColumn("text_scrubbed",

