@@ -27,6 +27,11 @@ P(candidate | J) = 1 − (1 − J^rows)^bands.
 
 from __future__ import annotations
 
+import hashlib
+import re
+
+import numpy as np
+import pandas as pd
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
@@ -104,27 +109,116 @@ def drop_exact_dups(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
 
 
 def minhash_signature(shingles: Column, k: int = MINHASH_K) -> Column:
-    """Array of k minhash values: min over shingles of hash64(shingle||'#i').
-    Empty shingle set → nulls (callers must filter)."""
-    def hash_with(salt: str):
+    """Array of k minhash values. Hash i = 60 bits of md5(shingle||'#⌊i/2⌋'),
+    taking hex digits [1,15] for even i and [16,30] for odd i — one md5 call
+    feeds two hash functions, so k hashes cost ⌈k/2⌉ md5 passes over the
+    shingle set. Empty shingle set → nulls (callers must filter)."""
+    def hash_with(salt: str, start: int):
         # closure keeps the lambda unary — a binary lambda would make
         # F.transform pass the array INDEX as the second argument
-        return lambda s: portable_hash64(s, salt)
+        return lambda s: portable_hash64(s, salt, start)
 
     return F.array(
         *[
-            F.array_min(F.transform(shingles, hash_with(f"#{i}")))
+            F.array_min(
+                F.transform(shingles, hash_with(f"#{i // 2}", 1 + 15 * (i % 2)))
+            )
             for i in range(k)
         ]
     )
 
 
+# -- python twins (bit-identical: same \s+ tokenization with ASCII classes
+#    like Java/RE2, same md5 hex-slice hashes) — the SCALE path. Catalyst
+#    higher-order functions are interpreted (CodegenFallback, no CSE), which
+#    makes the native signature expressions ~10× slower than a vectorized
+#    Arrow batch; values are identical either way, pinned by tests.
+
+_WS = re.compile(r"\s+", re.ASCII)
+_H64_MAX = (1 << 60) - 1
+
+
+def py_shingles(text: str, n: int = 3) -> list[str]:
+    toks = [t for t in _WS.split(text) if t]
+    if len(toks) < n:
+        return []
+    return list(dict.fromkeys(" ".join(toks[i : i + n]) for i in range(len(toks) - n + 1)))
+
+
+def py_minhash(sh: list[str], k: int = MINHASH_K) -> list[int]:
+    mins = [_H64_MAX] * k
+    for s in sh:
+        for j in range((k + 1) // 2):
+            hx = hashlib.md5(f"{s}#{j}".encode("utf-8")).hexdigest()
+            a, b = int(hx[:15], 16), int(hx[15:30], 16)
+            if a < mins[2 * j]:
+                mins[2 * j] = a
+            if 2 * j + 1 < k and b < mins[2 * j + 1]:
+                mins[2 * j + 1] = b
+    return mins
+
+
+def py_simhash(sh: list[str], bits: int = SIMHASH_BITS) -> int:
+    hs = np.array(
+        [int(hashlib.md5(s.encode("utf-8")).hexdigest()[:15], 16) for s in sh],
+        dtype=np.uint64,
+    )
+    ones = ((hs[:, None] >> np.arange(bits, dtype=np.uint64)) & 1).sum(axis=0)
+    bit_on = (2 * ones).astype(np.int64) - len(hs) > 0
+    return int((bit_on.astype(np.int64) << np.arange(bits)).sum())
+
+
+def _minhash_udf(n: int, k: int):
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("shingles array<string>, minhash array<bigint>")
+    def mh(texts: pd.Series) -> pd.DataFrame:
+        sh_out, mh_out = [], []
+        for t in texts.fillna(""):
+            sh = py_shingles(t, n)
+            sh_out.append(sh)
+            mh_out.append(py_minhash(sh, k) if sh else None)
+        return pd.DataFrame({"shingles": sh_out, "minhash": mh_out})
+
+    return mh
+
+
+def _simhash_udf(n: int, bits: int):
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("bigint")
+    def sh_udf(texts: pd.Series) -> pd.Series:
+        out = []
+        for t in texts.fillna(""):
+            sh = py_shingles(t, n)
+            out.append(py_simhash(sh, bits) if sh else None)
+        return pd.Series(out, dtype="object")
+
+    return sh_udf
+
+
 def with_minhash(
-    df: DataFrame, text_col: str, n: int = 3, k: int = MINHASH_K
+    df: DataFrame,
+    text_col: str,
+    n: int = 3,
+    k: int = MINHASH_K,
+    strategy: str = "udf",
 ) -> DataFrame:
-    sh = word_shingles(F.col(text_col), n)
-    return df.withColumn("shingles", sh).withColumn(
-        "minhash", minhash_signature(F.col("shingles"), k)
+    """strategy='udf' (default): Arrow-batched python signatures — the scale
+    path. strategy='native': pure Catalyst expressions — identical values
+    (tests pin equality), zero Python; use when python workers are
+    undesirable."""
+    if strategy == "native":
+        sh = word_shingles(F.col(text_col), n)
+        return df.withColumn("shingles", sh).withColumn(
+            "minhash", minhash_signature(F.col("shingles"), k)
+        )
+    m = _minhash_udf(n, k)(F.col(text_col))
+    return (
+        df.withColumn("_mh", m)
+        .select("*", F.col("_mh.shingles").alias("shingles"),
+                F.col("_mh.minhash").alias("minhash"))
+        .drop("_mh")
     )
 
 
@@ -139,6 +233,61 @@ def jaccard(a: Column, b: Column) -> Column:
         (F.size(a) + F.size(b) - inter) > 0,
         inter.cast("double") / (F.size(a) + F.size(b) - inter),
     ).otherwise(F.lit(0.0))
+
+
+def _jaccard_udf():
+    """Arrow-batched twin of ``jaccard`` for pair verification: python set
+    intersection is ~10× faster per pair than the interpreted
+    array_intersect expression, and int-ratio division is IEEE-identical."""
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("double")
+    def jac(a: pd.Series, b: pd.Series) -> pd.Series:
+        out = []
+        for x, y in zip(a, b):
+            sx, sy = set(x), set(y)
+            union = len(sx) + len(sy) - len(sx & sy)
+            out.append(len(sx & sy) / union if union > 0 else 0.0)
+        return pd.Series(out, dtype="float64")
+
+    return jac
+
+
+def _pairs_from_buckets(
+    banded: DataFrame,
+    key_col: str,
+    id_col: str,
+    payload: list[str],
+    max_bucket: int = 1000,
+) -> DataFrame:
+    """Unordered within-bucket pairs via ONE aggregation (no self-join — a
+    self-join would re-evaluate the whole upstream pipeline twice and
+    shuffle it twice). Buckets larger than max_bucket are skipped: an
+    O(bucket²) blow-up on a degenerate key is the classic LSH failure mode
+    at scale; the cap bounds it (pairs lost there are recovered by the
+    remaining bands with high probability)."""
+    items = (
+        banded.groupBy(key_col)
+        .agg(F.collect_list(F.struct(*payload)).alias("items"))
+        .where(F.size("items").between(2, max_bucket))
+    )
+    return (
+        items.select(F.posexplode("items").alias("pos", "a"), F.col("items"))
+        .select(
+            "a",
+            F.explode(
+                F.slice(F.col("items"), F.col("pos") + 2, F.size("items"))
+            ).alias("b"),
+        )
+        .select(
+            F.when(F.col(f"a.{id_col}") < F.col(f"b.{id_col}"), F.col("a"))
+            .otherwise(F.col("b"))
+            .alias("lo"),
+            F.when(F.col(f"a.{id_col}") < F.col(f"b.{id_col}"), F.col("b"))
+            .otherwise(F.col("a"))
+            .alias("hi"),
+        )
+    )
 
 
 def minhash_lsh_pairs(
@@ -171,23 +320,20 @@ def minhash_lsh_pairs(
             F.array(*[_band_key(F.col("minhash"), b, rows) for b in range(bands)])
         ).alias("band_key"),
     )
-    left = banded.alias("l")
-    right = banded.alias("r")
     cand = (
-        left.join(right, on="band_key")
-        .where(F.col(f"l.{id_col}") < F.col(f"r.{id_col}"))
+        _pairs_from_buckets(banded, "band_key", id_col, [id_col, "shingles"])
         .select(
-            F.col(f"l.{id_col}").alias("id_a"),
-            F.col(f"r.{id_col}").alias("id_b"),
-            F.col("l.shingles").alias("sh_a"),
-            F.col("r.shingles").alias("sh_b"),
+            F.col(f"lo.{id_col}").alias("id_a"),
+            F.col(f"hi.{id_col}").alias("id_b"),
+            F.col("lo.shingles").alias("sh_a"),
+            F.col("hi.shingles").alias("sh_b"),
         )
         .dropDuplicates(["id_a", "id_b"])
     )
     return cand.select(
         "id_a",
         "id_b",
-        F.round(jaccard(F.col("sh_a"), F.col("sh_b")), 6).alias("jaccard"),
+        F.round(_jaccard_udf()(F.col("sh_a"), F.col("sh_b")), 6).alias("jaccard"),
     ).where(F.col("jaccard") >= threshold)
 
 
@@ -196,11 +342,12 @@ def minhash_lsh_pairs(
 # ---------------------------------------------------------------------------
 
 
-def simhash(shingles: Column, bits: int = SIMHASH_BITS) -> Column:
-    """SimHash over the shingle set: bit j set iff Σ_s (±1 by bit j of
-    hash(s)) > 0. O(bits) aggregates over the array, all codegen'd."""
-    hs = F.transform(shingles, lambda s: portable_hash64(s))
-    total = F.size(shingles)
+def simhash_from_hashes(hs: Column, total: Column, bits: int = SIMHASH_BITS) -> Column:
+    """SimHash given a precomputed hash array: bit j set iff
+    Σ_s (±1 by bit j of hash(s)) > 0. The hash array MUST be materialized in
+    its own projection by the caller: higher-order functions are interpreted
+    (no codegen CSE), so an inline transform here would be re-evaluated once
+    per bit — bits× the md5 work."""
 
     def bit_sum(j: int) -> Column:
         # ones_j − zeros_j = 2*ones_j − n
@@ -219,6 +366,14 @@ def simhash(shingles: Column, bits: int = SIMHASH_BITS) -> Column:
     return out
 
 
+def simhash(shingles: Column, bits: int = SIMHASH_BITS) -> Column:
+    """Inline-convenience variant (tests / one-off exprs). For data-path use
+    prefer materializing the hash array first — see simhash_from_hashes."""
+    return simhash_from_hashes(
+        F.transform(shingles, lambda s: portable_hash64(s)), F.size(shingles), bits
+    )
+
+
 def simhash_pairs(
     df: DataFrame,
     id_col: str,
@@ -232,11 +387,9 @@ def simhash_pairs(
     byte-bands; verified by Hamming distance ≤ max_hamming."""
     band_bits = bits // bands
     mask = (1 << band_bits) - 1
-    base = (
-        df.select(id_col, word_shingles(F.col(text_col), n).alias("sh"))
-        .where(F.size("sh") > 0)
-        .select(F.col(id_col), simhash(F.col("sh"), bits).alias("simhash"))
-    )
+    base = df.select(
+        id_col, _simhash_udf(n, bits)(F.col(text_col)).alias("simhash")
+    ).where(F.col("simhash").isNotNull())
     banded = base.select(
         id_col,
         "simhash",
@@ -255,15 +408,13 @@ def simhash_pairs(
             )
         ).alias("band_key"),
     )
-    l, r = banded.alias("l"), banded.alias("r")
     cand = (
-        l.join(r, on="band_key")
-        .where(F.col(f"l.{id_col}") < F.col(f"r.{id_col}"))
+        _pairs_from_buckets(banded, "band_key", id_col, [id_col, "simhash"])
         .select(
-            F.col(f"l.{id_col}").alias("id_a"),
-            F.col(f"r.{id_col}").alias("id_b"),
-            F.col("l.simhash").alias("sim_a"),
-            F.col("r.simhash").alias("sim_b"),
+            F.col(f"lo.{id_col}").alias("id_a"),
+            F.col(f"hi.{id_col}").alias("id_b"),
+            F.col("lo.simhash").alias("sim_a"),
+            F.col("hi.simhash").alias("sim_b"),
         )
         .dropDuplicates(["id_a", "id_b"])
     )
@@ -287,18 +438,40 @@ def ngram_jaccard_pairs(
     n: int = 3,
 ) -> DataFrame:
     """Exact Jaccard over word n-gram sets within blocking-key groups.
-    O(Σ block²) — the verifier/baseline, not the scale path."""
-    base = df.select(
-        id_col, *block_cols, word_shingles(F.col(text_col), n).alias("sh")
-    ).where(F.size("sh") > 0)
-    l, r = base.alias("l"), base.alias("r")
+    O(Σ block²) by definition — the verifier/baseline, not the scale path.
+
+    Shape: groupBy(block) → applyInPandas enumerating in-block pairs in
+    Python. Each doc's shingle set crosses the Arrow boundary ONCE; a
+    self-join formulation would materialize |block|² pair rows each carrying
+    two full shingle arrays through a shuffle (measured ~6× slower). Blocks
+    must individually fit an executor (the caller picks blocking keys —
+    that's the contract of a blocked baseline).
+
+    Rounding note: round-half ties at the 6th decimal cannot occur — jaccard
+    is p/q with q ≤ |shingle-union| ≪ 2·10⁶, so python/Spark/DuckDB rounding
+    agree exactly."""
+
+    def block_pairs(pdf: pd.DataFrame) -> pd.DataFrame:
+        ids = pdf[id_col].tolist()
+        shs = [frozenset(py_shingles(t if isinstance(t, str) else "", n))
+               for t in pdf[text_col]]
+        rows = []
+        for i in range(len(ids)):
+            if not shs[i]:
+                continue
+            for j in range(i + 1, len(ids)):
+                if not shs[j]:
+                    continue
+                inter = len(shs[i] & shs[j])
+                union = len(shs[i]) + len(shs[j]) - inter
+                jac = round(inter / union, 6) if union else 0.0
+                if jac >= threshold:
+                    a, b = ids[i], ids[j]
+                    rows.append((min(a, b), max(a, b), jac))
+        return pd.DataFrame(rows, columns=["id_a", "id_b", "jaccard"])
+
     return (
-        l.join(r, on=block_cols)
-        .where(F.col(f"l.{id_col}") < F.col(f"r.{id_col}"))
-        .select(
-            F.col(f"l.{id_col}").alias("id_a"),
-            F.col(f"r.{id_col}").alias("id_b"),
-            F.round(jaccard(F.col("l.sh"), F.col("r.sh")), 6).alias("jaccard"),
-        )
-        .where(F.col("jaccard") >= threshold)
+        df.select(id_col, text_col, *block_cols)
+        .groupBy(*block_cols)
+        .applyInPandas(block_pairs, "id_a long, id_b long, jaccard double")
     )

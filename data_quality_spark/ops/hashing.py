@@ -23,17 +23,21 @@ from pyspark.sql import functions as F
 HEX_DIGITS = 15  # 60 bits < 2^63
 
 
-def portable_hash64(col: Column, salt: str = "") -> Column:
+def portable_hash64(col: Column, salt: str = "", start: int = 1) -> Column:
+    """start=1 uses hex digits [1,15]; start=16 uses [16,30] — one md5 call
+    yields TWO independent 60-bit hashes (md5 bits are independent), halving
+    hash work for multi-hash schemes like MinHash."""
     base = F.concat(col, F.lit(salt)) if salt else col
-    return F.conv(F.substring(F.md5(base), 1, HEX_DIGITS), 16, 10).cast("bigint")
+    return F.conv(F.substring(F.md5(base), start, HEX_DIGITS), 16, 10).cast("bigint")
 
 
-def sql_hash64(expr: str, salt: str = "") -> str:
+def sql_hash64(expr: str, salt: str = "", start: int = 1) -> str:
     """DuckDB rendering of the same hash (oracle side)."""
     base = f"({expr} || '{salt}')" if salt else expr
-    return f"('0x' || substring(md5({base}), 1, {HEX_DIGITS}))::BIGINT"
+    return f"('0x' || substring(md5({base}), {start}, {HEX_DIGITS}))::BIGINT"
 
 
-def py_hash64(s: str, salt: str = "") -> int:
+def py_hash64(s: str, salt: str = "", start: int = 1) -> int:
     """Python rendering (unit tests / single-process oracle)."""
-    return int(hashlib.md5((s + salt).encode("utf-8")).hexdigest()[:HEX_DIGITS], 16)
+    hx = hashlib.md5((s + salt).encode("utf-8")).hexdigest()
+    return int(hx[start - 1 : start - 1 + HEX_DIGITS], 16)

@@ -107,7 +107,9 @@ def q_dedup_minhash_lsh(spark, sf_dir):
 
 def _sql_minhash_lsh() -> str:
     mh = [
-        f"list_min(list_transform(sh, s -> {sql_hash64('s', f'#{i}')}))"
+        "list_min(list_transform(sh, s -> "
+        + sql_hash64("s", f"#{i // 2}", 1 + 15 * (i % 2))
+        + "))"
         for i in range(D.MINHASH_K)
     ]
     bands = []
