@@ -52,6 +52,10 @@ def get_spark(
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")
+        # pages rows carry multi-KB html blobs: the default 4096-row
+        # vectorized-reader batch spikes to ~10+ MB per column per task and
+        # OOMs small heaps (observed under spark-submit's 1g default)
+        .config("spark.sql.parquet.columnarReaderBatchSize", "1024")
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "8g"))
         .config("spark.ui.enabled", "false")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
@@ -90,6 +94,17 @@ class QualitySession:
 
     def table_from_sql(self, sql: str, name: str, **meta):
         return self.table_from_df(self.spark.sql(sql), name, **meta)
+
+    # -- reporting (reference holder:72-85 → report.py) ---------------------
+    def create_html_output(self, path: str, **kw) -> str:
+        from data_quality_spark.report import create_html_output
+
+        return create_html_output(self, path, **kw)
+
+    def create_export_details_excel(self, path: str, **kw) -> str:
+        from data_quality_spark.report import export_details
+
+        return export_details(self, path, **kw)
 
     # -- session-wide results (replaces HTML/Excel rendering: plot.py) ------
     def results_df(self) -> DataFrame:

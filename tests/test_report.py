@@ -1,0 +1,75 @@
+"""Reporting + packaging + datetime-inference surfaces."""
+
+import os
+import subprocess
+import sys
+import zipfile
+
+from pyspark.sql import functions as F
+
+
+def _session_with_checks(spark, sf_dir):
+    from data_quality_spark.session import QualitySession
+
+    s = QualitySession(spark)
+    t = s.table_from_parquet(
+        f"{sf_dir}/orders.parquet", "orders", index_column="o_orderkey"
+    )
+    t.check_index_not_null()
+    t.check_columns_between_values("o_totalprice", min_value=0, max_value=300000)
+    t.run(get_rows_flag=False)
+    return s
+
+
+def test_html_report(spark, sf_dir, tmp_path):
+    s = _session_with_checks(spark, sf_dir)
+    out = s.create_html_output(str(tmp_path / "report"))
+    html = open(out).read()
+    assert "orders" in html and "rows KO" in html
+    assert "not between 0 and 300000" in html
+    assert "sample failing rows" in html
+
+
+def test_export_details_csv_fallback(spark, sf_dir, tmp_path):
+    s = _session_with_checks(spark, sf_dir)
+    out = s.create_export_details_excel(str(tmp_path / "details"))
+    # no openpyxl in this container → CSV directory fallback
+    files = os.listdir(out)
+    assert any(f.endswith("_ko_rows.csv") for f in files)
+
+
+def test_infer_datetime_format(spark):
+    from data_quality_spark.rules.table import infer_datetime_format
+
+    df = spark.createDataFrame(
+        [("2024/01/0%d" % (i % 9 + 1),) for i in range(30)], "d string"
+    )
+    fmt = infer_datetime_format(df, "d")
+    assert fmt is not None
+    parsed = df.select(F.to_timestamp("d", fmt).alias("t")).where(
+        F.col("t").isNotNull()
+    )
+    assert parsed.count() == 30
+
+
+def test_py_files_zip_importable(tmp_path):
+    sys.path.insert(0, "/root/repo")
+    from tools.package import build
+
+    zp = build(str(tmp_path))
+    with zipfile.ZipFile(zp) as z:
+        names = z.namelist()
+    assert "data_quality_spark/session.py" in names
+    assert "data_quality_spark/pipeline/quality_filter.py" in names
+    # importable off the zip alone (what --py-files relies on)
+    code = (
+        "import sys; sys.path.insert(0, %r); "
+        "import data_quality_spark.functions.langid as L; "
+        "print(L.predict_one('the of and to in is it')[0])" % zp
+    )
+    out = subprocess.run(
+        [sys.executable, "-c", code],
+        capture_output=True, text=True,
+        cwd=str(tmp_path), env={**os.environ, "PYTHONPATH": ""},
+    )
+    assert out.returncode == 0 and out.stdout.strip() == "en"
