@@ -67,6 +67,8 @@ def pages_fixture(sf: float) -> tuple[str, int]:
 
 
 def main() -> None:
+    from pyspark.sql import functions as F
+
     from data_quality_spark.session import get_spark
 
     import __spark_entry__ as E
@@ -103,6 +105,29 @@ def main() -> None:
     timings["qf_pipeline"] = round(qf_sec, 3)
     n_kept = sum(r["count"] for r in counts if r["keep"])
 
+    # keep/drop F1 vs the single-process oracle on a deterministic subsample
+    # (BASELINE metric: F1 >= 0.99); full-corpus parity is pytest's job.
+    import pyarrow.parquet as pq
+
+    from data_quality_spark.pipeline import oracle as O
+
+    n_sub = min(2000, n_pages)
+    sub_pdf = pq.read_table(pages_path).to_pandas().head(n_sub)
+    ora = O.annotate_pandas(sub_pdf).set_index("url")["keep"]
+    ora = ora[~ora.index.duplicated(keep="first")]  # dup-url rows share a verdict
+    eng = (
+        ann.where(F.col("url").isin([str(u) for u in ora.index.tolist()]))
+        .select("url", "keep")
+        .toPandas()
+        .drop_duplicates("url")
+        .set_index("url")["keep"]
+        .reindex(ora.index)
+    )
+    tp = int((eng & ora).sum())
+    fp = int((eng & ~ora).sum())
+    fn = int((~eng & ora).sum())
+    f1 = 2 * tp / (2 * tp + fp + fn) if (2 * tp + fp + fn) else 1.0
+
     total = round(sum(timings.values()), 3)
     out = {
         "metric": "headline_queries_total",
@@ -114,7 +139,17 @@ def main() -> None:
         "qf_docs": n_pages,
         "qf_docs_per_sec": round(n_pages / qf_sec, 1),
         "qf_kept": n_kept,
+        "qf_f1_vs_oracle": round(f1, 4),
+        "qf_f1_sample": n_sub,
     }
+    scaling_path = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "BENCH_SCALING.json"
+    )
+    if os.path.exists(scaling_path):
+        with open(scaling_path) as fh:
+            sc = json.load(fh)
+        out["scaling_efficiency"] = sc.get("scaling_efficiency")
+        out["scaling_docs_per_sec"] = sc.get("docs_per_sec")
     print(json.dumps(out))
 
 

@@ -94,6 +94,8 @@ def main() -> None:
         "pass_0.8": eff >= 0.8,
     }
     print(json.dumps(result))
+    with open(os.path.join(REPO, "BENCH_SCALING.json"), "w") as f:
+        json.dump(result, f)
 
     md = f"""# BENCH — scaling evidence (quality-filter pipeline)
 
