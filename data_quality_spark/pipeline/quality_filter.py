@@ -126,6 +126,11 @@ def annotate_pages(
     already provide parallelism and the url-hash salting also breaks up
     pathological host clustering in the input order.
     """
+    # lineage: capture the source split BEFORE any exchange (input_file_name
+    # is empty once rows cross a shuffle) — north_rule's per-partition
+    # lineage: every output row is traceable to (src_file, part_id).
+    if "src_file" not in df.columns:
+        df = df.withColumn("src_file", F.input_file_name())
     if min_parallelism is not None and min_parallelism >= 0:
         target = min_parallelism or df.sparkSession.sparkContext.defaultParallelism
         if df.rdd.getNumPartitions() < target:
@@ -177,6 +182,8 @@ def metrics_by_partition(ann: DataFrame, cfg: QFConfig = DEFAULT_CONFIG) -> Data
         F.sum(F.array_contains("fired_rules", r.rule_id).cast("long")).alias(r.rule_id)
         for r in rules
     ]
+    if "src_file" in ann.columns:
+        aggs.append(F.collect_set("src_file").alias("src_files"))
     return ann.groupBy("part_id").agg(*aggs)
 
 
@@ -208,7 +215,7 @@ def run_pipeline(
         part = pages.filter(F.col("bucket") == b).drop("bucket")
         ann = annotate_pages(part, cfg)
         out_cols = ["url", "warc_ts", "lang", "lang_pred", "ppl",
-                    "text_scrubbed", "fired_rules", "keep", "part_id"]
+                    "text_scrubbed", "fired_rules", "keep", "part_id", "src_file"]
         present = [c for c in out_cols if c in ann.columns]
         kept_path = os.path.join(out_dir, "kept", key)
         ann.filter(F.col("keep")).select(*present).write.mode("overwrite").parquet(kept_path)

@@ -337,13 +337,36 @@ def match_dimension(
     fk_cols: list[str] | str,
     pk_cols: list[str] | str | None = None,
     broadcast_dim: bool = True,
+    strategy: str = "join",
     **kw,
 ) -> Rule:
+    """strategy='join' (default): broadcast left join, scale path.
+    strategy='isin': collect the dim's distinct composite keys and inline a
+    literal NOT-IN — the reference's tiny-dim plan (its SQL fact × pandas
+    dim combo builds exactly this list, match_dimension_table.py:68-89).
+    Join-free: use when the dim is a handful of values."""
     fk_cols = [fk_cols] if isinstance(fk_cols, str) else list(fk_cols)
     pk_cols = fk_cols if pk_cols is None else (
         [pk_cols] if isinstance(pk_cols, str) else list(pk_cols)
     )
     rule_id = kw.pop("rule_id", "match_dimension__" + "_".join(fk_cols))
+    if strategy == "isin":
+        keys = [
+            r["__k"]
+            for r in dim_df.select(composite_key(pk_cols).alias("__k"))
+            .where(F.col("__k").isNotNull())
+            .distinct()
+            .collect()
+        ]
+        return Rule(
+            rule_id=rule_id,
+            description=kw.pop(
+                "description", f"Value in columns {fk_cols} not in dimension table"
+            ),
+            violation=conjoin([not_empty(c) for c in fk_cols])
+            & ~composite_key(fk_cols).isin(keys),
+            **kw,
+        )
     marker = f"__dim_hit_{rule_id}"
     keycol = f"__dim_key_{rule_id}"
 

@@ -119,12 +119,20 @@ class QualityTable:
         return self.datetime_columns[col]
 
     def _add(self, rules: list[Rule], eager: bool, **common) -> list[Rule]:
+        ignore = common.get("ignore_filters") or []
+        if isinstance(ignore, str):
+            ignore = [ignore]
         for r in rules:
             if common.get("flag_warning"):
                 r.severity = "warning"
             if self.output_columns and r.output_columns is None:
                 r.output_columns = self.output_columns
             r.max_rows = common.get("n_max_rows_output", self.n_max_rows_output)
+            # rows matching ANY ignore filter are excluded from checking
+            # (reference check.py:71-82: per-check WHERE fragments ANDed in
+            # negated into the KO filter)
+            for f in ignore:
+                r.violation = r.violation & ~F.expr(self._clean_filter(f))
             self.rules.append(r)
         if eager:
             self.run(only=[r.rule_id for r in rules])
@@ -306,6 +314,18 @@ class QualityTable:
             results.append(res)
             self.check_list.append(res)
         return results
+
+    def download_table(self, n_rows: int | None = None):
+        """Materialize (a capped slice of) the table driver-side as pandas
+        (reference table.py:248-264 `download_table`, which flips a SQL
+        table to dataframe-backed; here: Arrow-accelerated limit+toPandas,
+        report samples only — never the scale path)."""
+        d = self.df
+        if self.output_columns:
+            d = d.select(*self.output_columns)
+        if n_rows is not None:
+            d = d.limit(n_rows)
+        return d.toPandas()
 
     def annotate(self) -> DataFrame:
         """Per-row fired-rules + keep frame for ALL accumulated rules

@@ -273,3 +273,47 @@ def test_ko_rows_cap(spark):
     eng = RuleEngine([C.not_empty_column("A", max_rows=3)])
     sample, over = eng.ko_rows(df, "not_empty__A")
     assert len(sample) == 3 and over  # check.py:150-154 over-cap flag
+
+
+def test_ignore_filters(spark, sf_dir):
+    """Reference check.py:71-82: rows matching an ignore filter are excluded."""
+    from data_quality_spark.session import QualitySession
+
+    s = QualitySession(spark)
+    t = s.table_from_parquet(f"{sf_dir}/orders.parquet", "orders",
+                             index_column="o_orderkey")
+    base = t.check_columns_between_values(
+        "o_totalprice", min_value=0, max_value=100000)
+    r_all = t.run(only=[r.rule_id for r in base])[0]
+    t2 = s.table_from_parquet(f"{sf_dir}/orders.parquet", "orders2",
+                              index_column="o_orderkey")
+    filt = t2.check_columns_between_values(
+        "o_totalprice", min_value=0, max_value=100000,
+        ignore_filters=["o_orderstatus = 'O'"])
+    r_filt = t2.run(only=[r.rule_id for r in filt])[0]
+    assert 0 < r_filt.n_ko < r_all.n_ko
+
+
+def test_match_dimension_isin_strategy(spark, sf_dir):
+    """Tiny-dim literal NOT-IN plan (match_dimension_table.py:68-89) must
+    produce the same KO set as the broadcast join plan."""
+    from data_quality_spark.rules import checks as C
+    from data_quality_spark.rules.core import RuleEngine
+    from pyspark.sql import functions as F
+
+    cust = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    dim = spark.read.parquet(f"{sf_dir}/nation.parquet").where(
+        F.col("n_regionkey") < 4)
+
+    def ko_ids(rule):
+        eng = RuleEngine([rule])
+        return sorted(
+            r["c_custkey"]
+            for r in eng.flags(cust).where(F.col(f"__ko_{rule.rule_id}"))
+            .select("c_custkey").collect()
+        )
+
+    join_ids = ko_ids(C.match_dimension(dim, "c_nationkey", "n_nationkey"))
+    isin_ids = ko_ids(C.match_dimension(dim, "c_nationkey", "n_nationkey",
+                                        strategy="isin"))
+    assert join_ids == isin_ids and len(join_ids) > 0
