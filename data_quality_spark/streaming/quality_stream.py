@@ -1,0 +1,130 @@
+"""Structured Streaming front-end for the quality filter.
+
+The reference engine is strictly batch (no streaming anywhere in
+/root/reference — SURVEY.md §2 'not present'), so this module is an
+EXTENSION, not parity: the same per-row stages (extract → features → fused
+model UDF → heuristic rules → scrub) applied to a stream of pages via
+``readStream`` → ``writeStream``, with checkpointing for exactly-once sinks.
+
+What transfers and what doesn't:
+  * All per-row stages transfer verbatim — ``annotate_stream`` builds the
+    exact same Catalyst expressions + Arrow UDF as ``annotate_pages`` minus
+    the cross-row pieces, so batch and stream keep/drop agree wherever both
+    are defined.
+  * The duplicate-url rule is cross-row state. In streaming it would need
+    ``dropDuplicatesWithinWatermark`` (bounded state); unbounded exact dedup
+    is a batch/compaction concern. Here the stream emits ``keep`` WITHOUT
+    the dup rule and the nightly batch pass (run_pipeline) remains the
+    source of truth for dedup — the standard lambda split for 10^12-doc
+    ingestion.
+  * Late data: ``warc_ts`` watermark on the windowed metrics stream.
+
+Scale notes: ``maxFilesPerTrigger`` bounds micro-batch size; the sink is
+partitioned parquet with a checkpoint dir (resume = restart with the same
+checkpointLocation — Spark replays the source offsets).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from data_quality_spark.functions import models, scrub, textstats
+from data_quality_spark.pipeline import extract
+from data_quality_spark.pipeline.quality_filter import (
+    DEFAULT_CONFIG,
+    QFConfig,
+    quality_rules,
+)
+from data_quality_spark.rules.core import RuleEngine
+
+PAGES_SCHEMA = (
+    "url string, warc_ts timestamp, html binary, text string, lang string"
+)
+
+
+def streaming_rules(cfg: QFConfig = DEFAULT_CONFIG):
+    """The batch rule set minus cross-row rules (duplicate_url needs
+    unbounded state — batch's job)."""
+    return [r for r in quality_rules(cfg) if r.rule_id != "duplicate_url"]
+
+
+def annotate_stream(df: DataFrame, cfg: QFConfig = DEFAULT_CONFIG) -> DataFrame:
+    """Per-row annotation, streaming-safe (no shuffles, no state): identical
+    expressions to the batch ``annotate_pages`` for every shared stage."""
+    df = df.withColumn("src_file", F.input_file_name())
+    ext = extract.native_extract(F.col("html"))
+    df = df.withColumn("text_extracted", F.coalesce(ext, F.col("text")))
+    df = df.drop("html")
+    df = textstats.with_features(df, "text_extracted")
+    df = df.withColumn("_m", models.spark_udf()(F.col("text_extracted")))
+    df = df.select(
+        "*",
+        F.col("_m.lang_pred").alias("lang_pred"),
+        F.col("_m.lang_margin").alias("lang_margin"),
+        F.col("_m.ppl").alias("ppl"),
+    ).drop("_m")
+    eng = RuleEngine(streaming_rules(cfg))
+    df = eng.annotate(df)
+    df = df.withColumn("text_scrubbed", scrub.native_scrub(F.col("text_extracted")))
+    return df.withColumn("part_id", F.spark_partition_id())
+
+
+def stream_quality_filter(
+    spark: SparkSession,
+    in_path: str,
+    out_path: str,
+    checkpoint: str,
+    cfg: QFConfig = DEFAULT_CONFIG,
+    max_files_per_trigger: int = 8,
+    available_now: bool = False,
+):
+    """readStream(pages parquet dir) → annotate → writeStream(kept parquet).
+
+    Returns the started StreamingQuery. ``available_now=True`` drains
+    whatever exists and stops (batch-like run with streaming checkpoints —
+    also how the tests drive it)."""
+    src = (
+        spark.readStream.schema(PAGES_SCHEMA)
+        .option("maxFilesPerTrigger", max_files_per_trigger)
+        .parquet(in_path)
+    )
+    ann = annotate_stream(src, cfg)
+    kept = ann.where(F.col("keep")).select(
+        "url", "warc_ts", "lang", "lang_pred", "ppl",
+        "text_scrubbed", "fired_rules", "part_id", "src_file",
+    )
+    writer = (
+        kept.writeStream.format("parquet")
+        .option("path", out_path)
+        .option("checkpointLocation", checkpoint)
+        .outputMode("append")
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
+def stream_rule_metrics(
+    spark: SparkSession,
+    in_path: str,
+    cfg: QFConfig = DEFAULT_CONFIG,
+    window: str = "1 hour",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Windowed per-rule hit counts over event time (warc_ts) with a
+    watermark for late pages — the streaming twin of metrics_by_partition.
+    Returns the unstarted aggregated stream (caller picks the sink)."""
+    src = spark.readStream.schema(PAGES_SCHEMA).parquet(in_path)
+    ann = annotate_stream(src, cfg)
+    rules = streaming_rules(cfg)
+    aggs = [F.count(F.lit(1)).alias("n_rows"),
+            F.sum((~F.col("keep")).cast("long")).alias("n_dropped")] + [
+        F.sum(F.array_contains("fired_rules", r.rule_id).cast("long")).alias(r.rule_id)
+        for r in rules
+    ]
+    return (
+        ann.withWatermark("warc_ts", watermark)
+        .groupBy(F.window("warc_ts", window).alias("w"))
+        .agg(*aggs)
+    )

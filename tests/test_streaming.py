@@ -1,0 +1,75 @@
+"""Streaming front-end: availableNow drain must agree with the batch
+pipeline on every shared (non-stateful) stage, and resume from the
+checkpoint must not duplicate output."""
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from data_quality_spark.pipeline import pages
+from data_quality_spark.pipeline.quality_filter import annotate_pages
+from data_quality_spark.streaming.quality_stream import (
+    stream_quality_filter,
+    streaming_rules,
+)
+
+N_ROWS = 600
+
+
+@pytest.fixture(scope="module")
+def stream_in(tmp_path_factory):
+    d = tmp_path_factory.mktemp("stream_pages")
+    p = d / "pages"
+    pages.write_parquet(str(p), N_ROWS, seed=7, n_files=4)
+    return str(p)
+
+
+def test_stream_matches_batch(spark, stream_in, tmp_path):
+    out = str(tmp_path / "kept")
+    ckpt = str(tmp_path / "ckpt")
+    q = stream_quality_filter(
+        spark, stream_in, out, ckpt, available_now=True, max_files_per_trigger=2
+    )
+    q.awaitTermination(300)
+
+    got = spark.read.parquet(out)
+    # batch twin WITHOUT the dup-url rule (stream has no cross-row state)
+    batch = annotate_pages(
+        spark.read.parquet(stream_in).drop("fault_class"), min_parallelism=-1
+    )
+    # recompute keep excluding duplicate_url (stream has no cross-row state)
+    rules = [r.rule_id for r in streaming_rules() if r.severity == "fail"]
+    batch_keep = batch.withColumn(
+        "keep_stream",
+        F.size(
+            F.array_intersect(F.col("fired_rules"), F.array(*[F.lit(r) for r in rules]))
+        )
+        == 0,
+    )
+    exp = {
+        r["url"]: r["keep_stream"]
+        for r in batch_keep.select("url", "keep_stream").collect()
+    }
+    got_urls = {r["url"] for r in got.select("url").collect()}
+    exp_urls = {u for u, k in exp.items() if k}
+    assert got_urls == exp_urls
+    # scrubbed text byte-equal to batch for kept rows
+    b = {r["url"]: r["text_scrubbed"] for r in batch.select("url", "text_scrubbed")
+         .collect()}
+    for r in got.select("url", "text_scrubbed").collect():
+        assert r["text_scrubbed"] == b[r["url"]]
+
+
+def test_stream_resume_no_duplicates(spark, stream_in, tmp_path):
+    out = str(tmp_path / "kept2")
+    ckpt = str(tmp_path / "ckpt2")
+    q = stream_quality_filter(spark, stream_in, out, ckpt, available_now=True)
+    q.awaitTermination(300)
+    n1 = spark.read.parquet(out).count()
+    # restart with same checkpoint: source offsets replayed, nothing re-emitted
+    q2 = stream_quality_filter(spark, stream_in, out, ckpt, available_now=True)
+    q2.awaitTermination(300)
+    n2 = spark.read.parquet(out).count()
+    assert n1 == n2 > 0
+    assert os.path.isdir(ckpt)
