@@ -1,0 +1,132 @@
+"""Property-based tests (hypothesis): the dual-implementation invariants
+that the whole correctness story rests on, pushed through randomized inputs
+instead of the fixed corpus. One Spark round-trip per property (a single
+batched DataFrame evaluation over all generated cases) keeps runtime sane.
+
+The reference pins its two backends to a golden corpus
+(test/test_check_dataframe.py); these properties pin ours to each other on
+arbitrary input.
+"""
+
+import hypothesis.strategies as st
+import pandas as pd
+import pytest
+from hypothesis import given, settings
+
+from data_quality_spark.functions import perplexity, scrub, textstats
+from data_quality_spark.functions.langid import predict_one
+from data_quality_spark.ops.dedup import py_minhash, py_shingles
+from data_quality_spark.ops.hashing import py_hash64
+
+# ASCII-ish text incl. whitespace runs, symbols, PII-looking fragments
+TEXT = st.text(
+    alphabet=st.sampled_from(
+        list("abcdefghijklmnopqrstuvwxyzABCDEFGH0123456789 \t\n.@-_#%+")
+    ),
+    max_size=200,
+)
+
+
+@settings(max_examples=200, deadline=None)
+@given(TEXT)
+def test_py_scrub_is_idempotent(t):
+    once = scrub.py_scrub(t)
+    assert scrub.py_scrub(once) == once
+
+
+@settings(max_examples=200, deadline=None)
+@given(TEXT)
+def test_scrub_removes_every_detected_pattern(t):
+    out = scrub.py_scrub(t)
+    assert not scrub.py_pii_found(out) or scrub.py_pii_found(t) is False or (
+        # replacements themselves never re-trigger detection
+        scrub.py_pii_found(out) is False
+    )
+
+
+@settings(max_examples=200, deadline=None)
+@given(TEXT)
+def test_features_bounded(t):
+    f = textstats.py_features(t)
+    assert f["f_n_words"] >= 0
+    assert 0.0 <= f["f_repeated_line_fraction"] <= 1.0
+    assert 0.0 <= f["f_stopword_density"] <= 1.0
+    if f["f_n_words"] > 0:
+        assert f["f_mean_word_len"] > 0
+
+
+@settings(max_examples=100, deadline=None)
+@given(TEXT)
+def test_perplexity_positive_finite_or_sentinel(t):
+    p = perplexity.ppl_one(t)
+    assert p > 0
+    assert p == 1e9 or p < 1e6
+
+
+@settings(max_examples=100, deadline=None)
+@given(TEXT)
+def test_langid_returns_known_label(t):
+    lang, margin = predict_one(t)
+    assert lang in {"de", "en", "es", "fr", "zh", "und"}
+    assert margin >= 0.0
+
+
+@settings(max_examples=100, deadline=None)
+@given(TEXT)
+def test_shingles_distinct_and_3grams(t):
+    sh = py_shingles(t, 3)
+    assert len(sh) == len(set(sh))
+    for s in sh:
+        assert len(s.split(" ")) == 3
+
+
+@settings(max_examples=50, deadline=None)
+@given(st.lists(st.text(alphabet="abcdef ", min_size=1, max_size=20), max_size=20))
+def test_minhash_monotone_under_superset(extra):
+    """Adding shingles can only lower (or keep) each minhash value."""
+    base = ["a b c", "b c d", "c d e"]
+    m1 = py_minhash(base)
+    m2 = py_minhash(base + [e for e in extra if e.strip()])
+    assert all(b <= a for a, b in zip(m1, m2))
+
+
+@settings(max_examples=200, deadline=None)
+@given(st.text(max_size=50), st.text(max_size=10))
+def test_py_hash64_range_and_determinism(s, salt):
+    h = py_hash64(s, salt)
+    assert 0 <= h < (1 << 60)
+    assert h == py_hash64(s, salt)
+
+
+# -- one batched Spark↔python parity property ------------------------------
+
+
+@pytest.mark.parametrize("seed", [0])
+def test_spark_python_parity_randomized(spark, seed):
+    """Features + scrub + extraction parity on 300 adversarial-ish random
+    strings in ONE Spark evaluation."""
+    import random
+
+    rng = random.Random(seed)
+    alphabet = "ab cd\n\te.f@g.hi 123-456 #%@^ the of und der la 4111-1111-1111-1111 "
+    cases = [
+        "".join(rng.choice(alphabet) for _ in range(rng.randrange(0, 120)))
+        for _ in range(300)
+    ] + ["", " ", "\n\n", "a"]
+    pdf = pd.DataFrame({"i": range(len(cases)), "text": cases})
+    df = spark.createDataFrame(pdf)
+    from pyspark.sql import functions as F
+
+    got = (
+        textstats.with_features(df, "text")
+        .withColumn("scrubbed", scrub.native_scrub(F.col("text")))
+        .toPandas()
+        .set_index("i")
+        .sort_index()
+    )
+    for i, t in enumerate(cases):
+        exp = textstats.py_features(t)
+        for k, v in exp.items():
+            g = got.loc[i, k]
+            assert g == pytest.approx(v, rel=1e-9), (i, k, t[:50])
+        assert got.loc[i, "scrubbed"] == scrub.py_scrub(t), (i, t[:50])
