@@ -122,8 +122,10 @@ def native_scrub(col: Column) -> Column:
     return F.when(native_pii_found(col), out).otherwise(col)
 
 
+# one alternation = one scan per row for detection (vs 8 separate rlike
+# passes); non-capturing groups keep OR-of-patterns semantics exactly
+_COMBINED_DETECT = "|".join(f"(?:{pat})" for _, pat, _ in ALL_PATTERNS)
+
+
 def native_pii_found(col: Column) -> Column:
-    cond = F.lit(False)
-    for _, pat, _ in ALL_PATTERNS:
-        cond = cond | col.rlike(pat)
-    return cond
+    return col.rlike(_COMBINED_DETECT)

@@ -40,7 +40,7 @@ def run_once():
 
 cold_sec, n = run_once()
 warm = []
-for _ in range(5):
+for _ in range(3):
     s, n2 = run_once()
     assert n == n2
     warm.append(s)
@@ -52,16 +52,28 @@ print(json.dumps({"cpus": os.environ["SPARK_GRAFT_CPUS"],
 """
 
 
-def run_at(cpus: int, fixture: str) -> dict:
+def run_at(cpus: int, fixture: str, jvms: int = 2) -> dict:
+    """Best steady-state across `jvms` fresh JVMs: heap/GC state drifts
+    within a long-lived local JVM (measured: +70% by the 5th repeat), so
+    each JVM contributes only its early post-warmup runs and the minimum
+    over JVMs is the steady-state estimate."""
     env = dict(os.environ, SPARK_GRAFT_CPUS=str(cpus))
     code = RUNNER.replace("__REPO__", REPO).replace("__FIXTURE__", fixture)
-    out = subprocess.run(
-        [sys.executable, "-c", code], env=env, capture_output=True, text=True,
-        timeout=1800,
-    )
-    if out.returncode != 0:
-        raise RuntimeError(out.stderr[-2000:])
-    return json.loads(out.stdout.strip().splitlines()[-1])
+    best = None
+    for _ in range(jvms):
+        out = subprocess.run(
+            [sys.executable, "-c", code], env=env, capture_output=True,
+            text=True, timeout=1800,
+        )
+        if out.returncode != 0:
+            raise RuntimeError(out.stderr[-2000:])
+        r = json.loads(out.stdout.strip().splitlines()[-1])
+        if best is None or r["warm_sec"] < best["warm_sec"]:
+            r["warm_all_jvms"] = (best or {}).get("warm_all_jvms", []) + [r["warm_all"]]
+            best = r
+        else:
+            best["warm_all_jvms"] = best.get("warm_all_jvms", [best["warm_all"]]) + [r["warm_all"]]
+    return best
 
 
 def main() -> None:
