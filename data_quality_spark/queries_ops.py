@@ -91,6 +91,22 @@ GROUP BY 1 HAVING count(*) > 1
 """
 
 
+def q_dedup_exact_drop(spark, sf_dir):
+    """Survivor set after exact dedup (min doc_id per distinct text;
+    null-text rows pass through)."""
+    return D.drop_exact_dups(
+        _exact_dup_corpus(spark, sf_dir), "doc_id", "text"
+    ).select("doc_id")
+
+
+SQL_DEDUP_EXACT_DROP = f"""
+WITH corpus AS ({SQL_EXACT_CORPUS})
+SELECT min(doc_id) AS doc_id FROM corpus WHERE text IS NOT NULL GROUP BY md5(text)
+UNION ALL
+SELECT doc_id FROM corpus WHERE text IS NULL
+"""
+
+
 # ---------------------------------------------------------------------------
 # dedup 2 — MinHash + LSH (K=12, 4 bands x 3 rows, verify J >= 0.5)
 # ---------------------------------------------------------------------------
@@ -638,6 +654,7 @@ def q_qf_pipeline_annotate(spark, sf_dir):
 
 OPS_QUERIES = {
     "dedup_exact": q_dedup_exact,
+    "dedup_exact_drop": q_dedup_exact_drop,
     "dedup_minhash_lsh": q_dedup_minhash_lsh,
     "dedup_simhash": q_dedup_simhash,
     "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
@@ -656,6 +673,7 @@ OPS_QUERIES = {
 
 OPS_ORACLES = {
     "dedup_exact": SQL_DEDUP_EXACT,
+    "dedup_exact_drop": SQL_DEDUP_EXACT_DROP,
     "dedup_minhash_lsh": _sql_minhash_lsh(),
     "dedup_simhash": _sql_simhash(),
     "dedup_ngram_jaccard": SQL_DEDUP_NGRAM_JACCARD,
