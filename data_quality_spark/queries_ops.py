@@ -649,12 +649,58 @@ def q_qf_pipeline_annotate(spark, sf_dir):
 
 
 # ---------------------------------------------------------------------------
+# global period intersection — range-partitioned scale path (no global window)
+# ---------------------------------------------------------------------------
+
+
+def q_period_overlap_global(spark, sf_dir):
+    """Global (un-keyed) overlap detection over events periods, via the
+    range-partition + boundary-stitch operator (ops/intervals.py) — the
+    scale replacement for Window.partitionBy(lit(1))."""
+    from data_quality_spark.ops.intervals import overlapping_periods_global
+
+    ev = (
+        _t(spark, sf_dir, "events")
+        .withColumn(
+            "end_ts",
+            F.expr("timestampadd(SECOND, CAST(FLOOR(value) AS INT) % 40 + 1, ts)"),
+        )
+        .withColumnRenamed("ts", "start_ts")
+        .select("event_id", "start_ts", "end_ts")
+    )
+    out = overlapping_periods_global(
+        ev, "start_ts", "end_ts", tiebreak_cols=["event_id"]
+    )
+    return out.select("event_id")
+
+
+SQL_PERIOD_OVERLAP_GLOBAL = """
+WITH periods AS (
+  SELECT event_id, ts AS start_ts,
+         ts + INTERVAL 1 SECOND * (CAST(FLOOR(value) AS INT) % 40 + 1) AS end_ts
+  FROM events
+), flagged AS (
+  SELECT event_id, start_ts, end_ts,
+         coalesce(lag(end_ts) OVER w > start_ts, false) AS chk
+  FROM periods
+  WINDOW w AS (ORDER BY start_ts, end_ts, event_id)
+), doubled AS (
+  SELECT event_id, chk OR coalesce(lead(chk) OVER w2, false) AS double_chk
+  FROM flagged
+  WINDOW w2 AS (ORDER BY start_ts, end_ts, event_id)
+)
+SELECT event_id FROM doubled WHERE double_chk
+"""
+
+
+# ---------------------------------------------------------------------------
 # registries
 # ---------------------------------------------------------------------------
 
 OPS_QUERIES = {
     "dedup_exact": q_dedup_exact,
     "dedup_exact_drop": q_dedup_exact_drop,
+    "period_overlap_global": q_period_overlap_global,
     "dedup_minhash_lsh": q_dedup_minhash_lsh,
     "dedup_simhash": q_dedup_simhash,
     "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
@@ -674,6 +720,7 @@ OPS_QUERIES = {
 OPS_ORACLES = {
     "dedup_exact": SQL_DEDUP_EXACT,
     "dedup_exact_drop": SQL_DEDUP_EXACT_DROP,
+    "period_overlap_global": SQL_PERIOD_OVERLAP_GLOBAL,
     "dedup_minhash_lsh": _sql_minhash_lsh(),
     "dedup_simhash": _sql_simhash(),
     "dedup_ngram_jaccard": SQL_DEDUP_NGRAM_JACCARD,

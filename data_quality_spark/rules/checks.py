@@ -502,8 +502,10 @@ def values_order_dimension(
 #       extremes_exclude=False ⇒ '>' (touching endpoints OK), True ⇒ '>='
 #       (:29). Spark: WindowExec after a hash shuffle on the id key —
 #       at scale the partition key must have cardinality ≫ executors
-#       (id_columns=None ⇒ single global window: document that it
-#       single-threads; the reference has the same flaw implicitly).
+#       (id_columns=None ⇒ single global window, which single-threads;
+#       the reference has the same flaw implicitly. For the un-keyed case
+#       at scale use ops.intervals.overlapping_periods_global — range
+#       partition + boundary stitch, pinned equal to this window).
 # ---------------------------------------------------------------------------
 
 

@@ -242,3 +242,67 @@ def test_media_meta_native_agrees_with_pandas_path(spark):
     for k in native:
         assert native[k]["digest_md5"] == pandas_path[k]["digest_md5"]
         assert native[k]["n_bytes"] == pandas_path[k]["n_bytes"]
+
+
+# ---------------------------------------------------------------------------
+# global period intersection (range-partitioned scale path)
+# ---------------------------------------------------------------------------
+
+
+def test_overlapping_periods_global_matches_window(spark):
+    """The range-partition + boundary-stitch operator must equal the
+    single-partition global-window rule on the same input."""
+    import datetime as dt
+
+    from pyspark.sql import Window
+
+    from data_quality_spark.ops.intervals import overlapping_periods_global
+
+    base = dt.datetime(2024, 1, 1)
+    rows = []
+    # clusters of overlapping periods + isolated ones, adversarial ties
+    for i in range(300):
+        start = base + dt.timedelta(minutes=3 * i)
+        dur = 5 if i % 7 == 0 else 2  # every 7th overlaps its successor
+        rows.append((i, start, start + dt.timedelta(minutes=dur)))
+    rows.append((1000, base, base + dt.timedelta(minutes=2)))  # tie with i=0
+    df = spark.createDataFrame(
+        rows, "event_id long, start_ts timestamp, end_ts timestamp"
+    )
+
+    got = sorted(
+        r["event_id"]
+        for r in overlapping_periods_global(
+            df, "start_ts", "end_ts", tiebreak_cols=["event_id"],
+            num_partitions=7,
+        ).collect()
+    )
+
+    w = Window.orderBy("start_ts", "end_ts", "event_id")
+    chk = F.coalesce(F.lag("end_ts").over(w) > F.col("start_ts"), F.lit(False))
+    flagged = df.withColumn("chk", chk)
+    ko = flagged.withColumn(
+        "double_chk",
+        F.col("chk") | F.coalesce(F.lead("chk").over(w), F.lit(False)),
+    ).where("double_chk")
+    exp = sorted(r["event_id"] for r in ko.collect())
+    assert got == exp and len(exp) > 0
+
+
+def test_overlapping_periods_global_extremes_exclude(spark):
+    import datetime as dt
+
+    from data_quality_spark.ops.intervals import overlapping_periods_global
+
+    base = dt.datetime(2024, 1, 1)
+    # touching endpoints: [0,10) and [10,20)
+    df = spark.createDataFrame(
+        [(1, base, base + dt.timedelta(minutes=10)),
+         (2, base + dt.timedelta(minutes=10), base + dt.timedelta(minutes=20))],
+        "event_id long, start_ts timestamp, end_ts timestamp",
+    )
+    strict = overlapping_periods_global(
+        df, "start_ts", "end_ts", ["event_id"]).count()
+    touching = overlapping_periods_global(
+        df, "start_ts", "end_ts", ["event_id"], extremes_exclude=True).count()
+    assert strict == 0 and touching == 2
