@@ -100,6 +100,59 @@ def cosine_pairs(
     )
 
 
+def label_centroids(
+    df: DataFrame, vec_col: str, cell_col: str, dim: int = EMB_DIM
+) -> DataFrame:
+    """(cell, n, centroid): element-wise mean vector per cell, each
+    component rounded to 6dp (pins float-summation-order noise for the SQL
+    oracle). 64 codegen'd avg aggregates — one shuffle of partial sums.
+    This is the IVF coarse-quantizer table; cells here come from any
+    clustering column (production IVF trains k-means for them — the
+    centroid/search machinery is identical)."""
+    v = _as_double(F.col(vec_col))
+    aggs = [
+        F.round(F.avg(F.element_at(v, i + 1)), 6).alias(f"c{i}") for i in range(dim)
+    ]
+    g = df.groupBy(F.col(cell_col).alias("cell")).agg(
+        F.count(F.lit(1)).alias("n"), *aggs
+    )
+    return g.select(
+        "cell", "n", F.array(*[F.col(f"c{i}") for i in range(dim)]).alias("centroid")
+    )
+
+
+def ivf_topk(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    cell_col: str,
+    query_vec: list[float],
+    k: int = 10,
+    n_probe: int = 1,
+    dim: int = EMB_DIM,
+) -> DataFrame:
+    """IVF-style ANN: rank cells by cosine(query, centroid), search the
+    n_probe nearest cells exactly, return top-k. Recall < 1 by construction
+    (cells not probed are never scanned) — the trade that makes 10^12-vector
+    search feasible: the scan touches ~n_probe/n_cells of the corpus, and a
+    cell-partitioned table prunes at the file level."""
+    import math
+
+    cents = label_centroids(df, vec_col, cell_col, dim).collect()
+    q = query_vec
+
+    def cos(c: list[float]) -> float:
+        d = sum(a * b for a, b in zip(c, q))
+        na = math.sqrt(sum(a * a for a in c))
+        nb = math.sqrt(sum(b * b for b in q))
+        return d / (na * nb) if na > 0 and nb > 0 else 0.0
+
+    ranked = sorted(cents, key=lambda r: (-cos(list(r["centroid"])), r["cell"]))
+    probe = [r["cell"] for r in ranked[:n_probe]]
+    cand = df.where(F.col(cell_col).isin(probe))
+    return topk_cosine(cand, id_col, vec_col, q, k)
+
+
 def lsh_signature(vec: Column, planes: list[list[float]] | None = None) -> Column:
     """Bit i set iff dot(vec, plane_i) >= 0."""
     planes = planes if planes is not None else HYPERPLANES

@@ -363,6 +363,67 @@ SELECT vec_id, cos_sim FROM scored ORDER BY cos_sim DESC, vec_id LIMIT {TOPK}
 
 
 # ---------------------------------------------------------------------------
+# similarity 4 — IVF coarse-quantizer centroids (long format) + IVF top-k
+# ---------------------------------------------------------------------------
+
+
+def q_sim_label_centroids(spark, sf_dir):
+    """Per-cell centroid components in long format (cell, pos, n, val) —
+    the IVF coarse-quantizer table."""
+    emb = _t(spark, sf_dir, "embeddings")
+    v = F.col("embedding").cast("array<double>")
+    return (
+        emb.select(F.col("label").alias("cell"), F.posexplode(v).alias("pos", "x"))
+        .groupBy("cell", "pos")
+        .agg(F.count(F.lit(1)).alias("n"), F.round(F.avg("x"), 6).alias("val"))
+    )
+
+
+SQL_SIM_LABEL_CENTROIDS = """
+SELECT label AS cell, i - 1 AS pos, count(*) AS n,
+       round(avg((embedding::DOUBLE[])[i]), 6) AS val
+FROM embeddings, generate_series(1, 64) t(i)
+GROUP BY 1, 2
+"""
+
+IVF_NPROBE = 2
+
+
+def q_sim_ivf_topk(spark, sf_dir):
+    emb = _t(spark, sf_dir, "embeddings")
+    return S.ivf_topk(
+        emb, "vec_id", "embedding", "label",
+        _query_vec(spark, sf_dir), TOPK, n_probe=IVF_NPROBE,
+    )
+
+
+SQL_SIM_IVF_TOPK = f"""
+WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings),
+centl AS (
+  SELECT label, i - 1 AS pos, round(avg(v[i]), 6) AS val
+  FROM e, generate_series(1, 64) t(i) GROUP BY 1, 2
+),
+cent AS (SELECT label, list(val ORDER BY pos) AS c FROM centl GROUP BY 1),
+q0 AS (SELECT v AS q FROM e WHERE vec_id = {QUERY_VEC_ID}),
+ranked AS (
+  SELECT label,
+         CASE WHEN sqrt(list_sum([c[i]*c[i] for i in range(1, len(c)+1)])) > 0
+               AND sqrt(list_sum([q[i]*q[i] for i in range(1, len(q)+1)])) > 0
+              THEN list_sum([c[i]*q[i] for i in range(1, len(c)+1)])
+                   / (sqrt(list_sum([c[i]*c[i] for i in range(1, len(c)+1)]))
+                      * sqrt(list_sum([q[i]*q[i] for i in range(1, len(q)+1)])))
+              ELSE 0.0 END AS cs
+  FROM cent, q0 ORDER BY cs DESC, label LIMIT {IVF_NPROBE}
+),
+scored AS (
+  SELECT vec_id, {SQL_COSINE} AS cos_sim
+  FROM (SELECT vec_id, v FROM e WHERE label IN (SELECT label FROM ranked)), q0
+)
+SELECT vec_id, cos_sim FROM scored ORDER BY cos_sim DESC, vec_id LIMIT {TOPK}
+"""
+
+
+# ---------------------------------------------------------------------------
 # text 1 — heuristic language-ID
 # ---------------------------------------------------------------------------
 
@@ -707,6 +768,8 @@ OPS_QUERIES = {
     "sim_topk_cosine": q_sim_topk_cosine,
     "sim_cosine_pairs": q_sim_cosine_pairs,
     "sim_ann_lsh": q_sim_ann_lsh,
+    "sim_label_centroids": q_sim_label_centroids,
+    "sim_ivf_topk": q_sim_ivf_topk,
     "text_langid_heur": q_text_langid_heur,
     "text_quality_score": q_text_quality_score,
     "text_token_counts": q_text_token_counts,
@@ -727,6 +790,8 @@ OPS_ORACLES = {
     "sim_topk_cosine": SQL_SIM_TOPK,
     "sim_cosine_pairs": SQL_SIM_COSINE_PAIRS,
     "sim_ann_lsh": _sql_ann_lsh(),
+    "sim_label_centroids": SQL_SIM_LABEL_CENTROIDS,
+    "sim_ivf_topk": SQL_SIM_IVF_TOPK,
     "text_langid_heur": _sql_langid_heur(),
     "text_quality_score": _sql_quality_score(),
     "text_token_counts": SQL_TOKEN_COUNTS,

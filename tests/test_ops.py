@@ -306,3 +306,31 @@ def test_overlapping_periods_global_extremes_exclude(spark):
     touching = overlapping_periods_global(
         df, "start_ts", "end_ts", ["event_id"], extremes_exclude=True).count()
     assert strict == 0 and touching == 2
+
+
+def test_ivf_topk_probes_nearest_cell(spark):
+    """Cell 0 holds query-aligned vectors; n_probe=1 must search only cell
+    0 and find them; the opposite-direction vector in cell 1 never appears."""
+    rows = [
+        (1, [1.0, 0.0, 0.0], 0),
+        (2, [0.9, 0.1, 0.0], 0),
+        (3, [0.8, 0.2, 0.0], 0),
+        (4, [-1.0, 0.0, 0.0], 1),
+        (5, [-0.9, -0.1, 0.0], 1),
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, v array<double>, label int")
+    out = S.ivf_topk(df, "vec_id", "v", "label", [1.0, 0.0, 0.0],
+                     k=10, n_probe=1, dim=3).collect()
+    ids = [r["vec_id"] for r in out]
+    assert ids == [1, 2, 3]
+
+
+def test_label_centroids_values(spark):
+    df = spark.createDataFrame(
+        [(1, [1.0, 3.0], 0), (2, [3.0, 5.0], 0), (3, [10.0, 0.0], 1)],
+        "vec_id long, v array<double>, label int",
+    )
+    cents = {r["cell"]: (r["n"], r["centroid"]) for r in
+             S.label_centroids(df, "v", "label", dim=2).collect()}
+    assert cents[0] == (2, [2.0, 4.0])
+    assert cents[1] == (1, [10.0, 0.0])
