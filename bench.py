@@ -43,6 +43,9 @@ HEADLINE = [
     "dedup_ngram_jaccard",
     "sim_topk_cosine",
     "sim_ann_lsh",
+    "sim_lsh_pairs",
+    "sim_ivf_topk",
+    "period_overlap_global",
     "text_quality_score",
     "doc_fingerprint",
 ]

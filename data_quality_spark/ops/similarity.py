@@ -34,6 +34,20 @@ HYPERPLANES: list[list[float]] = [
     for row in _rs.standard_normal((N_HYPERPLANES, EMB_DIM))
 ]
 
+# pairwise near-dup LSH: L tables × B planes. P(pair co-bucketed in ≥1
+# table | angle θ) = 1 − (1 − (1−θ/π)^B)^L — at cos≥0.999 (near-dups)
+# recall ≈ 1; unrelated pairs (θ≈90°) collide with p ≈ L·2^-B ≈ 1.6%.
+PAIR_TABLES = 4
+PAIR_PLANES_PER_TABLE = 8
+_rs2 = np.random.RandomState(11)
+PAIR_HYPERPLANES: list[list[list[float]]] = [
+    [
+        [round(float(v), 4) for v in row]
+        for row in _rs2.standard_normal((PAIR_PLANES_PER_TABLE, EMB_DIM))
+    ]
+    for _ in range(PAIR_TABLES)
+]
+
 
 def dot(a: Column, b: Column) -> Column:
     return F.aggregate(
@@ -154,14 +168,63 @@ def ivf_topk(
 
 
 def lsh_signature(vec: Column, planes: list[list[float]] | None = None) -> Column:
-    """Bit i set iff dot(vec, plane_i) >= 0."""
+    """Bit i set iff round(dot(vec, plane_i), 6) >= 0. The 6dp quantization
+    before the sign test makes the bit decision portable: raw float-sum
+    order differs between engines (sequential fold vs pairwise list_sum) by
+    an ulp, which flips signs for near-zero dots; after rounding a flip
+    would need the dot within ~1e-15 of a 0.5e-6 grid midpoint."""
     planes = planes if planes is not None else HYPERPLANES
     sig = F.lit(0).cast("long")
     for i, p in enumerate(planes):
         sig = sig + F.when(
-            dot(vec, _lit_vec(p)) >= 0, F.lit(1 << i).cast("long")
+            F.round(dot(vec, _lit_vec(p)), 6) >= 0, F.lit(1 << i).cast("long")
         ).otherwise(F.lit(0).cast("long"))
     return sig
+
+
+def cosine_lsh_pairs(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    threshold: float = 0.95,
+    tables: list[list[list[float]]] | None = None,
+) -> DataFrame:
+    """Near-duplicate pairs by random-hyperplane LSH — the no-blocking-key
+    scale path (cosine_pairs needs caller-provided blocks). Candidates =
+    pairs sharing a full signature in ≥1 of the L hyperplane tables;
+    verified exactly (cosine ≥ threshold). Same candidate topology as the
+    MinHash banding: bucket aggregation, no self-join, bucket-size cap."""
+    from data_quality_spark.ops.dedup import _pairs_from_buckets
+
+    tables = tables if tables is not None else PAIR_HYPERPLANES
+    v = _as_double(F.col(vec_col))
+    banded = df.select(
+        F.col(id_col).alias("doc_id"),
+        v.alias("v"),
+        F.explode(
+            F.array(
+                *[
+                    F.concat_ws(
+                        "_", F.lit(str(t)), lsh_signature(v, planes).cast("string")
+                    )
+                    for t, planes in enumerate(tables)
+                ]
+            )
+        ).alias("band_key"),
+    )
+    cand = (
+        _pairs_from_buckets(banded, "band_key", "doc_id", ["doc_id", "v"])
+        .select(
+            F.col("lo.doc_id").alias("id_a"),
+            F.col("hi.doc_id").alias("id_b"),
+            F.col("lo.v").alias("va"),
+            F.col("hi.v").alias("vb"),
+        )
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    return cand.select(
+        "id_a", "id_b", F.round(cosine(F.col("va"), F.col("vb")), 6).alias("cos_sim")
+    ).where(F.col("cos_sim") >= threshold)
 
 
 def ann_lsh_topk(
@@ -172,7 +235,7 @@ def ann_lsh_topk(
     bucket filter is a pushdown-able projection predicate."""
     qsig = 0
     for i, p in enumerate(HYPERPLANES):
-        if float(np.dot(np.asarray(query_vec), np.asarray(p))) >= 0:
+        if round(float(np.dot(np.asarray(query_vec), np.asarray(p))), 6) >= 0:
             qsig |= 1 << i
     v = _as_double(F.col(vec_col))
     scored = df.select(

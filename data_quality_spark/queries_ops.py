@@ -344,7 +344,7 @@ def _sql_ann_lsh() -> str:
         for plane in S.HYPERPLANES
     ]
     sig_terms = " +\n      ".join(
-        f"CASE WHEN list_sum([v[i] * ({hp_lits[b]})[i] for i in range(1, len(v)+1)]) >= 0 "
+        f"CASE WHEN round(list_sum([v[i] * ({hp_lits[b]})[i] for i in range(1, len(v)+1)]), 6) >= 0 "
         f"THEN {1 << b} ELSE 0 END"
         for b in range(S.N_HYPERPLANES)
     )
@@ -359,6 +359,94 @@ scored AS (
   FROM sigs, q0 WHERE sigs.lsh_sig = q0.qsig
 )
 SELECT vec_id, cos_sim FROM scored ORDER BY cos_sim DESC, vec_id LIMIT {TOPK}
+"""
+
+
+# ---------------------------------------------------------------------------
+# similarity 3b — LSH-bucketed near-dup pairs (no blocking key)
+# ---------------------------------------------------------------------------
+
+LSH_PAIR_THRESHOLD = 0.99
+
+
+def _emb_with_near_dups(spark, sf_dir) -> DataFrame:
+    """embeddings ∪ perturbed copies (vec_id%20==0 → +1e6, each component
+    nudged by 0.001·((vec_id+i)%7−3) — a single IEEE op, identical in any
+    engine) so the near-dup query has deterministic positives."""
+    emb = _t(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v")
+    )
+    # perturb FIRST, shift the id after: a single select would let Spark's
+    # lateral-column-alias resolution bind the transform's vec_id to the
+    # NEW (+1e6) alias, silently changing the perturbation
+    pert = (
+        emb.where(F.col("vec_id") % 20 == 0)
+        .withColumn(
+            "v",
+            F.transform(
+                "v", lambda x, i: x + 0.001 * (((F.col("vec_id") + i) % 7) - 3)
+            ),
+        )
+        .select((F.col("vec_id") + 1_000_000).alias("vec_id"), "v")
+    )
+    return emb.unionByName(pert)
+
+
+SQL_EMB_NEAR_CORPUS = """
+  SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+  UNION ALL
+  SELECT vec_id + 1000000,
+         [v[i] + 0.001 * ((vec_id + i - 1) % 7 - 3) for i in range(1, len(v)+1)]
+  FROM (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)
+  WHERE vec_id % 20 = 0
+"""
+
+
+def q_sim_lsh_pairs(spark, sf_dir):
+    return S.cosine_lsh_pairs(
+        _emb_with_near_dups(spark, sf_dir), "vec_id", "v",
+        threshold=LSH_PAIR_THRESHOLD,
+    )
+
+
+def _sql_sim_lsh_pairs() -> str:
+    table_keys = []
+    for t, planes in enumerate(S.PAIR_HYPERPLANES):
+        hp_lits = [
+            "[" + ", ".join(repr(x) for x in p) + "]::DOUBLE[]" for p in planes
+        ]
+        sig = " + ".join(
+            f"CASE WHEN round(list_sum([v[i] * ({hp_lits[b]})[i] for i in range(1, len(v)+1)]), 6) >= 0 "
+            f"THEN {1 << b} ELSE 0 END"
+            for b in range(len(planes))
+        )
+        table_keys.append(f"'{t}' || '_' || ({sig})::VARCHAR")
+    bands = ",\n      ".join(table_keys)
+    return f"""
+WITH e AS ({SQL_EMB_NEAR_CORPUS}),
+banded AS (
+  SELECT vec_id, v, unnest([
+      {bands}
+  ]) AS band_key
+  FROM e
+),
+cand AS (
+  SELECT DISTINCT l.vec_id AS id_a, r.vec_id AS id_b,
+         l.v AS va, r.v AS vb
+  FROM banded l JOIN banded r USING (band_key)
+  WHERE l.vec_id < r.vec_id
+),
+scored AS (
+  SELECT id_a, id_b,
+         round(CASE WHEN sqrt(list_sum([va[i]*va[i] for i in range(1, len(va)+1)])) > 0
+                     AND sqrt(list_sum([vb[i]*vb[i] for i in range(1, len(vb)+1)])) > 0
+                    THEN list_sum([va[i]*vb[i] for i in range(1, len(va)+1)])
+                         / (sqrt(list_sum([va[i]*va[i] for i in range(1, len(va)+1)]))
+                            * sqrt(list_sum([vb[i]*vb[i] for i in range(1, len(vb)+1)])))
+                    ELSE 0.0 END, 6) AS cos_sim
+  FROM cand
+)
+SELECT id_a, id_b, cos_sim FROM scored WHERE cos_sim >= {LSH_PAIR_THRESHOLD}
 """
 
 
@@ -768,6 +856,7 @@ OPS_QUERIES = {
     "sim_topk_cosine": q_sim_topk_cosine,
     "sim_cosine_pairs": q_sim_cosine_pairs,
     "sim_ann_lsh": q_sim_ann_lsh,
+    "sim_lsh_pairs": q_sim_lsh_pairs,
     "sim_label_centroids": q_sim_label_centroids,
     "sim_ivf_topk": q_sim_ivf_topk,
     "text_langid_heur": q_text_langid_heur,
@@ -790,6 +879,7 @@ OPS_ORACLES = {
     "sim_topk_cosine": SQL_SIM_TOPK,
     "sim_cosine_pairs": SQL_SIM_COSINE_PAIRS,
     "sim_ann_lsh": _sql_ann_lsh(),
+    "sim_lsh_pairs": _sql_sim_lsh_pairs(),
     "sim_label_centroids": SQL_SIM_LABEL_CENTROIDS,
     "sim_ivf_topk": SQL_SIM_IVF_TOPK,
     "text_langid_heur": _sql_langid_heur(),
