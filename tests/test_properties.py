@@ -27,14 +27,14 @@ TEXT = st.text(
 )
 
 
-@settings(max_examples=200, deadline=None)
+@settings(max_examples=200, deadline=None, derandomize=True)
 @given(TEXT)
 def test_py_scrub_is_idempotent(t):
     once = scrub.py_scrub(t)
     assert scrub.py_scrub(once) == once
 
 
-@settings(max_examples=200, deadline=None)
+@settings(max_examples=200, deadline=None, derandomize=True)
 @given(TEXT)
 def test_scrub_removes_every_detected_pattern(t):
     out = scrub.py_scrub(t)
@@ -44,7 +44,7 @@ def test_scrub_removes_every_detected_pattern(t):
     )
 
 
-@settings(max_examples=200, deadline=None)
+@settings(max_examples=200, deadline=None, derandomize=True)
 @given(TEXT)
 def test_features_bounded(t):
     f = textstats.py_features(t)
@@ -55,7 +55,7 @@ def test_features_bounded(t):
         assert f["f_mean_word_len"] > 0
 
 
-@settings(max_examples=100, deadline=None)
+@settings(max_examples=100, deadline=None, derandomize=True)
 @given(TEXT)
 def test_perplexity_positive_finite_or_sentinel(t):
     p = perplexity.ppl_one(t)
@@ -63,7 +63,7 @@ def test_perplexity_positive_finite_or_sentinel(t):
     assert p == 1e9 or p < 1e6
 
 
-@settings(max_examples=100, deadline=None)
+@settings(max_examples=100, deadline=None, derandomize=True)
 @given(TEXT)
 def test_langid_returns_known_label(t):
     lang, margin = predict_one(t)
@@ -71,7 +71,7 @@ def test_langid_returns_known_label(t):
     assert margin >= 0.0
 
 
-@settings(max_examples=100, deadline=None)
+@settings(max_examples=100, deadline=None, derandomize=True)
 @given(TEXT)
 def test_shingles_distinct_and_3grams(t):
     sh = py_shingles(t, 3)
@@ -80,7 +80,7 @@ def test_shingles_distinct_and_3grams(t):
         assert len(s.split(" ")) == 3
 
 
-@settings(max_examples=50, deadline=None)
+@settings(max_examples=50, deadline=None, derandomize=True)
 @given(st.lists(st.text(alphabet="abcdef ", min_size=1, max_size=20), max_size=20))
 def test_minhash_monotone_under_superset(extra):
     """Adding shingles can only lower (or keep) each minhash value."""
@@ -90,7 +90,7 @@ def test_minhash_monotone_under_superset(extra):
     assert all(b <= a for a, b in zip(m1, m2))
 
 
-@settings(max_examples=200, deadline=None)
+@settings(max_examples=200, deadline=None, derandomize=True)
 @given(st.text(max_size=50), st.text(max_size=10))
 def test_py_hash64_range_and_determinism(s, salt):
     h = py_hash64(s, salt)
