@@ -213,6 +213,11 @@ def with_minhash(
         return df.withColumn("shingles", sh).withColumn(
             "minhash", minhash_signature(F.col("shingles"), k)
         )
+    # narrow local inputs (single parquet file → 1-2 splits) serialize the
+    # signature UDF; spread first. At scale file splits already provide this.
+    target = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < target:
+        df = df.repartition(2 * target)
     m = _minhash_udf(n, k)(F.col(text_col))
     return (
         df.withColumn("_mh", m)
@@ -387,6 +392,9 @@ def simhash_pairs(
     byte-bands; verified by Hamming distance ≤ max_hamming."""
     band_bits = bits // bands
     mask = (1 << band_bits) - 1
+    target = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < target:
+        df = df.repartition(2 * target)
     base = df.select(
         id_col, _simhash_udf(n, bits)(F.col(text_col)).alias("simhash")
     ).where(F.col("simhash").isNotNull())
