@@ -56,6 +56,15 @@ def overlapping_periods_global(
     ordered = df.repartitionByRange(n, *[F.col(c) for c in sort_cols])
     ordered = ordered.sortWithinPartitions(*sort_cols)
     ordered = ordered.withColumn("__pid", F.spark_partition_id())
+    # PIN the partitioning: repartitionByRange SAMPLES its boundaries with a
+    # per-job seed (derived from the RDD id), so re-executing the exchange in
+    # the later flag job can place rows in different partitions than the
+    # bounds job saw — the driver stitch would then patch the wrong rows.
+    # Materializing once freezes both the boundaries and the row order; the
+    # flag job reads the same partitions the bounds came from. (Production
+    # analogue at 100 TB: write the range-sorted frame to a temp table and
+    # read it for both passes.)
+    ordered = ordered.localCheckpoint(eager=True)
 
     # phase 1: boundary rows (first/last per partition, tiny)
     bounds = (
@@ -95,21 +104,52 @@ def overlapping_periods_global(
     out_schema = ordered.drop("__pid").schema
 
     def patch(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        # mapInPandas hands ONE partition as a stream of Arrow batches
+        # (spark.sql.execution.arrow.maxRecordsPerBatch rows each) — the
+        # lag/lead chain must run across batch boundaries, stitching only at
+        # true partition edges. State carried between batches: the running
+        # predecessor end, and the partition's last-seen row (its lead(chk)
+        # is unknown until the next batch's first chk, so emission is
+        # deferred one batch). O(batch) memory, never the whole partition.
+        pid = None
+        carry_end = None  # end value of the last row seen so far
+        pending_row: pd.DataFrame | None = None  # deferred last row
+        pending_chk = False
+
+        def _chk(prev_end: pd.Series, start: pd.Series) -> pd.Series:
+            if extremes_exclude:
+                return (prev_end >= start).fillna(False)
+            return (prev_end > start).fillna(False)
+
         for pdf in it:
             if not len(pdf):
                 continue
-            pid = int(pdf["__pid"].iloc[0])
+            if pid is None:
+                pid = int(pdf["__pid"].iloc[0])
+                carry_end = prev_end_for.get(pid)
             prev_end = pdf[end_col].shift(1)
-            stitched = prev_end_for.get(pid)
-            if stitched is not None:
-                prev_end.iloc[0] = stitched
-            if extremes_exclude:
-                chk = (prev_end >= pdf[start_col]).fillna(False)
-            else:
-                chk = (prev_end > pdf[start_col]).fillna(False)
-            lead_chk = chk.shift(-1)
-            lead_chk.iloc[-1] = next_first_chk.get(pid, False)
-            ko = chk | lead_chk.astype(bool)
-            yield pdf.loc[ko.values].drop(columns=["__pid"])
+            if carry_end is not None:
+                prev_end.iloc[0] = carry_end
+            chk = _chk(prev_end, pdf[start_col])
+            if pending_row is not None:
+                # previous batch's last row: its lead(chk) is this batch's
+                # first chk
+                if pending_chk or bool(chk.iloc[0]):
+                    yield pending_row
+            # rows [0, n-2] have their lead within this batch
+            lead_chk = chk.shift(-1, fill_value=False)
+            ko = (chk | lead_chk).iloc[:-1]
+            body = pdf.iloc[:-1]
+            out = body.loc[ko.values].drop(columns=["__pid"])
+            if len(out):
+                yield out
+            pending_row = pdf.iloc[[-1]].drop(columns=["__pid"])
+            pending_chk = bool(chk.iloc[-1])
+            carry_end = pdf[end_col].iloc[-1]
+        if pending_row is not None:
+            # partition's true last row: lead(chk) comes from the driver
+            # stitch (the successor partition's first-row chk)
+            if pending_chk or next_first_chk.get(pid, False):
+                yield pending_row
 
     return ordered.mapInPandas(patch, out_schema)
