@@ -459,6 +459,8 @@ def ngram_jaccard_pairs(
     is p/q with q ≤ |shingle-union| ≪ 2·10⁶, so python/Spark/DuckDB rounding
     agree exactly."""
 
+    id_type = df.schema[id_col].dataType.simpleString()
+
     def block_pairs(pdf: pd.DataFrame) -> pd.DataFrame:
         ids = pdf[id_col].tolist()
         shs = [frozenset(py_shingles(t if isinstance(t, str) else "", n))
@@ -481,5 +483,7 @@ def ngram_jaccard_pairs(
     return (
         df.select(id_col, text_col, *block_cols)
         .groupBy(*block_cols)
-        .applyInPandas(block_pairs, "id_a long, id_b long, jaccard double")
+        .applyInPandas(
+            block_pairs, f"id_a {id_type}, id_b {id_type}, jaccard double"
+        )
     )

@@ -126,6 +126,8 @@ def annotate_pages(
     already provide parallelism and the url-hash salting also breaks up
     pathological host clustering in the input order.
     """
+    if min_parallelism is None:
+        min_parallelism = 0  # documented: None means auto, same as 0
     # lineage: capture the source split BEFORE any exchange (input_file_name
     # is empty once rows cross a shuffle) — north_rule's per-partition
     # lineage: every output row is traceable to (src_file, part_id).

@@ -94,12 +94,13 @@ def not_empty_column(col: str, **kw) -> Rule:
 # ---------------------------------------------------------------------------
 
 
-def duplicate_values(col: str, strategy: str = "window", **kw) -> Rule:
-    """strategy='window' shuffles the FULL frame on the value (fine on slim
-    tables, wrong at 100 TB: the shuffle carries every column, html included).
-    strategy='agg_join' shuffles only the value column (groupBy count>1 →
-    small dup-key set) and joins it back — AQE picks broadcast when the dup
-    set is small, so the wide frame never moves. Same KO set either way."""
+def duplicate_values(col: str, strategy: str = "agg_join", **kw) -> Rule:
+    """strategy='agg_join' (default — the scale path) shuffles only the value
+    column (groupBy count>1 → small dup-key set) and joins it back; AQE picks
+    broadcast when the dup set is small, so the wide frame never moves.
+    strategy='window' shuffles the FULL frame on the value — acceptable on
+    slim tables, wrong at 100 TB (the shuffle carries every column, html
+    included). Same KO set either way."""
     rule_id = kw.pop("rule_id", f"duplicate__{col}")
     description = kw.pop("description", "Duplicated index")
     if strategy == "window":

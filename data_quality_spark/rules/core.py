@@ -218,7 +218,14 @@ class RuleEngine:
         cols = r.output_columns or [
             c for c in df.columns if not c.startswith("__ko_")
         ]
-        sample = flagged.select(*cols).limit(cap + 1).toPandas()
+        # every sample row is stamped with the check's description
+        # (reference check.py:155 appends check_description to KO samples)
+        sample = (
+            flagged.select(*cols)
+            .withColumn("check_description", F.lit(r.description))
+            .limit(cap + 1)
+            .toPandas()
+        )
         over = len(sample) > cap
         if over:
             sample = sample.iloc[:cap]

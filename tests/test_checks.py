@@ -273,6 +273,9 @@ def test_ko_rows_cap(spark):
     eng = RuleEngine([C.not_empty_column("A", max_rows=3)])
     sample, over = eng.ko_rows(df, "not_empty__A")
     assert len(sample) == 3 and over  # check.py:150-154 over-cap flag
+    # every sample row carries the check description (check.py:155)
+    assert "check_description" in sample.columns
+    assert (sample["check_description"] == "Null values in column A").all()
 
 
 def test_ignore_filters(spark, sf_dir):
