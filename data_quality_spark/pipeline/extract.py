@@ -64,6 +64,14 @@ def native_extract(html_col: Column) -> Column:
             F.lit("&"),
         ),
     )
-    return F.when(html_col.isNull(), F.lit(None).cast("string")).otherwise(
-        F.array_join(unescaped, "\n")
+    # parity with py_extract: html WITHOUT a <main> element yields NULL (so
+    # downstream coalesce falls back to the raw text column), while an
+    # EMPTY <main></main> yields "". regexp_extract returns "" for both
+    # no-match and empty-match, so the no-match case needs its own probe —
+    # rlike distinguishes "never matched" from "matched empty".
+    has_main = s.rlike(r"(?s)<main>.*</main>")
+    return (
+        F.when(html_col.isNull(), F.lit(None).cast("string"))
+        .when(~has_main, F.lit(None).cast("string"))
+        .otherwise(F.array_join(unescaped, "\n"))
     )

@@ -45,13 +45,23 @@ def escape_text(t: str) -> str:
     return t.replace("&", "&amp;").replace("<", "&lt;").replace(">", "&gt;")
 
 
-def make_html(text: str) -> bytes:
+def make_html(text: str, variant: str = "main") -> bytes:
+    """variant='main': normal page, paragraphs inside <main>.
+    'no_main': no <main> element at all (extraction yields NULL → pipeline
+    falls back to the raw text column). 'empty_main': a present-but-empty
+    <main></main> (extraction yields "" → empty-text rule fires)."""
     body = "".join(f"<p>{escape_text(line)}</p>" for line in text.split("\n"))
+    if variant == "no_main":
+        middle = body
+    elif variant == "empty_main":
+        middle = f"<main></main><aside>{body}</aside>"
+    else:
+        middle = f"<main>{body}</main>"
     page = (
         "<html><head><title>page</title><style>.x{color:red}</style>"
         "<script>var a=1;</script></head><body>"
         '<nav><a href="/">home</a> | <a href="/about">about</a></nav>'
-        f"<main>{body}</main>"
+        f"{middle}"
         "<footer>&copy; example inc</footer></body></html>"
     )
     return page.encode("utf-8")
@@ -90,7 +100,11 @@ def gen_row(i: int, seed: int = 42) -> dict:
 
     fault = "clean"
     text: str | None = clean_text()
-    if 50 <= cls < 60:
+    if cls == 46:
+        fault = "no_main"  # html exists but has no <main>: text fallback
+    elif cls == 47:
+        fault = "empty_main"  # <main></main> present but empty: "" extract
+    elif 50 <= cls < 60:
         fault = "length"
         if cls % 2 == 0:
             text = _lines(_clean_words(rng, lang, 3))  # too short
@@ -136,7 +150,12 @@ def gen_row(i: int, seed: int = 42) -> dict:
         )
         url = f"https://{_host(prev_rng)}/docs/{seed}-{i - 1}"
 
-    html = None if (fault == "empty" and i % 4 == 0) else make_html(text or "")
+    variant = fault if fault in ("no_main", "empty_main") else "main"
+    html = (
+        None
+        if (fault == "empty" and i % 4 == 0)
+        else make_html(text or "", variant)
+    )
     return {
         "url": url,
         "warc_ts": warc_ts.replace(tzinfo=None),

@@ -771,21 +771,38 @@ SELECT doc_id, {expr} AS scrubbed FROM p
 
 
 # ---------------------------------------------------------------------------
-# quality filter — full pipeline (model stages; rows-only check, no oracle:
-# langid + perplexity are not SQL-expressible)
+# quality filter — full pipeline (model stages). The langid/perplexity models
+# are not SQL-expressible, so the oracle is the MATERIALIZED expected output
+# of the single-process pandas reference (pipeline/expected.py): the Spark
+# query regenerates it for the sf_dir it runs against, and the oracle SQL is
+# a SELECT over that parquet — the same golden-corpus strategy the reference
+# uses (marked expected outcomes in test_df.xlsx).
 # ---------------------------------------------------------------------------
 
 
 def q_qf_pipeline_annotate(spark, sf_dir):
+    from data_quality_spark.pipeline import expected as EXP
     from data_quality_spark.pipeline.quality_filter import annotate_pages
 
+    # refresh the materialized oracle for THIS sf_dir (runs the pandas
+    # reference pipeline, not Spark) before the driver executes the SQL side
+    EXP.write_qf_expected(sf_dir)
+
     docs = _t(spark, sf_dir, "documents")
+    esc = F.replace(
+        F.replace(
+            F.replace(F.col("text"), F.lit("&"), F.lit("&amp;")),
+            F.lit("<"),
+            F.lit("&lt;"),
+        ),
+        F.lit(">"),
+        F.lit("&gt;"),
+    )
     pages = docs.select(
-        F.concat(F.lit("https://ex.example/doc/"), F.col("doc_id").cast("string")).alias("url"),
+        F.concat(F.lit(EXP.URL_PREFIX), F.col("doc_id").cast("string")).alias("url"),
         F.lit("2024-01-01 00:00:00").cast("timestamp").alias("warc_ts"),
         F.encode(
-            F.concat(F.lit("<html><body><p>"), F.col("text"), F.lit("</p></body></html>")),
-            "UTF-8",
+            F.concat(F.lit(EXP.HTML_PRE), esc, F.lit(EXP.HTML_POST)), "UTF-8"
         ).alias("html"),
         F.col("text"),
         F.col("lang"),
@@ -794,6 +811,15 @@ def q_qf_pipeline_annotate(spark, sf_dir):
     return ann.select(
         "url", "keep", "lang_pred", F.round("ppl", 4).alias("ppl_r"),
         F.size("fired_rules").alias("n_fired"),
+    )
+
+
+def _sql_qf_pipeline_annotate() -> str:
+    from data_quality_spark.pipeline.expected import QF_EXPECTED_PATH
+
+    return (
+        "SELECT url, keep, lang_pred, ppl_r, n_fired "
+        f"FROM read_parquet('{QF_EXPECTED_PATH}')"
     )
 
 
@@ -889,5 +915,5 @@ OPS_ORACLES = {
     "multimodal_meta": SQL_MULTIMODAL_META,
     "qf_heuristic_keep": _sql_qf_heuristic_keep(),
     "qf_scrub": _sql_qf_scrub(),
-    # qf_pipeline_annotate: intentionally absent (model UDF stages)
+    "qf_pipeline_annotate": _sql_qf_pipeline_annotate(),
 }

@@ -94,9 +94,42 @@ def test_fault_classes_caught(engine_ann):
     rates = engine_ann.groupby("fault_class")["keep"].mean()
     assert rates["clean"] >= 0.99
     assert rates["pii"] >= 0.99  # warning only — kept
+    # main-less html falls back to the raw text column → clean → kept
+    assert rates["no_main"] >= 0.99
+    # empty <main></main> extracts "" → empty-text rule fires → dropped
+    assert rates["empty_main"] <= 0.01
     for bad in ["empty", "gibberish", "length", "repeated_lines",
                 "symbol_spam", "wrong_lang"]:
         assert rates[bad] <= 0.01, (bad, rates[bad])
+
+
+def test_extract_dual_path_parity(spark):
+    """native_extract must agree byte-for-byte with py_extract on every html
+    shape: normal <main>, NO <main> (→ NULL, so the pipeline falls back to
+    raw text), empty <main></main> (→ ""), entity escapes, NULL html."""
+    from data_quality_spark.pipeline import extract
+    from data_quality_spark.pipeline.pages import make_html
+
+    cases = [
+        make_html("hello world\nsecond <p> & line"),
+        make_html("plain text here", variant="no_main"),
+        make_html("invisible body", variant="empty_main"),
+        b"<html><body>no main at all</body></html>",
+        None,
+    ]
+    df = spark.createDataFrame([(i, c) for i, c in enumerate(cases)],
+                               "i int, html binary")
+    native = {
+        r["i"]: r["t"]
+        for r in df.select(
+            "i", extract.native_extract(F.col("html")).alias("t")
+        ).collect()
+    }
+    for i, c in enumerate(cases):
+        assert native[i] == extract.py_extract(c), (i, native[i])
+    assert native[0] == "hello world\nsecond <p> & line"
+    assert native[1] is None and native[3] is None and native[4] is None
+    assert native[2] == ""
 
 
 def test_pipeline_resume(spark, fixture_path, tmp_path):
