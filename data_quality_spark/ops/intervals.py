@@ -49,6 +49,27 @@ def overlapping_periods_global(
     period_intersection.py:45-50). extremes_exclude=True counts touching
     endpoints (prev_end >= start) as overlap, False requires strict
     (prev_end > start) — the reference's `:29` operator choice."""
+    flagged = overlap_flags_global(
+        df, start_col, end_col, tiebreak_cols, extremes_exclude,
+        num_partitions, flag_col="__overlap_ko",
+    )
+    return flagged.where(F.col("__overlap_ko")).drop("__overlap_ko")
+
+
+def overlap_flags_global(
+    df: DataFrame,
+    start_col: str,
+    end_col: str,
+    tiebreak_cols: list[str] | None = None,
+    extremes_exclude: bool = False,
+    num_partitions: int | None = None,
+    flag_col: str = "__overlap_ko",
+) -> DataFrame:
+    """Same computation, but ANNOTATES every row with a boolean `flag_col`
+    instead of filtering — the shape the Rule engine needs (a rule's
+    violation is a boolean column over a 1:1-preserved frame, so the
+    un-keyed period check can route here via `prepare` instead of funnelling
+    the table through Window.partitionBy(lit(1))'s single task)."""
     tiebreak_cols = tiebreak_cols or []
     sort_cols = [start_col, end_col, *tiebreak_cols]
     n = num_partitions or df.sparkSession.sparkContext.defaultParallelism * 2
@@ -101,7 +122,10 @@ def overlapping_periods_global(
                 info[pid]["__last"][end_col], info[nxt]["__first"][start_col]
             )
 
-    out_schema = ordered.drop("__pid").schema
+    from pyspark.sql.types import BooleanType, StructField
+
+    base_schema = ordered.drop("__pid").schema
+    out_schema = base_schema.add(StructField(flag_col, BooleanType(), False))
 
     def patch(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         # mapInPandas hands ONE partition as a stream of Arrow batches
@@ -134,14 +158,13 @@ def overlapping_periods_global(
             if pending_row is not None:
                 # previous batch's last row: its lead(chk) is this batch's
                 # first chk
-                if pending_chk or bool(chk.iloc[0]):
-                    yield pending_row
+                pending_row[flag_col] = bool(pending_chk or bool(chk.iloc[0]))
+                yield pending_row
             # rows [0, n-2] have their lead within this batch
             lead_chk = chk.shift(-1, fill_value=False)
-            ko = (chk | lead_chk).iloc[:-1]
-            body = pdf.iloc[:-1]
-            out = body.loc[ko.values].drop(columns=["__pid"])
+            out = pdf.iloc[:-1].drop(columns=["__pid"])
             if len(out):
+                out[flag_col] = (chk | lead_chk).iloc[:-1].values
                 yield out
             pending_row = pdf.iloc[[-1]].drop(columns=["__pid"])
             pending_chk = bool(chk.iloc[-1])
@@ -149,7 +172,9 @@ def overlapping_periods_global(
         if pending_row is not None:
             # partition's true last row: lead(chk) comes from the driver
             # stitch (the successor partition's first-row chk)
-            if pending_chk or next_first_chk.get(pid, False):
-                yield pending_row
+            pending_row[flag_col] = bool(
+                pending_chk or next_first_chk.get(pid, False)
+            )
+            yield pending_row
 
     return ordered.mapInPandas(patch, out_schema)

@@ -521,27 +521,52 @@ def period_intersection(
 ) -> Rule:
     if isinstance(id_columns, str):
         id_columns = [id_columns]
+    rule_id = kw.pop("rule_id", f"period_intersection__{start_col}_{end_col}")
+    description = kw.pop(
+        "description", f"Rows intersection on period from {start_col} to {end_col}"
+    )
     start_ts = to_ts(start_col, fmt)
     end_ts = to_ts(end_col, fmt)
     # the reference orders by (id, start) only (period_intersection.py:35-36),
     # which is nondeterministic on start ties; tiebreak_cols pins the order
     # (required for cross-engine oracle parity).
-    order = [start_ts, end_ts] + [F.col(c) for c in (tiebreak_cols or [])]
     if id_columns:
+        order = [start_ts, end_ts] + [F.col(c) for c in (tiebreak_cols or [])]
         part = composite_key(id_columns)
         w = Window.partitionBy(part).orderBy(*order)
-    else:
-        w = Window.partitionBy(F.lit(1)).orderBy(*order)
-    prev_end = F.lag(end_ts).over(w)
-    base = prev_end >= start_ts if extremes_exclude else prev_end > start_ts
-    check = F.coalesce(base, F.lit(False))
-    viol = check | F.coalesce(F.lead(check).over(w), F.lit(False))
+        prev_end = F.lag(end_ts).over(w)
+        base = prev_end >= start_ts if extremes_exclude else prev_end > start_ts
+        check = F.coalesce(base, F.lit(False))
+        viol = check | F.coalesce(F.lead(check).over(w), F.lit(False))
+        return Rule(
+            rule_id=rule_id,
+            description=description,
+            violation=not_empty(start_col) & not_empty(end_col) & viol,
+            **kw,
+        )
+    # UN-KEYED case: Window.partitionBy(lit(1)) would funnel the whole table
+    # through ONE task — instead route through the range-partition +
+    # boundary-stitch operator (ops/intervals.py), which computes the same
+    # lag/lead chain with only 2 boundary rows per partition leaving the
+    # executors. Expressed as a prepare transform producing an aux flag.
+    from data_quality_spark.ops.intervals import overlap_flags_global
+
+    s_aux, e_aux = f"__aux_pis_{rule_id}", f"__aux_pie_{rule_id}"
+    flag_aux = f"__aux_piflag_{rule_id}"
+
+    def prepare(df: DataFrame) -> DataFrame:
+        staged = df.withColumn(s_aux, start_ts).withColumn(e_aux, end_ts)
+        return overlap_flags_global(
+            staged, s_aux, e_aux,
+            tiebreak_cols=list(tiebreak_cols or []),
+            extremes_exclude=extremes_exclude,
+            flag_col=flag_aux,
+        )
+
     return Rule(
-        rule_id=kw.pop("rule_id", f"period_intersection__{start_col}_{end_col}"),
-        description=kw.pop(
-            "description",
-            f"Rows intersection on period from {start_col} to {end_col}",
-        ),
-        violation=not_empty(start_col) & not_empty(end_col) & viol,
+        rule_id=rule_id,
+        description=description,
+        violation=not_empty(start_col) & not_empty(end_col) & F.col(flag_aux),
+        prepare=prepare,
         **kw,
     )

@@ -278,6 +278,47 @@ def test_ko_rows_cap(spark):
     assert (sample["check_description"] == "Null values in column A").all()
 
 
+def test_period_intersection_unkeyed_routes_to_scale_path(spark):
+    """id_columns=None must evaluate via the range-partitioned global
+    operator (no lit(1) window) and return EXACTLY the rows the reference's
+    global window semantics produce (period_intersection.py:31-50)."""
+    import datetime as dt
+
+    from pyspark.sql import Window
+
+    base = dt.datetime(2024, 1, 1)
+    rows = []
+    for i in range(400):
+        start = base + dt.timedelta(minutes=3 * i)
+        dur = 5 if i % 7 == 0 else 2
+        rows.append((i, start, start + dt.timedelta(minutes=dur)))
+    rows.append((9000, None, base))  # null start: never KO, must not crash
+    rows.append((9001, base + dt.timedelta(days=2), None))  # null end
+    df = spark.createDataFrame(
+        rows, "event_id long, s timestamp, e timestamp"
+    )
+    rule = C.period_intersection("s", "e", id_columns=None,
+                                 tiebreak_cols=["event_id"])
+    eng = RuleEngine([rule])
+    got = sorted(
+        r["event_id"]
+        for r in eng.flags(df).where(F.col(f"__ko_{rule.rule_id}")).collect()
+    )
+    # single-task global window reference computation
+    w = Window.orderBy("s", "e", "event_id")
+    chk = F.coalesce(F.lag("e").over(w) > F.col("s"), F.lit(False))
+    ko = (
+        df.withColumn("chk", chk)
+        .withColumn("d", F.col("chk") | F.coalesce(F.lead("chk").over(w), F.lit(False)))
+        .where("d AND s IS NOT NULL AND e IS NOT NULL")
+    )
+    exp = sorted(r["event_id"] for r in ko.collect())
+    assert got == exp and len(exp) > 50
+    # and the plan must contain the mapInPandas stage, not a global window
+    plan = eng.flags(df)._jdf.queryExecution().executedPlan().toString()
+    assert "MapInPandas" in plan
+
+
 def test_ignore_filters(spark, sf_dir):
     """Reference check.py:71-82: rows matching an ignore filter are excluded."""
     from data_quality_spark.session import QualitySession
