@@ -46,6 +46,12 @@ LSH_ROWS = 3
 SIMHASH_BITS = 32
 SIMHASH_BANDS = 4  # 8-bit bands; pairs sharing ≥1 band are candidates
 
+# Buckets larger than this never generate candidate pairs (degenerate-key
+# O(bucket²) guard). Shared by the Spark operators AND the SQL oracles —
+# the dual-path bit-exact invariant requires both sides to drop the same
+# buckets.
+MAX_BUCKET = 1000
+
 
 # ---------------------------------------------------------------------------
 # shingling
@@ -258,12 +264,34 @@ def _jaccard_udf():
     return jac
 
 
+def _text_jaccard_udf(n: int):
+    """Exact Jaccard over word n-gram sets computed FROM RAW TEXT inside the
+    verify stage. Lets candidate generation stay id-only: the verification
+    join pulls (id → text) — already sitting in the source table — instead
+    of shuffling multi-KB shingle arrays through the band exchange. Same
+    shingling/ratio as the shingle-array twin (pinned by the shared
+    py_shingles), so values are bit-identical."""
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("double")
+    def jac(a: pd.Series, b: pd.Series) -> pd.Series:
+        out = []
+        for x, y in zip(a, b):
+            sx = set(py_shingles(x if isinstance(x, str) else "", n))
+            sy = set(py_shingles(y if isinstance(y, str) else "", n))
+            union = len(sx) + len(sy) - len(sx & sy)
+            out.append(len(sx & sy) / union if union > 0 else 0.0)
+        return pd.Series(out, dtype="float64")
+
+    return jac
+
+
 def _pairs_from_buckets(
     banded: DataFrame,
     key_col: str,
     id_col: str,
     payload: list[str],
-    max_bucket: int = 1000,
+    max_bucket: int = MAX_BUCKET,
 ) -> DataFrame:
     """Unordered within-bucket pairs via ONE aggregation (no self-join — a
     self-join would re-evaluate the whole upstream pipeline twice and
@@ -307,38 +335,44 @@ def minhash_lsh_pairs(
 ) -> DataFrame:
     """Near-duplicate pairs (id_a < id_b, jaccard ≥ threshold).
 
-    Plan shape: [project shingles+signature] → [explode bands: (band_key,
-    id, shingles)] → [self-join on band_key] → [distinct pairs] → [exact
-    Jaccard verify]. Only candidate rows carry shingle arrays through the
-    join; the full corpus shuffles (band_key, id, shingles) — at 100 TB
-    swap the shingle payload for a second join back to the docs table.
+    Plan shape (id-only candidates — nothing wide crosses a shuffle):
+    [project signature] → [explode bands: (band_key, id) ONLY] → [bucket
+    aggregation → candidate id pairs] → [distinct] → [join (id → text) back
+    from the source, candidate side broadcast] → [exact Jaccard verify
+    recomputing shingles from text inside the Arrow verify stage].
+    The band exchange payload is one string key + the id; the (small)
+    candidate set broadcasts into two map-side joins against the slim
+    (id, text) projection, so the full corpus never shuffles at all.
     """
     base = (
         with_minhash(df.select(id_col, text_col), text_col, n, k)
         .where(F.size("shingles") > 0)
-        .select(id_col, "shingles", "minhash")
+        .select(id_col, "minhash")
     )
     banded = base.select(
         F.col(id_col),
-        "shingles",
         F.explode(
             F.array(*[_band_key(F.col("minhash"), b, rows) for b in range(bands)])
         ).alias("band_key"),
     )
     cand = (
-        _pairs_from_buckets(banded, "band_key", id_col, [id_col, "shingles"])
+        _pairs_from_buckets(banded, "band_key", id_col, [id_col])
         .select(
             F.col(f"lo.{id_col}").alias("id_a"),
             F.col(f"hi.{id_col}").alias("id_b"),
-            F.col("lo.shingles").alias("sh_a"),
-            F.col("hi.shingles").alias("sh_b"),
         )
         .dropDuplicates(["id_a", "id_b"])
     )
-    return cand.select(
+    txt = df.select(id_col, text_col)
+    ta = txt.select(F.col(id_col).alias("id_a"), F.col(text_col).alias("__ta"))
+    tb = txt.select(F.col(id_col).alias("id_b"), F.col(text_col).alias("__tb"))
+    paired = ta.join(F.broadcast(cand), "id_a").join(tb, "id_b")
+    return paired.select(
         "id_a",
         "id_b",
-        F.round(_jaccard_udf()(F.col("sh_a"), F.col("sh_b")), 6).alias("jaccard"),
+        F.round(_text_jaccard_udf(n)(F.col("__ta"), F.col("__tb")), 6).alias(
+            "jaccard"
+        ),
     ).where(F.col("jaccard") >= threshold)
 
 

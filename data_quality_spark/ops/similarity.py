@@ -193,14 +193,16 @@ def cosine_lsh_pairs(
     scale path (cosine_pairs needs caller-provided blocks). Candidates =
     pairs sharing a full signature in ≥1 of the L hyperplane tables;
     verified exactly (cosine ≥ threshold). Same candidate topology as the
-    MinHash banding: bucket aggregation, no self-join, bucket-size cap."""
+    MinHash banding: bucket aggregation, no self-join, bucket-size cap —
+    and id-only: the band exchange carries (band_key, id), never the
+    vector; verification joins the vectors back (candidate side broadcast,
+    so the corpus-side joins stay map-side)."""
     from data_quality_spark.ops.dedup import _pairs_from_buckets
 
     tables = tables if tables is not None else PAIR_HYPERPLANES
     v = _as_double(F.col(vec_col))
     banded = df.select(
         F.col(id_col).alias("doc_id"),
-        v.alias("v"),
         F.explode(
             F.array(
                 *[
@@ -213,17 +215,21 @@ def cosine_lsh_pairs(
         ).alias("band_key"),
     )
     cand = (
-        _pairs_from_buckets(banded, "band_key", "doc_id", ["doc_id", "v"])
+        _pairs_from_buckets(banded, "band_key", "doc_id", ["doc_id"])
         .select(
             F.col("lo.doc_id").alias("id_a"),
             F.col("hi.doc_id").alias("id_b"),
-            F.col("lo.v").alias("va"),
-            F.col("hi.v").alias("vb"),
         )
         .dropDuplicates(["id_a", "id_b"])
     )
-    return cand.select(
-        "id_a", "id_b", F.round(cosine(F.col("va"), F.col("vb")), 6).alias("cos_sim")
+    vecs = df.select(F.col(id_col), v.alias("__v"))
+    va = vecs.select(F.col(id_col).alias("id_a"), F.col("__v").alias("__va"))
+    vb = vecs.select(F.col(id_col).alias("id_b"), F.col("__v").alias("__vb"))
+    paired = va.join(F.broadcast(cand), "id_a").join(vb, "id_b")
+    return paired.select(
+        "id_a",
+        "id_b",
+        F.round(cosine(F.col("__va"), F.col("__vb")), 6).alias("cos_sim"),
     ).where(F.col("cos_sim") >= threshold)
 
 

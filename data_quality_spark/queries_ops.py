@@ -148,9 +148,15 @@ banded AS (
   ]) AS band_key
   FROM sigs
 ),
+-- mirror of the Spark-side bucket cap (ops.dedup.MAX_BUCKET): degenerate
+-- band keys never generate candidates in EITHER engine
+ok_buckets AS (
+  SELECT band_key FROM banded GROUP BY 1
+  HAVING count(*) BETWEEN 2 AND {D.MAX_BUCKET}
+),
 cand AS (
   SELECT DISTINCT l.doc_id AS id_a, r.doc_id AS id_b
-  FROM banded l JOIN banded r USING (band_key)
+  FROM banded l JOIN banded r USING (band_key) JOIN ok_buckets USING (band_key)
   WHERE l.doc_id < r.doc_id
 ),
 verified AS (
@@ -211,10 +217,14 @@ banded AS (
   ]) AS band_key
   FROM sims
 ),
+ok_buckets AS (
+  SELECT band_key FROM banded GROUP BY 1
+  HAVING count(*) BETWEEN 2 AND {D.MAX_BUCKET}
+),
 cand AS (
   SELECT DISTINCT l.doc_id AS id_a, r.doc_id AS id_b,
          l.simhash AS sim_a, r.simhash AS sim_b
-  FROM banded l JOIN banded r USING (band_key)
+  FROM banded l JOIN banded r USING (band_key) JOIN ok_buckets USING (band_key)
   WHERE l.doc_id < r.doc_id
 )
 SELECT id_a, id_b, bit_count(xor(sim_a, sim_b)) AS hamming
@@ -410,6 +420,8 @@ def q_sim_lsh_pairs(spark, sf_dir):
 
 
 def _sql_sim_lsh_pairs() -> str:
+    from data_quality_spark.ops.dedup import MAX_BUCKET
+
     table_keys = []
     for t, planes in enumerate(S.PAIR_HYPERPLANES):
         hp_lits = [
@@ -430,10 +442,14 @@ banded AS (
   ]) AS band_key
   FROM e
 ),
+ok_buckets AS (
+  SELECT band_key FROM banded GROUP BY 1
+  HAVING count(*) BETWEEN 2 AND {MAX_BUCKET}
+),
 cand AS (
   SELECT DISTINCT l.vec_id AS id_a, r.vec_id AS id_b,
          l.v AS va, r.v AS vb
-  FROM banded l JOIN banded r USING (band_key)
+  FROM banded l JOIN banded r USING (band_key) JOIN ok_buckets USING (band_key)
   WHERE l.vec_id < r.vec_id
 ),
 scored AS (
