@@ -175,9 +175,15 @@ def annotate_pages(
     return df
 
 
-def metrics_by_partition(ann: DataFrame, cfg: QFConfig = DEFAULT_CONFIG) -> DataFrame:
+def metrics_by_partition(
+    ann: DataFrame,
+    cfg: QFConfig = DEFAULT_CONFIG,
+    group_cols: list[str] | None = None,
+) -> DataFrame:
     """Per-(partition, rule) hit counts in one explode-free agg: sums of
-    array_contains over the fired array. Map-side partial agg → tiny shuffle."""
+    array_contains over the fired array. Map-side partial agg → tiny shuffle.
+    group_cols extends the grouping (e.g. ["bucket", "part_id"] so the
+    resumable runner can write metrics partitioned by checkpoint bucket)."""
     rules = quality_rules(cfg)
     aggs = [F.count(F.lit(1)).alias("n_rows"),
             F.sum((~F.col("keep")).cast("long")).alias("n_dropped")] + [
@@ -186,7 +192,7 @@ def metrics_by_partition(ann: DataFrame, cfg: QFConfig = DEFAULT_CONFIG) -> Data
     ]
     if "src_file" in ann.columns:
         aggs.append(F.collect_set("src_file").alias("src_files"))
-    return ann.groupBy("part_id").agg(*aggs)
+    return ann.groupBy(*(group_cols or ["part_id"])).agg(*aggs)
 
 
 def run_pipeline(
@@ -197,37 +203,73 @@ def run_pipeline(
     n_buckets: int = 8,
     resume: bool = True,
 ) -> dict:
-    """Bucketed, resumable run. Buckets = deterministic url-hash ranges;
-    a restart skips buckets already recorded in the manifest."""
+    """Bucketed, resumable run. Buckets = deterministic url-hash ranges; a
+    restart skips buckets already recorded in the manifest.
+
+    Single-pass: ALL pending buckets are processed in ONE job — one FileScan
+    of the input, one annotate pipeline, one partitionBy("bucket") write
+    with dynamic partition overwrite (a re-run replaces only the partitions
+    it writes, never completed ones). The round-1 shape — a filter+write
+    loop per bucket — re-scanned the input n_buckets times (8 buckets = 8×
+    read amplification of a 100 TB table)."""
     os.makedirs(out_dir, exist_ok=True)
     manifest_path = os.path.join(out_dir, "_manifest.json")
     done: dict = {}
     if resume and os.path.exists(manifest_path):
         done = json.load(open(manifest_path))
-    pages = spark.read.parquet(in_path)
-    pages = pages.withColumn(
-        "bucket", F.pmod(F.xxhash64(F.col("url")), F.lit(n_buckets))
-    )
-    stats = {"buckets_done": 0, "buckets_skipped": 0, "rows_kept": 0}
-    for b in range(n_buckets):
-        key = f"bucket={b}"
-        if key in done:
-            stats["buckets_skipped"] += 1
-            continue
-        part = pages.filter(F.col("bucket") == b).drop("bucket")
+    pending = [b for b in range(n_buckets) if f"bucket={b}" not in done]
+    # rows_kept counts THIS invocation's work only (skipped buckets keep
+    # their counts in the manifest, not in stats)
+    stats = {
+        "buckets_done": 0,
+        "buckets_skipped": n_buckets - len(pending),
+        "rows_kept": 0,
+    }
+    if pending:
+        pages = spark.read.parquet(in_path).withColumn(
+            "bucket", F.pmod(F.xxhash64(F.col("url")), F.lit(n_buckets))
+        )
+        part = pages.filter(F.col("bucket").isin(pending))
         ann = annotate_pages(part, cfg)
         out_cols = ["url", "warc_ts", "lang", "lang_pred", "ppl",
-                    "text_scrubbed", "fired_rules", "keep", "part_id", "src_file"]
+                    "text_scrubbed", "fired_rules", "keep", "part_id",
+                    "src_file", "bucket"]
         present = [c for c in out_cols if c in ann.columns]
-        kept_path = os.path.join(out_dir, "kept", key)
-        ann.filter(F.col("keep")).select(*present).write.mode("overwrite").parquet(kept_path)
-        m_path = os.path.join(out_dir, "metrics", key)
-        metrics_by_partition(ann, cfg).write.mode("overwrite").parquet(m_path)
-        n_kept = spark.read.parquet(kept_path).count()
-        done[key] = {"rows_kept": n_kept}
-        stats["buckets_done"] += 1
-        stats["rows_kept"] += n_kept
-        # atomic-ish manifest update per bucket = the resume checkpoint
+        prev_mode = spark.conf.get("spark.sql.sources.partitionOverwriteMode")
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+        try:
+            kept_root = os.path.join(out_dir, "kept")
+            (
+                ann.filter(F.col("keep"))
+                .select(*present)
+                .write.mode("overwrite")
+                .partitionBy("bucket")
+                .parquet(kept_root)
+            )
+            metrics_root = os.path.join(out_dir, "metrics")
+            (
+                metrics_by_partition(ann, cfg, group_cols=["bucket", "part_id"])
+                .write.mode("overwrite")
+                .partitionBy("bucket")
+                .parquet(metrics_root)
+            )
+        finally:
+            spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev_mode)
+        # per-bucket kept counts from the written (columnar, slim) output
+        counts = {
+            r["bucket"]: r["n"]
+            for r in spark.read.parquet(kept_root)
+            .where(F.col("bucket").isin(pending))
+            .groupBy("bucket")
+            .agg(F.count(F.lit(1)).alias("n"))
+            .collect()
+        }
+        for b in pending:
+            n_kept = int(counts.get(b, 0))
+            done[f"bucket={b}"] = {"rows_kept": n_kept}
+            stats["buckets_done"] += 1
+            stats["rows_kept"] += n_kept
+        # manifest update = the resume checkpoint
         with open(manifest_path, "w") as f:
             json.dump(done, f)
     stats["config"] = asdict(cfg)
