@@ -325,6 +325,37 @@ WHERE c_nationkey IS NOT NULL AND CAST(c_nationkey AS VARCHAR) <> ''
 
 
 # ---------------------------------------------------------------------------
+# 13b — match dimension with a FLOAT foreign key: double 7.0 must match dim
+#       key '7' (reference float-key normalization, utils.py:121-125 — its
+#       BigQuery dim tests depend on this, test_check_bigquery.py:251-291)
+# ---------------------------------------------------------------------------
+
+
+def q_match_dimension_floatkey(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem").withColumn(
+        "suppkey_dbl", F.col("l_suppkey").cast("double")
+    )
+    dim = _t(spark, sf_dir, "supplier").where(F.col("s_suppkey") % 5 != 0)
+    rule = C.match_dimension(dim, "suppkey_dbl", "s_suppkey")
+    return _ko_rows(li, rule, ["l_orderkey", "l_linenumber", "suppkey_dbl"])
+
+
+_SQL_NORM = (
+    r"regexp_replace(regexp_replace({k}, '\.([0-9]*[1-9])0+$', '.\1'),"
+    r" '\.0+$', '')"
+)
+
+SQL_MATCH_DIMENSION_FLOATKEY = f"""
+SELECT l_orderkey, l_linenumber, CAST(l_suppkey AS DOUBLE) AS suppkey_dbl
+FROM lineitem
+WHERE l_suppkey IS NOT NULL
+  AND {_SQL_NORM.format(k="CAST(CAST(l_suppkey AS DOUBLE) AS VARCHAR)")} NOT IN (
+      SELECT {_SQL_NORM.format(k="CAST(s_suppkey AS VARCHAR)")}
+      FROM supplier WHERE s_suppkey % 5 <> 0)
+"""
+
+
+# ---------------------------------------------------------------------------
 # 14 — dates order vs dimension (lineitem.l_shipdate >= orders.o_orderdate)
 # ---------------------------------------------------------------------------
 
@@ -467,6 +498,7 @@ CHECK_QUERIES = {
     "match_regex": q_match_regex,
     "custom_condition": q_custom_condition,
     "match_dimension": q_match_dimension,
+    "match_dimension_floatkey": q_match_dimension_floatkey,
     "dates_order_dim": q_dates_order_dim,
     "values_order_dim": q_values_order_dim,
     "period_intersection": q_period_intersection,
@@ -487,6 +519,7 @@ CHECK_ORACLES = {
     "match_regex": SQL_MATCH_REGEX,
     "custom_condition": SQL_CUSTOM_CONDITION,
     "match_dimension": SQL_MATCH_DIMENSION,
+    "match_dimension_floatkey": SQL_MATCH_DIMENSION_FLOATKEY,
     "dates_order_dim": SQL_DATES_ORDER_DIM,
     "values_order_dim": SQL_VALUES_ORDER_DIM,
     "period_intersection": SQL_PERIOD_INTERSECTION,

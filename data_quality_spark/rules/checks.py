@@ -50,15 +50,27 @@ def _ts_or_passthrough(df_col_type: str | None, col: str, fmt: str | None) -> Co
     return to_ts(col, fmt)
 
 
+def norm_key(c: Column | str) -> Column:
+    """String-cast a key column with float normalization: strip trailing
+    zeros after the decimal point and a bare '.0…' tail, so a double FK of
+    1.0 matches a dim key '1' (reference `_clean_string_float_inf_columns_df`,
+    utils.py:121-125 — applied to EVERY key column's stringification in the
+    dimension/period checks). "1.50"→"1.5", "1.0"→"1", "100"→"100"."""
+    s = (F.col(c) if isinstance(c, str) else c).cast("string")
+    s = F.regexp_replace(s, r"\.([0-9]*[1-9])0+$", ".$1")
+    return F.regexp_replace(s, r"\.0+$", "")
+
+
 def composite_key(cols: list[str]) -> Column:
-    """String composite key CONCAT(cast(c as string),'-',...)
-    (match_dimension_table.py:68-89, period_intersection.py:64-68)."""
+    """String composite key CONCAT(cast(c as string),'-',...), each part
+    float-normalized (match_dimension_table.py:68-89,
+    period_intersection.py:64-68)."""
     parts: list[Column] = []
     for i, c in enumerate(cols):
         if i:
             parts.append(F.lit("-"))
-        parts.append(F.col(c).cast("string"))
-    return F.concat(*parts) if len(cols) > 1 else F.col(cols[0]).cast("string")
+        parts.append(norm_key(c))
+    return F.concat(*parts) if len(cols) > 1 else norm_key(cols[0])
 
 
 # ---------------------------------------------------------------------------
@@ -414,8 +426,8 @@ _OPS = {
 
 def _order_vs_dimension(
     dim_df: DataFrame,
-    fk: str,
-    pk: str,
+    fk: str | list[str],
+    pk: str | list[str],
     left_col: str,
     right_col: str,
     operator: str,
@@ -425,24 +437,36 @@ def _order_vs_dimension(
     broadcast_dim: bool = True,
     **kw,
 ) -> Rule:
-    # bring dim's right_column into the fact frame; rename `_2` on clash
-    # (reference behaviour, dates_order_dimension_table.py:131-136)
-    right_out = right_col if right_col not in {left_col, fk} else f"{right_col}_2"
+    # composite FKs: the join key is the float-normalized composite string
+    # (reference joins on the same concatenated tag_key,
+    # values_order_dimension_table.py:160-171)
+    fks = [fk] if isinstance(fk, str) else list(fk)
+    pks = [pk] if isinstance(pk, str) else list(pk)
     keycol = f"__dimo_key_{rule_id}"
+    # the joined dim value lives under a rule-unique internal name (several
+    # fanned-out rules may join the same right_col — a shared name would be
+    # ambiguous in the single combined scan); a visible copy is attached
+    # under the reference's naming (right_col, `_2`-suffixed on clash —
+    # dates_order_dimension_table.py:131-136) for output/sample columns.
+    right_int = f"__aux_dimo_{rule_id}"
 
     def prepare(df: DataFrame) -> DataFrame:
         dim = dim_df.select(
-            F.col(pk).cast("string").alias(keycol),
-            F.col(right_col).alias(right_out),
+            composite_key(pks).alias(keycol),
+            F.col(right_col).alias(right_int),
         ).where(F.col(keycol).isNotNull()).dropDuplicates([keycol])
         if broadcast_dim:
             dim = F.broadcast(dim)
-        return df.join(dim, F.col(fk).cast("string") == F.col(keycol), "left").drop(
-            keycol
-        )
+        joined = df.join(
+            dim, composite_key(fks) == F.col(keycol), "left"
+        ).drop(keycol)
+        visible = right_col if right_col not in df.columns else f"{right_col}_2"
+        if visible not in joined.columns:
+            joined = joined.withColumn(visible, F.col(right_int))
+        return joined
 
     op = _OPS[operator]
-    viol = ~op(cast_fn(left_col), cast_fn(right_out))
+    viol = ~op(cast_fn(left_col), cast_fn(right_int))
     return Rule(
         rule_id=rule_id,
         description=description,
@@ -454,8 +478,8 @@ def _order_vs_dimension(
 
 def dates_order_dimension(
     dim_df: DataFrame,
-    fk: str,
-    pk: str,
+    fk: str | list[str],
+    pk: str | list[str],
     left_col: str,
     right_col: str,
     operator: str = ">=",
@@ -477,8 +501,8 @@ def dates_order_dimension(
 
 def values_order_dimension(
     dim_df: DataFrame,
-    fk: str,
-    pk: str,
+    fk: str | list[str],
+    pk: str | list[str],
     left_col: str,
     right_col: str,
     operator: str = "<=",

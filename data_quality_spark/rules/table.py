@@ -235,30 +235,40 @@ class QualityTable:
             [C.match_dimension(dim_df, foreign_key, primary_key)], eager, **kw
         )
 
+    @staticmethod
+    def _pairs(left_columns, right_columns):
+        """Reference fan-out: one check per (left, right) column pair
+        (table.py:737-776 loops left×right)."""
+        lefts = [left_columns] if isinstance(left_columns, str) else left_columns
+        rights = [right_columns] if isinstance(right_columns, str) else right_columns
+        return [(lc, rc) for lc in lefts for rc in rights]
+
     def check_dates_order_dimension_table(
-        self, dim, foreign_key, primary_key, left_column, right_column,
+        self, dim, foreign_keys, primary_keys, left_columns, right_columns,
         operator=">=", eager=False, **kw,
-    ):  # table.py:737-776
+    ):  # table.py:737-776: lists for FKs (composite) and left/right columns
         dim_df = dim.df if isinstance(dim, QualityTable) else dim
         return self._add(
             [
                 C.dates_order_dimension(
-                    dim_df, foreign_key, primary_key, left_column, right_column, operator
+                    dim_df, foreign_keys, primary_keys, lc, rc, operator
                 )
+                for lc, rc in self._pairs(left_columns, right_columns)
             ],
             eager, **kw,
         )
 
     def check_values_order_dimension_table(
-        self, dim, foreign_key, primary_key, left_column, right_column,
+        self, dim, foreign_keys, primary_keys, left_columns, right_columns,
         operator="<=", eager=False, **kw,
-    ):  # table.py:779-816
+    ):  # table.py:779-816: same left×right fan-out and composite FK support
         dim_df = dim.df if isinstance(dim, QualityTable) else dim
         return self._add(
             [
                 C.values_order_dimension(
-                    dim_df, foreign_key, primary_key, left_column, right_column, operator
+                    dim_df, foreign_keys, primary_keys, lc, rc, operator
                 )
+                for lc, rc in self._pairs(left_columns, right_columns)
             ],
             eager, **kw,
         )

@@ -278,6 +278,47 @@ def test_ko_rows_cap(spark):
     assert (sample["check_description"] == "Null values in column A").all()
 
 
+def test_order_dimension_composite_fk_and_pair_fanout(spark):
+    """Checks 13/14 must accept COMPOSITE foreign keys (2-column dim key,
+    float-normalized) and fan out over left×right column pairs, one rule per
+    pair (reference table.py:737-776 loop; multi-key dims tested there at
+    test_check_bigquery.py:251-291). Expected KOs hand-computed."""
+    from data_quality_spark.rules.table import QualityTable
+
+    fact = spark.createDataFrame(
+        [
+            # (id, ka(double), kb, v1, v2): dim value for (ka,kb) below
+            (1, 1.0, "x", 5.0, 5.0),    # dim v=10: v1<=10 ok, v2<=10 ok
+            (2, 1.0, "x", 20.0, 5.0),   # v1 violates <=10
+            (3, 2.0, "y", 30.0, 40.0),  # dim v=25: both violate
+            (4, 9.0, "z", 100.0, 100.0),  # no dim match → NULL → not KO
+        ],
+        "id int, ka double, kb string, v1 double, v2 double",
+    )
+    dim = spark.createDataFrame(
+        [(1, "x", 10.0), (2, "y", 25.0)], "da int, db string, dv double"
+    )
+    t = QualityTable(fact, name="fact")
+    rules = t.check_values_order_dimension_table(
+        dim, foreign_keys=["ka", "kb"], primary_keys=["da", "db"],
+        left_columns=["v1", "v2"], right_columns="dv", operator="<=",
+    )
+    assert len(rules) == 2  # 2 left × 1 right pairs
+    eng = RuleEngine(rules)
+    flags = eng.flags(fact)
+    ko = {
+        r.rule_id: sorted(
+            x["id"] for x in flags.where(F.col(f"__ko_{r.rule_id}")).collect()
+        )
+        for r in rules
+    }
+    # double FK 1.0 joins int dim key 1 (float normalization)
+    assert ko[rules[0].rule_id] == [2, 3]  # v1 > dv
+    assert ko[rules[1].rule_id] == [3]     # v2 > dv
+    m = {r["rule_id"]: r["n_ko"] for r in eng.metrics(fact).collect()}
+    assert m[rules[0].rule_id] == 2 and m[rules[1].rule_id] == 1
+
+
 def test_period_intersection_unkeyed_routes_to_scale_path(spark):
     """id_columns=None must evaluate via the range-partitioned global
     operator (no lit(1) window) and return EXACTLY the rows the reference's
