@@ -353,6 +353,40 @@ def test_overlapping_periods_global_extremes_exclude(spark):
     assert strict == 0 and touching == 2
 
 
+def test_pair_band_keys_udf_matches_native_fold(spark, sf_dir):
+    """The vectorized Arrow signature UDF must produce EXACTLY the band keys
+    the interpreted Catalyst fold produces (bit-identical dots + identical
+    round-then-sign decisions) over the real embeddings corpus."""
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v")
+    )
+    native = (
+        emb.select(
+            "vec_id",
+            F.array(
+                *[
+                    F.concat_ws(
+                        "_", F.lit(str(t)),
+                        S.lsh_signature(F.col("v"), planes).cast("string"),
+                    )
+                    for t, planes in enumerate(S.PAIR_HYPERPLANES)
+                ]
+            ).alias("keys"),
+        )
+        .collect()
+    )
+    udf = {
+        r["vec_id"]: r["keys"]
+        for r in emb.select(
+            "vec_id",
+            S._pair_band_keys_udf(S.PAIR_HYPERPLANES)(F.col("v")).alias("keys"),
+        ).collect()
+    }
+    assert len(native) > 0
+    for r in native:
+        assert udf[r["vec_id"]] == r["keys"], r["vec_id"]
+
+
 def test_ivf_topk_probes_nearest_cell(spark):
     """Cell 0 holds query-aligned vectors; n_probe=1 must search only cell
     0 and find them; the opposite-direction vector in cell 1 never appears."""
