@@ -145,15 +145,24 @@ def ivf_topk(
     k: int = 10,
     n_probe: int = 1,
     dim: int = EMB_DIM,
+    centroids=None,
 ) -> DataFrame:
     """IVF-style ANN: rank cells by cosine(query, centroid), search the
     n_probe nearest cells exactly, return top-k. Recall < 1 by construction
     (cells not probed are never scanned) — the trade that makes 10^12-vector
     search feasible: the scan touches ~n_probe/n_cells of the corpus, and a
-    cell-partitioned table prunes at the file level."""
+    cell-partitioned table prunes at the file level.
+
+    Pass `centroids` (rows of label_centroids, or any [{cell, centroid}])
+    to reuse a persisted quantizer table instead of recomputing it per
+    query; see train_kmeans_cells/ivf_topk_trained for the trained variant."""
     import math
 
-    cents = label_centroids(df, vec_col, cell_col, dim).collect()
+    cents = (
+        centroids
+        if centroids is not None
+        else label_centroids(df, vec_col, cell_col, dim).collect()
+    )
     q = query_vec
 
     def cos(c: list[float]) -> float:
@@ -166,6 +175,119 @@ def ivf_topk(
     probe = [r["cell"] for r in ranked[:n_probe]]
     cand = df.where(F.col(cell_col).isin(probe))
     return topk_cosine(cand, id_col, vec_col, q, k)
+
+
+# ---------------------------------------------------------------------------
+# trained IVF: deterministic Lloyd's k-means coarse quantizer
+# ---------------------------------------------------------------------------
+
+
+def _assign_cell_expr(vec: Column, centroids: list[list[float]]) -> Column:
+    """argmax_cell cosine(vec, centroid), ties → lowest cell id. Expressed
+    as array_max over (cos, -cell) structs (struct comparison is
+    field-lexicographic, so equal cos falls to the HIGHEST -cell = lowest
+    cell)."""
+    # 6dp-rounded cosine before the argmax: raw float sums differ by an ulp
+    # between engines (sequential fold vs pairwise list_sum), which could
+    # flip near-tied assignments; after rounding, ties resolve by cell id
+    # identically everywhere (same quantization the LSH sign bits use)
+    cands = F.array(
+        *[
+            F.struct(
+                F.round(cosine(vec, _lit_vec(c)), 6).alias("c"),
+                F.lit(-i).alias("nc"),
+            )
+            for i, c in enumerate(centroids)
+        ]
+    )
+    return -F.array_max(cands)["nc"]
+
+
+def train_kmeans_cells(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    k: int = 8,
+    n_iter: int = 3,
+    dim: int = EMB_DIM,
+) -> list[list[float]]:
+    """Deterministic Lloyd's k-means over the embedding column — the TRAINED
+    coarse quantizer for IVF search (replaces using a label column as
+    cells). Init = the vectors of the k smallest ids (no RNG); each
+    iteration assigns by an in-plan cosine-argmax expression (one scan) and
+    recomputes means as 64 codegen'd avg aggregates rounded to 6dp (pins
+    partial-sum combine order, the same trick label_centroids uses). Only
+    the k×dim centroid table ever reaches the driver. At 10^12 vectors,
+    train on a deterministic sample (orderBy id limit n) — the assignment
+    scan shape is unchanged.
+
+    Empty cells keep their previous centroid (classic Lloyd's fallback)."""
+    v = _as_double(F.col(vec_col))
+    seeds = (
+        df.select(F.col(id_col), v.alias("__v"))
+        .orderBy(id_col)
+        .limit(k)
+        .collect()
+    )
+    cents = [[float(x) for x in r["__v"]] for r in seeds]
+    for _ in range(n_iter):
+        assigned = df.select(
+            _assign_cell_expr(v, cents).alias("__cell"), v.alias("__v")
+        )
+        aggs = [
+            F.round(F.avg(F.element_at(F.col("__v"), i + 1)), 6).alias(f"c{i}")
+            for i in range(dim)
+        ]
+        rows = {
+            r["__cell"]: [r[f"c{i}"] for i in range(dim)]
+            for r in assigned.groupBy("__cell").agg(*aggs).collect()
+        }
+        cents = [rows.get(i, cents[i]) for i in range(len(cents))]
+    return cents
+
+
+def centroids_to_df(spark, centroids: list[list[float]]) -> DataFrame:
+    rows = [
+        (cell, pos, float(val))
+        for cell, c in enumerate(centroids)
+        for pos, val in enumerate(c)
+    ]
+    return spark.createDataFrame(rows, "cell int, pos int, val double")
+
+
+def ivf_topk_trained(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    centroids: list[list[float]],
+    query_vec: list[float],
+    k: int = 10,
+    n_probe: int = 1,
+) -> DataFrame:
+    """IVF search against TRAINED centroids: rank cells by cosine(query,
+    centroid) driver-side (k×dim floats — no Spark job), then scan only rows
+    whose assigned cell is probed. With the corpus written partitioned by
+    cell, the probe filter prunes at the file level."""
+    import math
+
+    from data_quality_spark.pipeline.expected import round_half_up
+
+    def cos(c: list[float]) -> float:
+        d = na = nb = 0.0
+        for a, b in zip(c, query_vec):
+            d += a * b
+            na += a * a
+            nb += b * b
+        na, nb = math.sqrt(na), math.sqrt(nb)
+        # 6dp HALF_UP like the in-plan assignment — cell ranking must agree
+        # with the SQL oracle's rounded ranking
+        return round_half_up(d / (na * nb), 6) if na > 0 and nb > 0 else 0.0
+
+    ranked = sorted(range(len(centroids)), key=lambda i: (-cos(centroids[i]), i))
+    probe = ranked[:n_probe]
+    v = _as_double(F.col(vec_col))
+    cand = df.where(_assign_cell_expr(v, centroids).isin(probe))
+    return topk_cosine(cand, id_col, vec_col, query_vec, k)
 
 
 def lsh_signature(vec: Column, planes: list[list[float]] | None = None) -> Column:

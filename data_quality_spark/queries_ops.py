@@ -528,6 +528,112 @@ SELECT vec_id, cos_sim FROM scored ORDER BY cos_sim DESC, vec_id LIMIT {TOPK}
 
 
 # ---------------------------------------------------------------------------
+# similarity 5 — TRAINED IVF: deterministic k-means coarse quantizer,
+# persisted centroid table, probe search against it
+# ---------------------------------------------------------------------------
+
+KMEANS_K = 8
+KMEANS_ITER = 3
+
+
+def _kmeans_path() -> str:
+    import os
+
+    from data_quality_spark.pipeline.expected import EXPECTED_DIR
+
+    return os.path.join(EXPECTED_DIR, "kmeans_centroids.parquet")
+
+
+def _train_and_persist_kmeans(spark, sf_dir) -> list[list[float]]:
+    """Train (deterministic — no RNG anywhere) and persist the centroid
+    table; the SQL oracle reads the SAME persisted table, verifying the
+    probe/search side independently while the training side is pinned by
+    the python-twin pytest."""
+    import os
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    emb = _t(spark, sf_dir, "embeddings")
+    cents = S.train_kmeans_cells(emb, "vec_id", "embedding", KMEANS_K, KMEANS_ITER)
+    rows = [
+        (cell, pos, float(val))
+        for cell, c in enumerate(cents)
+        for pos, val in enumerate(c)
+    ]
+    tbl = pa.Table.from_pylist(
+        [{"cell": c, "pos": p, "val": v} for c, p, v in rows],
+        schema=pa.schema(
+            [("cell", pa.int32()), ("pos", pa.int32()), ("val", pa.float64())]
+        ),
+    )
+    os.makedirs(os.path.dirname(_kmeans_path()), exist_ok=True)
+    pq.write_table(tbl, _kmeans_path())
+    return cents
+
+
+def q_sim_kmeans_centroids(spark, sf_dir):
+    cents = _train_and_persist_kmeans(spark, sf_dir)
+    return S.centroids_to_df(spark, cents)
+
+
+def _sql_kmeans_centroids() -> str:
+    return f"SELECT cell, pos, val FROM read_parquet('{_kmeans_path()}')"
+
+
+IVF_KM_NPROBE = 2
+
+
+def q_sim_ivf_kmeans_topk(spark, sf_dir):
+    cents = _train_and_persist_kmeans(spark, sf_dir)
+    emb = _t(spark, sf_dir, "embeddings")
+    return S.ivf_topk_trained(
+        emb, "vec_id", "embedding", cents, _query_vec(spark, sf_dir),
+        TOPK, n_probe=IVF_KM_NPROBE,
+    )
+
+
+def _sql_ivf_kmeans_topk() -> str:
+    # cosine over a centroid list `c` (already DOUBLE[]) vs query q,
+    # rounded 6dp like the in-plan assignment expression
+    cos_cq = """
+      round(CASE WHEN sqrt(list_sum([c[i]*c[i] for i in range(1, len(c)+1)])) > 0
+                  AND sqrt(list_sum([q[i]*q[i] for i in range(1, len(q)+1)])) > 0
+                 THEN list_sum([c[i]*q[i] for i in range(1, len(c)+1)])
+                      / (sqrt(list_sum([c[i]*c[i] for i in range(1, len(c)+1)]))
+                         * sqrt(list_sum([q[i]*q[i] for i in range(1, len(q)+1)])))
+                 ELSE 0.0 END, 6)
+    """
+    cos_cv = cos_cq.replace("q[", "v[").replace("len(q)", "len(v)")
+    return f"""
+WITH cent AS (
+  SELECT cell, list(val ORDER BY pos) AS c
+  FROM read_parquet('{_kmeans_path()}') GROUP BY 1
+),
+e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+q0 AS (SELECT v AS q FROM e WHERE vec_id = {QUERY_VEC_ID}),
+probe AS (
+  SELECT cell FROM cent, q0 ORDER BY {cos_cq} DESC, cell LIMIT {IVF_KM_NPROBE}
+),
+assign AS (
+  SELECT vec_id, cell FROM (
+    SELECT e.vec_id, cent.cell,
+           row_number() OVER (
+             PARTITION BY e.vec_id ORDER BY {cos_cv} DESC, cent.cell
+           ) AS rn
+    FROM e, cent
+  ) WHERE rn = 1
+),
+scored AS (
+  SELECT e.vec_id, {SQL_COSINE} AS cos_sim
+  FROM e JOIN assign USING (vec_id), q0
+  WHERE assign.cell IN (SELECT cell FROM probe)
+)
+SELECT vec_id, cos_sim FROM scored ORDER BY cos_sim DESC, vec_id LIMIT {TOPK}
+"""
+
+
+# ---------------------------------------------------------------------------
 # text 1 — heuristic language-ID
 # ---------------------------------------------------------------------------
 
@@ -901,6 +1007,8 @@ OPS_QUERIES = {
     "sim_lsh_pairs": q_sim_lsh_pairs,
     "sim_label_centroids": q_sim_label_centroids,
     "sim_ivf_topk": q_sim_ivf_topk,
+    "sim_kmeans_centroids": q_sim_kmeans_centroids,
+    "sim_ivf_kmeans_topk": q_sim_ivf_kmeans_topk,
     "text_langid_heur": q_text_langid_heur,
     "text_quality_score": q_text_quality_score,
     "text_token_counts": q_text_token_counts,
@@ -924,6 +1032,8 @@ OPS_ORACLES = {
     "sim_lsh_pairs": _sql_sim_lsh_pairs(),
     "sim_label_centroids": SQL_SIM_LABEL_CENTROIDS,
     "sim_ivf_topk": SQL_SIM_IVF_TOPK,
+    "sim_kmeans_centroids": _sql_kmeans_centroids(),
+    "sim_ivf_kmeans_topk": _sql_ivf_kmeans_topk(),
     "text_langid_heur": _sql_langid_heur(),
     "text_quality_score": _sql_quality_score(),
     "text_token_counts": SQL_TOKEN_COUNTS,

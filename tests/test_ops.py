@@ -404,6 +404,74 @@ def test_ivf_topk_probes_nearest_cell(spark):
     assert ids == [1, 2, 3]
 
 
+def test_train_kmeans_matches_python_twin(spark, sf_dir):
+    """Deterministic Lloyd's: same init (k smallest ids), same rounded-6dp
+    assignment/means — a plain-numpy twin must land on the same centroids
+    (tolerance one 6dp grid step for partial-sum-order noise in the mean)."""
+    import numpy as np
+    import pyarrow.parquet as pq
+
+    from data_quality_spark.pipeline.expected import round_half_up
+
+    K, ITERS = 4, 2
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    got = np.array(S.train_kmeans_cells(emb, "vec_id", "embedding", K, ITERS))
+
+    t = pq.read_table(f"{sf_dir}/embeddings.parquet",
+                      columns=["vec_id", "embedding"]).to_pandas()
+    t = t.sort_values("vec_id").reset_index(drop=True)
+    V = np.array([np.asarray(v, dtype=np.float64) for v in t["embedding"]])
+    cents = V[:K].copy()
+
+    def seq_dot(a, b):
+        acc = 0.0
+        for x, y in zip(a, b):
+            acc += x * y
+        return acc
+
+    for _ in range(ITERS):
+        assign = []
+        for v in V:
+            nv = np.sqrt(seq_dot(v, v))
+            best = None
+            for ci, c in enumerate(cents):
+                nc = np.sqrt(seq_dot(c, c))
+                cs = seq_dot(v, c) / (nv * nc) if nv > 0 and nc > 0 else 0.0
+                cs = round_half_up(cs, 6)
+                if best is None or cs > best[0]:
+                    best = (cs, ci)
+            assign.append(best[1])
+        assign = np.array(assign)
+        new = []
+        for ci in range(K):
+            members = V[assign == ci]
+            if len(members):
+                new.append([round_half_up(float(m), 6)
+                            for m in members.mean(axis=0)])
+            else:
+                new.append(list(cents[ci]))
+        cents = np.array(new)
+    assert np.allclose(got, cents, atol=2e-6), np.abs(got - cents).max()
+
+
+def test_ivf_kmeans_recall(spark, sf_dir):
+    """Trained-IVF probe search must recover most of the exact top-10 at
+    n_probe=2 of 8 cells (recall < 1 by construction — the documented
+    approximation that makes the scan touch ~n_probe/k of the corpus)."""
+    from data_quality_spark.queries_ops import _query_vec
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    q = _query_vec(spark, sf_dir)
+    cents = S.train_kmeans_cells(emb, "vec_id", "embedding", 8, 3)
+    approx = {r["vec_id"] for r in
+              S.ivf_topk_trained(emb, "vec_id", "embedding", cents, q,
+                                 k=10, n_probe=2).collect()}
+    exact = {r["vec_id"] for r in
+             S.topk_cosine(emb, "vec_id", "embedding", q, k=10).collect()}
+    recall = len(approx & exact) / len(exact)
+    assert recall >= 0.7, recall
+
+
 def test_label_centroids_values(spark):
     df = spark.createDataFrame(
         [(1, [1.0, 3.0], 0), (2, [3.0, 5.0], 0), (3, [10.0, 0.0], 1)],
