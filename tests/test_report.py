@@ -27,7 +27,13 @@ def test_html_report(spark, sf_dir, tmp_path):
     html = open(out).read()
     assert "orders" in html and "rows KO" in html
     assert "not between 0 and 300000" in html
-    assert "sample failing rows" in html
+    # interactive surface: tabs, gauges, toggleable per-check samples,
+    # sortable columns — all inline, no external JS/CSS
+    assert "tabbar" in html and "showTab" in html
+    assert "<svg" in html and "gauge" in html
+    assert "tglSample" in html and "class='sample'" in html
+    assert "sortBy" in html
+    assert "cdn" not in html.lower() and "http://" not in html and "https://" not in html
 
 
 def test_export_details_csv_fallback(spark, sf_dir, tmp_path):
