@@ -45,6 +45,8 @@ HEADLINE = [
     "sim_ann_lsh",
     "sim_lsh_pairs",
     "sim_ivf_topk",
+    "sim_ivf_kmeans_topk",   # k-means training + probe search
+    "match_dimension_floatkey",
     "period_overlap_global",
     "text_quality_score",
     "doc_fingerprint",

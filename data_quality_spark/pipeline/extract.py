@@ -54,8 +54,14 @@ def spark_udf():
 
 def native_extract(html_col: Column) -> Column:
     s = F.decode(html_col, "UTF-8")
-    main = F.regexp_extract(s, r"(?s)<main>(.*)</main>", 1)
-    paras = F.regexp_extract_all(main, F.lit(r"(?s)<p>(.*?)</p>"), F.lit(1))
+    # ONE regex pass over the (large) html: extract the FULL match (group 0,
+    # "<main>…</main>") — it is "" exactly when no <main> element exists, so
+    # no-match vs matched-empty is distinguishable without a second rlike
+    # probe, and the inner content is a cheap substring (len - 6 - 7 tag
+    # chars) instead of a second group-1 extraction.
+    m0 = F.regexp_extract(s, r"(?s)<main>(.*)</main>", 0)
+    inner = m0.substr(F.lit(7), F.length(m0) - 13)
+    paras = F.regexp_extract_all(inner, F.lit(r"(?s)<p>(.*?)</p>"), F.lit(1))
     unescaped = F.transform(
         paras,
         lambda p: F.replace(
@@ -64,14 +70,11 @@ def native_extract(html_col: Column) -> Column:
             F.lit("&"),
         ),
     )
-    # parity with py_extract: html WITHOUT a <main> element yields NULL (so
-    # downstream coalesce falls back to the raw text column), while an
-    # EMPTY <main></main> yields "". regexp_extract returns "" for both
-    # no-match and empty-match, so the no-match case needs its own probe —
-    # rlike distinguishes "never matched" from "matched empty".
-    has_main = s.rlike(r"(?s)<main>.*</main>")
+    # parity with py_extract: html WITHOUT a <main> element yields NULL (the
+    # downstream coalesce then falls back to the raw text column); an EMPTY
+    # <main></main> yields "".
     return (
         F.when(html_col.isNull(), F.lit(None).cast("string"))
-        .when(~has_main, F.lit(None).cast("string"))
+        .when(m0 == "", F.lit(None).cast("string"))
         .otherwise(F.array_join(unescaped, "\n"))
     )

@@ -404,6 +404,28 @@ def test_ivf_topk_probes_nearest_cell(spark):
     assert ids == [1, 2, 3]
 
 
+def test_assign_cells_udf_matches_native_expr(spark, sf_dir):
+    """The Arrow assignment UDF and the Catalyst fold expression must agree
+    on every vector (same rounded cosines, same tie resolution)."""
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v")
+    )
+    cents = S.train_kmeans_cells(emb, "vec_id", "v", 4, 1)
+    native = {
+        r["vec_id"]: r["c"]
+        for r in emb.select(
+            "vec_id", S.assign_cells(F.col("v"), cents, "native").alias("c")
+        ).collect()
+    }
+    udf = {
+        r["vec_id"]: r["c"]
+        for r in emb.select(
+            "vec_id", S.assign_cells(F.col("v"), cents, "udf").alias("c")
+        ).collect()
+    }
+    assert len(native) > 0 and native == udf
+
+
 def test_train_kmeans_matches_python_twin(spark, sf_dir):
     """Deterministic Lloyd's: same init (k smallest ids), same rounded-6dp
     assignment/means — a plain-numpy twin must land on the same centroids
