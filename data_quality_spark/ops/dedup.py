@@ -376,6 +376,21 @@ def minhash_lsh_pairs(
     ).where(F.col("jaccard") >= threshold)
 
 
+def drop_near_dups(df: DataFrame, id_col: str, pairs: DataFrame) -> DataFrame:
+    """Survivor set after near-dedup: drop every row appearing as the
+    HIGHER id of a verified pair (pairs carry id_a < id_b). Works with any
+    pair source (minhash_lsh_pairs / simhash_pairs / cosine_lsh_pairs).
+
+    Keep-lowest is the standard near-dedup survivor policy: in a chain
+    a–b, b–c the rows b and c each appear as some pair's id_b and drop,
+    keeping a — no transitive-closure/connected-components pass needed
+    (which would cost an iterative shuffle per hop at 100 TB). Plan shape:
+    the (small) loser-id set anti-joins the corpus — AQE broadcasts it, so
+    the wide frame never shuffles."""
+    losers = pairs.select(F.col("id_b").alias(id_col)).distinct()
+    return df.join(losers, on=id_col, how="left_anti")
+
+
 # ---------------------------------------------------------------------------
 # 3 — SimHash
 # ---------------------------------------------------------------------------

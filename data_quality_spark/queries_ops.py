@@ -170,6 +170,24 @@ SELECT id_a, id_b, jaccard FROM verified WHERE jaccard >= {MINHASH_THRESHOLD}
 """
 
 
+def q_dedup_minhash_drop(spark, sf_dir):
+    """Near-dedup survivor set (keep-lowest policy over the verified
+    MinHash-LSH pairs): the row set a training pipeline actually feeds
+    downstream."""
+    corpus = _near_dup_corpus(spark, sf_dir)
+    pairs = D.minhash_lsh_pairs(
+        corpus, "doc_id", "text", threshold=MINHASH_THRESHOLD
+    )
+    return D.drop_near_dups(corpus, "doc_id", pairs).select("doc_id")
+
+
+def _sql_minhash_drop() -> str:
+    return f"""
+SELECT doc_id FROM ({SQL_NEAR_CORPUS})
+WHERE doc_id NOT IN (SELECT id_b FROM ({_sql_minhash_lsh()}))
+"""
+
+
 # ---------------------------------------------------------------------------
 # dedup 3 — SimHash (32-bit, 4 byte-bands, Hamming <= 6)
 # ---------------------------------------------------------------------------
@@ -999,6 +1017,7 @@ OPS_QUERIES = {
     "dedup_exact_drop": q_dedup_exact_drop,
     "period_overlap_global": q_period_overlap_global,
     "dedup_minhash_lsh": q_dedup_minhash_lsh,
+    "dedup_minhash_drop": q_dedup_minhash_drop,
     "dedup_simhash": q_dedup_simhash,
     "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
     "sim_topk_cosine": q_sim_topk_cosine,
@@ -1024,6 +1043,7 @@ OPS_ORACLES = {
     "dedup_exact_drop": SQL_DEDUP_EXACT_DROP,
     "period_overlap_global": SQL_PERIOD_OVERLAP_GLOBAL,
     "dedup_minhash_lsh": _sql_minhash_lsh(),
+    "dedup_minhash_drop": _sql_minhash_drop(),
     "dedup_simhash": _sql_simhash(),
     "dedup_ngram_jaccard": SQL_DEDUP_NGRAM_JACCARD,
     "sim_topk_cosine": SQL_SIM_TOPK,

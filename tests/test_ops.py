@@ -93,6 +93,14 @@ def test_minhash_lsh_pairs(spark):
     assert all(4 not in p for p in got)  # unrelated doc never pairs
 
 
+def test_drop_near_dups_keep_lowest(spark):
+    pairs = D.minhash_lsh_pairs(_docs(spark), "doc_id", "text", threshold=0.5)
+    kept = D.drop_near_dups(_docs(spark), "doc_id", pairs)
+    ids = sorted(r["doc_id"] for r in kept.collect())
+    # 2 (exact dup of 1) and 3 (near dup of 1) drop; 1, 4, null-text row stay
+    assert ids == [1, 4, 5]
+
+
 def test_simhash_identical_and_distinct(spark):
     out = D.simhash_pairs(_docs(spark), "doc_id", "text", max_hamming=3)
     got = {(r["id_a"], r["id_b"]): r["hamming"] for r in out.collect()}
