@@ -104,6 +104,103 @@ def token_counts(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# corpus statistics
+# ---------------------------------------------------------------------------
+
+
+def top_tokens(df: DataFrame, text_col: str, k: int = 20) -> DataFrame:
+    """(token, n): the k most frequent whitespace tokens corpus-wide, ties
+    broken by token ascending. Plan shape at 100 TB: explode is map-only,
+    the count is a partial aggregate (map-side combine collapses each
+    partition to its distinct tokens before the exchange — token frequency
+    follows Zipf, so hot keys are EXACTLY the ones partial agg compresses
+    best), and the top-k is TakeOrderedAndProject (per-partition heap, no
+    global sort)."""
+    toks = df.select(F.explode(_toks(F.col(text_col))).alias("token"))
+    counted = toks.groupBy("token").agg(F.count(F.lit(1)).alias("n"))
+    return counted.orderBy(F.col("n").desc(), F.col("token")).limit(k)
+
+
+def group_doc_stats(df: DataFrame, group_col: str, text_col: str) -> DataFrame:
+    """Per-group corpus stats: (group, n_docs, total_words, avg_words,
+    n_langs if a lang column exists). All aggregates are algebraic, so
+    Spark's partial aggregation already neutralizes group-key skew (each
+    hot key collapses to one partial row per partition before the
+    exchange) — no salting needed for sums/counts."""
+    aggs = [
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.size(_toks(F.col(text_col))).cast("long")).alias("total_words"),
+        F.round(F.avg(F.size(_toks(F.col(text_col)))), 6).alias("avg_words"),
+    ]
+    if "lang" in df.columns:
+        aggs.append(F.countDistinct("lang").alias("n_langs"))
+    return df.groupBy(F.col(group_col).alias("grp")).agg(*aggs)
+
+
+# ---------------------------------------------------------------------------
+# benchmark-contamination check (n-gram overlap vs a probe set)
+# ---------------------------------------------------------------------------
+
+
+def _shingle_hash_udf(n: int):
+    from pyspark.sql.functions import pandas_udf
+
+    from data_quality_spark.ops.dedup import py_shingles
+    from data_quality_spark.ops.hashing import py_hash64
+
+    @pandas_udf("array<bigint>")
+    def sh(texts: pd.Series) -> pd.Series:
+        return pd.Series(
+            [
+                [py_hash64(s) for s in py_shingles(t if isinstance(t, str) else "", n)]
+                for t in texts
+            ]
+        )
+
+    return sh
+
+
+def contamination(
+    corpus: DataFrame,
+    probe: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 3,
+) -> DataFrame:
+    """Benchmark-contamination scan: for each PROBE document (e.g. an eval
+    set), the fraction of its distinct word n-grams that appear anywhere in
+    the (training) CORPUS → (id, n_shingles, n_hit, overlap).
+
+    Scale shape — the corpus side NEVER shuffles: the (small) probe shingle
+    set broadcasts into a map-only semi-join over the corpus shingles, and
+    only the surviving hit-hashes (≤ |probe shingles|) are aggregated. The
+    classic wrong plan — corpus-shingles.distinct() then join — would
+    shuffle the full corpus's shingle set.
+    """
+    sh = _shingle_hash_udf(n)
+    probe_sh = probe.select(
+        F.col(id_col), F.explode(sh(F.col(text_col))).alias("h")
+    ).dropDuplicates([id_col, "h"])
+    probe_hashes = probe_sh.select("h").distinct()
+    corpus_sh = corpus.select(F.explode(sh(F.col(text_col))).alias("h"))
+    hit_hashes = (
+        corpus_sh.join(F.broadcast(probe_hashes), "h", "left_semi")
+        .distinct()
+        .withColumn("__hit", F.lit(True))
+    )
+    joined = probe_sh.join(F.broadcast(hit_hashes), "h", "left")
+    return joined.groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("n_shingles"),
+        F.sum(F.coalesce(F.col("__hit"), F.lit(False)).cast("long")).alias("n_hit"),
+        F.round(
+            F.sum(F.coalesce(F.col("__hit"), F.lit(False)).cast("long"))
+            / F.count(F.lit(1)),
+            6,
+        ).alias("overlap"),
+    )
+
+
+# ---------------------------------------------------------------------------
 # document fingerprinting (winnowing-style min-hash selection)
 # ---------------------------------------------------------------------------
 

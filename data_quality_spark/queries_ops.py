@@ -762,6 +762,79 @@ FROM hs
 
 
 # ---------------------------------------------------------------------------
+# text 5 — corpus statistics: top-k tokens, per-source stats
+# ---------------------------------------------------------------------------
+
+TOP_TOKENS_K = 20
+
+
+def q_text_top_tokens(spark, sf_dir):
+    return T.top_tokens(_t(spark, sf_dir, "documents"), "text", TOP_TOKENS_K)
+
+
+SQL_TEXT_TOP_TOKENS = f"""
+SELECT token, count(*) AS n FROM (
+  SELECT unnest({SQL_TOKS}) AS token FROM documents
+) GROUP BY 1 ORDER BY n DESC, token LIMIT {TOP_TOKENS_K}
+"""
+
+
+def q_text_group_stats(spark, sf_dir):
+    return T.group_doc_stats(_t(spark, sf_dir, "documents"), "source", "text")
+
+
+SQL_TEXT_GROUP_STATS = f"""
+SELECT source AS grp, count(*) AS n_docs,
+       sum(len({SQL_TOKS}))::BIGINT AS total_words,
+       round(avg(len({SQL_TOKS})), 6) AS avg_words,
+       count(DISTINCT lang) AS n_langs
+FROM documents GROUP BY 1
+"""
+
+
+# ---------------------------------------------------------------------------
+# text 6 — benchmark-contamination scan (probe n-gram overlap vs corpus)
+# ---------------------------------------------------------------------------
+
+
+def q_text_contamination(spark, sf_dir):
+    """Probe set = every 50th doc (stand-in benchmark/eval set); corpus =
+    the rest. Output: per-probe fraction of its distinct 3-gram shingles
+    found anywhere in the corpus."""
+    docs = _t(spark, sf_dir, "documents")
+    probe = docs.where(F.col("doc_id") % 50 == 0)
+    corpus = docs.where(F.col("doc_id") % 50 != 0)
+    return T.contamination(corpus, probe, "doc_id", "text")
+
+
+def _sql_contamination() -> str:
+    h = sql_hash64("s")
+    return f"""
+WITH probe_sh AS (
+  SELECT DISTINCT doc_id, unnest(list_transform(sh, s -> {h})) AS h
+  FROM (
+    SELECT doc_id, {SQL_SHINGLES} AS sh
+    FROM (SELECT doc_id, {SQL_TOKS} AS toks FROM documents WHERE doc_id % 50 = 0)
+  )
+),
+corpus_sh AS (
+  SELECT DISTINCT unnest(list_transform(sh, s -> {h})) AS h
+  FROM (
+    SELECT {SQL_SHINGLES} AS sh
+    FROM (SELECT {SQL_TOKS} AS toks FROM documents WHERE doc_id % 50 <> 0)
+  )
+)
+SELECT doc_id,
+       count(*) AS n_shingles,
+       sum(CASE WHEN c.h IS NOT NULL THEN 1 ELSE 0 END)::BIGINT AS n_hit,
+       round(sum(CASE WHEN c.h IS NOT NULL THEN 1 ELSE 0 END)::DOUBLE
+             / count(*), 6) AS overlap
+FROM probe_sh p LEFT JOIN corpus_sh c USING (h)
+GROUP BY doc_id
+"""
+
+
+# ---------------------------------------------------------------------------
 # multimodal — binary payload plumbing through mapInPandas
 # ---------------------------------------------------------------------------
 
@@ -1031,6 +1104,9 @@ OPS_QUERIES = {
     "text_langid_heur": q_text_langid_heur,
     "text_quality_score": q_text_quality_score,
     "text_token_counts": q_text_token_counts,
+    "text_top_tokens": q_text_top_tokens,
+    "text_group_stats": q_text_group_stats,
+    "text_contamination": q_text_contamination,
     "doc_fingerprint": q_doc_fingerprint,
     "multimodal_meta": q_multimodal_meta,
     "qf_heuristic_keep": q_qf_heuristic_keep,
@@ -1057,6 +1133,9 @@ OPS_ORACLES = {
     "text_langid_heur": _sql_langid_heur(),
     "text_quality_score": _sql_quality_score(),
     "text_token_counts": SQL_TOKEN_COUNTS,
+    "text_top_tokens": SQL_TEXT_TOP_TOKENS,
+    "text_group_stats": SQL_TEXT_GROUP_STATS,
+    "text_contamination": _sql_contamination(),
     "doc_fingerprint": SQL_DOC_FINGERPRINT,
     "multimodal_meta": SQL_MULTIMODAL_META,
     "qf_heuristic_keep": _sql_qf_heuristic_keep(),

@@ -192,6 +192,41 @@ def test_token_counts(spark):
     assert r["n_bpe_tokens"] == 6
 
 
+def test_top_tokens(spark):
+    df = spark.createDataFrame(
+        [(1, "a b a"), (2, "a c c"), (3, None)], "doc_id long, text string"
+    )
+    out = [(r["token"], r["n"]) for r in T.top_tokens(df, "text", 3).collect()]
+    assert out == [("a", 3), ("c", 2), ("b", 1)]
+
+
+def test_group_doc_stats(spark):
+    df = spark.createDataFrame(
+        [(1, "a b c", "en", "s1"), (2, "d e", "de", "s1"), (3, "f", "en", "s2")],
+        "doc_id long, text string, lang string, source string",
+    )
+    got = {r["grp"]: r for r in T.group_doc_stats(df, "source", "text").collect()}
+    assert got["s1"]["n_docs"] == 2 and got["s1"]["total_words"] == 5
+    assert got["s1"]["avg_words"] == 2.5 and got["s1"]["n_langs"] == 2
+    assert got["s2"]["total_words"] == 1
+
+
+def test_contamination_fractions(spark):
+    corpus = spark.createDataFrame(
+        [(10, "w x y z q"), (11, "unrelated words entirely here")],
+        "doc_id long, text string",
+    )
+    probe = spark.createDataFrame(
+        [(1, "w x y z q"),        # every shingle present → overlap 1.0
+         (2, "totally novel text never seen")],  # none present → 0.0
+        "doc_id long, text string",
+    )
+    got = {r["doc_id"]: r for r in
+           T.contamination(corpus, probe, "doc_id", "text").collect()}
+    assert got[1]["overlap"] == 1.0 and got[1]["n_hit"] == got[1]["n_shingles"]
+    assert got[2]["overlap"] == 0.0 and got[2]["n_hit"] == 0
+
+
 def test_quality_score_bounds(spark):
     df = spark.createDataFrame(
         [(1, "the of and to in is it that for was " * 20), (2, "#### @@@@ ^^^^")],
