@@ -137,6 +137,25 @@ def group_doc_stats(df: DataFrame, group_col: str, text_col: str) -> DataFrame:
     return df.groupBy(F.col(group_col).alias("grp")).agg(*aggs)
 
 
+def group_quota(
+    df: DataFrame, group_col: str, order_col: str, quota: int
+) -> DataFrame:
+    """Per-group admission cap: keep the first `quota` rows of each group in
+    `order_col` order (training-data use: cap any single host/domain's
+    contribution to the corpus). Windowed rank per group — the partition key
+    (host) has cardinality ≫ executors at web scale, so the window
+    parallelizes; the streaming twin with true arrival-order state is
+    streaming.host_quota_stream."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(group_col).orderBy(order_col)
+    return (
+        df.withColumn("__rn", F.row_number().over(w))
+        .where(F.col("__rn") <= quota)
+        .drop("__rn")
+    )
+
+
 # ---------------------------------------------------------------------------
 # benchmark-contamination check (n-gram overlap vs a probe set)
 # ---------------------------------------------------------------------------

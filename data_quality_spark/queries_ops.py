@@ -797,6 +797,24 @@ FROM documents GROUP BY 1
 # ---------------------------------------------------------------------------
 
 
+HOST_QUOTA = 10
+
+
+def q_host_quota(spark, sf_dir):
+    """Per-source admission cap: first 10 docs per source by doc_id (caps
+    any one host/domain's contribution to a training corpus)."""
+    docs = _t(spark, sf_dir, "documents")
+    return T.group_quota(docs, "source", "doc_id", HOST_QUOTA).select(
+        "doc_id", "source"
+    )
+
+
+SQL_HOST_QUOTA = f"""
+SELECT doc_id, source FROM documents
+QUALIFY row_number() OVER (PARTITION BY source ORDER BY doc_id) <= {HOST_QUOTA}
+"""
+
+
 def q_text_contamination(spark, sf_dir):
     """Probe set = every 50th doc (stand-in benchmark/eval set); corpus =
     the rest. Output: per-probe fraction of its distinct 3-gram shingles
@@ -1107,6 +1125,7 @@ OPS_QUERIES = {
     "text_top_tokens": q_text_top_tokens,
     "text_group_stats": q_text_group_stats,
     "text_contamination": q_text_contamination,
+    "host_quota": q_host_quota,
     "doc_fingerprint": q_doc_fingerprint,
     "multimodal_meta": q_multimodal_meta,
     "qf_heuristic_keep": q_qf_heuristic_keep,
@@ -1136,6 +1155,7 @@ OPS_ORACLES = {
     "text_top_tokens": SQL_TEXT_TOP_TOKENS,
     "text_group_stats": SQL_TEXT_GROUP_STATS,
     "text_contamination": _sql_contamination(),
+    "host_quota": SQL_HOST_QUOTA,
     "doc_fingerprint": SQL_DOC_FINGERPRINT,
     "multimodal_meta": SQL_MULTIMODAL_META,
     "qf_heuristic_keep": _sql_qf_heuristic_keep(),

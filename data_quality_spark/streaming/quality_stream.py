@@ -105,6 +105,51 @@ def stream_quality_filter(
     return writer.start()
 
 
+def host_quota_stream(
+    pages: DataFrame,
+    quota: int,
+    host_col: str = "host",
+) -> DataFrame:
+    """CUSTOM STATEFUL streaming operator via applyInPandasWithState:
+    per-host admission cap across the whole stream — each host contributes
+    at most `quota` documents, in arrival order, with the admitted count
+    carried in group state between micro-batches (the streaming twin of the
+    batch `ops.textops.group_quota`; batch uses a rank window, a stream
+    needs true cross-batch state).
+
+    Input must already carry `host_col` (e.g. parse_url(url, 'HOST')).
+    Returns the admitted-rows stream (append semantics). State per host is
+    ONE long — 10^9 hosts ≈ a few GB of state store, fine for RocksDB state
+    backends at scale."""
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    out_schema = pages.schema
+    fields = [f.name for f in out_schema.fields]
+
+    def admit(key, pdfs, state):
+        n = state.get[0] if state.exists else 0
+        for pdf in pdfs:
+            room = quota - n
+            if room <= 0:
+                continue  # keep draining the iterator; nothing admitted
+            sel = pdf.iloc[:room]
+            n += len(sel)
+            yield sel[fields]
+        state.update((n,))
+
+    return (
+        pages.groupBy(host_col)
+        .applyInPandasWithState(
+            admit,
+            outputStructType=out_schema,
+            stateStructType="n long",
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )
+
+
 def stream_rule_metrics(
     spark: SparkSession,
     in_path: str,

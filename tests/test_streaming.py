@@ -61,6 +61,54 @@ def test_stream_matches_batch(spark, stream_in, tmp_path):
         assert r["text_scrubbed"] == b[r["url"]]
 
 
+def test_host_quota_stream_stateful(spark, stream_in, tmp_path):
+    """applyInPandasWithState admission cap: per-host state persists across
+    micro-batches (maxFilesPerTrigger=1 forces 4 batches), so each host
+    admits at most `quota` docs over the WHOLE stream, in arrival order."""
+    from data_quality_spark.streaming.quality_stream import (
+        PAGES_SCHEMA,
+        host_quota_stream,
+    )
+
+    QUOTA = 5
+    src = (
+        spark.readStream.schema(PAGES_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(stream_in)
+        .withColumn("host", F.expr("parse_url(url, 'HOST')"))
+    )
+    admitted = host_quota_stream(src, QUOTA)
+    out = str(tmp_path / "quota_out")
+    q = (
+        admitted.writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", str(tmp_path / "quota_ckpt"))
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    got = spark.read.parquet(out)
+    per_host = {
+        r["host"]: r["n"]
+        for r in got.groupBy("host").agg(F.count("*").alias("n")).collect()
+    }
+    src_counts = {
+        r["host"]: r["n"]
+        for r in spark.read.parquet(stream_in)
+        .withColumn("host", F.expr("parse_url(url, 'HOST')"))
+        .groupBy("host")
+        .agg(F.count("*").alias("n"))
+        .collect()
+    }
+    assert per_host  # something admitted
+    for host, n in per_host.items():
+        assert n == min(QUOTA, src_counts[host]), host
+    # skewed hosts really got capped
+    assert any(n > QUOTA for n in src_counts.values())
+    assert max(per_host.values()) == QUOTA
+
+
 def test_stream_resume_no_duplicates(spark, stream_in, tmp_path):
     out = str(tmp_path / "kept2")
     ckpt = str(tmp_path / "ckpt2")
