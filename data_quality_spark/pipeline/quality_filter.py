@@ -195,6 +195,32 @@ def metrics_by_partition(
     return ann.groupBy(*(group_cols or ["part_id"])).agg(*aggs)
 
 
+def dedup_kept(kept: DataFrame, mode: str | None) -> DataFrame:
+    """Optional dedup stage over the kept rows (url = document id).
+
+    mode=None      — off (the duplicate_url rule still FLAGS dup groups).
+    mode='exact'   — one survivor (min url) per distinct scrubbed text.
+    mode='minhash' — additionally drop near-duplicates (MinHash-LSH pairs,
+                     keep-lowest survivor policy).
+
+    Scale note: within one run the single-pass job processes every pending
+    bucket in ONE frame, so dedup here is GLOBAL for a fresh run; a resumed
+    run dedups only within its own pending set (cross-run dedup of a
+    continuously ingested lake belongs to a compaction job over the full
+    kept table — same operators, different driver)."""
+    if mode is None:
+        return kept
+    from data_quality_spark.ops import dedup as D
+
+    kept = D.drop_exact_dups(kept, "url", "text_scrubbed")
+    if mode == "exact":
+        return kept
+    if mode == "minhash":
+        pairs = D.minhash_lsh_pairs(kept, "url", "text_scrubbed", threshold=0.7)
+        return D.drop_near_dups(kept, "url", pairs)
+    raise ValueError(f"unknown dedup mode: {mode}")
+
+
 def run_pipeline(
     spark: SparkSession,
     in_path: str,
@@ -202,6 +228,7 @@ def run_pipeline(
     cfg: QFConfig = DEFAULT_CONFIG,
     n_buckets: int = 8,
     resume: bool = True,
+    dedup: str | None = None,
 ) -> dict:
     """Bucketed, resumable run. Buckets = deterministic url-hash ranges; a
     restart skips buckets already recorded in the manifest.
@@ -240,8 +267,7 @@ def run_pipeline(
         try:
             kept_root = os.path.join(out_dir, "kept")
             (
-                ann.filter(F.col("keep"))
-                .select(*present)
+                dedup_kept(ann.filter(F.col("keep")).select(*present), dedup)
                 .write.mode("overwrite")
                 .partitionBy("bucket")
                 .parquet(kept_root)
@@ -286,10 +312,12 @@ def main():  # pragma: no cover
     ap.add_argument("--out", required=True, help="output directory")
     ap.add_argument("--buckets", type=int, default=8)
     ap.add_argument("--no-resume", action="store_true")
+    ap.add_argument("--dedup", choices=["exact", "minhash"], default=None)
     a = ap.parse_args()
     spark = get_spark(app_name="quality_filter")
     print(json.dumps(run_pipeline(spark, a.input, a.out,
-                                  n_buckets=a.buckets, resume=not a.no_resume)))
+                                  n_buckets=a.buckets, resume=not a.no_resume,
+                                  dedup=a.dedup)))
 
 
 if __name__ == "__main__":  # pragma: no cover

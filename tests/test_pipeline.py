@@ -151,6 +151,36 @@ def test_pipeline_resume(spark, fixture_path, tmp_path):
     assert kept.filter(F.col("keep") == False).count() == 0  # noqa: E712
 
 
+def test_pipeline_dedup_stage(spark, fixture_path, tmp_path):
+    """run_pipeline(dedup='exact') keeps ONE survivor per distinct scrubbed
+    text; default mode leaves duplicates in place (only flags them)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    # fixture + exact-text duplicates under fresh urls
+    src = pq.read_table(fixture_path)
+    pdf = src.to_pandas()
+    clean = pdf[pdf.fault_class == "clean"].head(50).copy()
+    clean["url"] = ["https://dup-host.example/copy/" + str(i) for i in range(len(clean))]
+    dup_path = str(tmp_path / "pages_with_dups")
+    os.makedirs(dup_path, exist_ok=True)
+    pq.write_table(src, os.path.join(dup_path, "part-0.parquet"))
+    pq.write_table(
+        pa.Table.from_pandas(clean, schema=src.schema, preserve_index=False),
+        os.path.join(dup_path, "part-1.parquet"),
+    )
+
+    out_plain = str(tmp_path / "out_plain")
+    out_dedup = str(tmp_path / "out_dedup")
+    s_plain = run_pipeline(spark, dup_path, out_plain, n_buckets=2)
+    s_dedup = run_pipeline(spark, dup_path, out_dedup, n_buckets=2, dedup="exact")
+    assert s_dedup["rows_kept"] < s_plain["rows_kept"]
+    kept = spark.read.parquet(os.path.join(out_dedup, "kept"))
+    n = kept.count()
+    n_distinct = kept.select("text_scrubbed").distinct().count()
+    assert n == n_distinct  # one survivor per distinct text
+
+
 def test_metrics_by_partition(spark, fixture_path):
     ann = annotate_pages(spark.read.parquet(fixture_path))
     m = metrics_by_partition(ann).toPandas()
