@@ -98,6 +98,38 @@ def test_py_hash64_range_and_determinism(s, salt):
     assert h == py_hash64(s, salt)
 
 
+@settings(max_examples=100, deadline=None, derandomize=True)
+@given(TEXT, TEXT)
+def test_round_half_up_matches_decimal_grid(a, b):
+    """round_half_up (the Spark F.round twin used by every materialized
+    oracle) is idempotent on its own output and lands on the 1e-6 grid."""
+    from data_quality_spark.pipeline.expected import round_half_up
+
+    x = (len(a) + 1) / (len(b) + 3)
+    r = round_half_up(x, 6)
+    assert round_half_up(r, 6) == r
+    assert abs(r * 1e6 - round(r * 1e6)) < 1e-3
+
+
+@pytest.mark.parametrize("seed", [3])
+def test_group_quota_matches_pandas_head(spark, seed):
+    """group_quota (Spark rank window) vs pandas groupby().head() — the
+    independent single-process twin — on randomized skewed groups."""
+    import random
+
+    rng = random.Random(seed)
+    rows = [(i, f"g{rng.randrange(6)}") for i in range(400)]
+    pdf = pd.DataFrame(rows, columns=["id", "grp"])
+    df = spark.createDataFrame(pdf)
+    from data_quality_spark.ops.textops import group_quota
+
+    got = sorted(
+        r["id"] for r in group_quota(df, "grp", "id", 7).select("id").collect()
+    )
+    exp = sorted(pdf.sort_values("id").groupby("grp").head(7)["id"].tolist())
+    assert got == exp
+
+
 # -- one batched Spark↔python parity property ------------------------------
 
 
