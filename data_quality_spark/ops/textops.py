@@ -197,6 +197,11 @@ def contamination(
     shuffle the full corpus's shingle set.
     """
     sh = _shingle_hash_udf(n)
+    # spread narrow local inputs so the corpus-side shingle UDF parallelizes
+    # (at scale, file splits already provide this)
+    target = corpus.sparkSession.sparkContext.defaultParallelism
+    if corpus.rdd.getNumPartitions() < target:
+        corpus = corpus.repartition(2 * target)
     probe_sh = probe.select(
         F.col(id_col), F.explode(sh(F.col(text_col))).alias("h")
     ).dropDuplicates([id_col, "h"])

@@ -93,6 +93,19 @@ def test_minhash_lsh_pairs(spark):
     assert all(4 not in p for p in got)  # unrelated doc never pairs
 
 
+def test_minhash_pairs_string_ids(spark):
+    """The LSH pair/survivor path must work with STRING ids (the pipeline
+    dedups on url)."""
+    df = spark.createDataFrame(
+        [(f"https://h/{i}", t) for i, t in DOCS], "url string, text string"
+    )
+    pairs = D.minhash_lsh_pairs(df, "url", "text", threshold=0.5)
+    got = {(r["id_a"], r["id_b"]) for r in pairs.collect()}
+    assert ("https://h/1", "https://h/2") in got
+    kept = sorted(r["url"] for r in D.drop_near_dups(df, "url", pairs).collect())
+    assert "https://h/2" not in kept and "https://h/1" in kept
+
+
 def test_drop_near_dups_keep_lowest(spark):
     pairs = D.minhash_lsh_pairs(_docs(spark), "doc_id", "text", threshold=0.5)
     kept = D.drop_near_dups(_docs(spark), "doc_id", pairs)
