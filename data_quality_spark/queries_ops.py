@@ -862,6 +862,37 @@ def q_multimodal_meta(spark, sf_dir):
     return M.decode_media_meta(media)
 
 
+FRAME_EVERY_N = 2
+
+
+def q_multimodal_frames(spark, sf_dir):
+    """1→N frame sampling over the synthesized media table: every 2nd
+    256-char window of each decoded payload, with per-frame digest."""
+    media = M.synthesize_media(_t(spark, sf_dir, "documents"), "doc_id", "text")
+    return M.sample_frames(media, every_n=FRAME_EVERY_N)
+
+
+SQL_MULTIMODAL_FRAMES = f"""
+WITH media AS (
+  SELECT doc_id AS media_id, text AS s FROM documents WHERE text IS NOT NULL
+),
+idx AS (
+  SELECT media_id, s,
+         unnest(CASE WHEN length(s) > 0
+                THEN range(0, CAST(ceil(length(s) / {M.FRAME_CHARS}.0) AS INT),
+                           {FRAME_EVERY_N})
+                ELSE [] END) AS frame_idx
+  FROM media
+)
+SELECT media_id, frame_idx,
+       length(substring(s, frame_idx * {M.FRAME_CHARS} + 1, {M.FRAME_CHARS}))
+         AS n_chars,
+       md5(substring(s, frame_idx * {M.FRAME_CHARS} + 1, {M.FRAME_CHARS}))
+         AS frame_md5
+FROM idx
+"""
+
+
 SQL_MULTIMODAL_META = """
 SELECT doc_id AS media_id,
        octet_length(encode(text)) AS n_bytes,
@@ -1128,6 +1159,7 @@ OPS_QUERIES = {
     "host_quota": q_host_quota,
     "doc_fingerprint": q_doc_fingerprint,
     "multimodal_meta": q_multimodal_meta,
+    "multimodal_frames": q_multimodal_frames,
     "qf_heuristic_keep": q_qf_heuristic_keep,
     "qf_scrub": q_qf_scrub,
     "qf_pipeline_annotate": q_qf_pipeline_annotate,
@@ -1158,6 +1190,7 @@ OPS_ORACLES = {
     "host_quota": SQL_HOST_QUOTA,
     "doc_fingerprint": SQL_DOC_FINGERPRINT,
     "multimodal_meta": SQL_MULTIMODAL_META,
+    "multimodal_frames": SQL_MULTIMODAL_FRAMES,
     "qf_heuristic_keep": _sql_qf_heuristic_keep(),
     "qf_scrub": _sql_qf_scrub(),
     "qf_pipeline_annotate": _sql_qf_pipeline_annotate(),

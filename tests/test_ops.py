@@ -300,6 +300,42 @@ def test_media_meta_native_agrees_with_pandas_path(spark):
         assert native[k]["n_bytes"] == pandas_path[k]["n_bytes"]
 
 
+def test_sample_frames_udf_matches_native(spark):
+    """1→N frame sampling: Arrow mapInPandas path == Catalyst
+    sequence+explode twin, including empty and multi-frame payloads."""
+    docs = spark.createDataFrame(
+        [(1, "x" * 700), (2, "short"), (3, "y" * 256), (4, None)],
+        "doc_id long, text string",
+    )
+    media = M.synthesize_media(docs, "doc_id", "text")
+    udf = sorted(
+        map(tuple, M.sample_frames(media, every_n=2).collect())
+    )
+    native = sorted(
+        map(tuple, M.sample_frames(media, every_n=2, strategy="native").collect())
+    )
+    assert udf == native and len(udf) > 0
+    # 700 chars → frames 0,1,2 → sampled 0,2; frame 2 has 700-512=188 chars
+    by_doc = [(r for r in udf if r[0] == 1)]
+    f1 = [r for r in udf if r[0] == 1]
+    assert [(r[1], r[2]) for r in f1] == [(0, 256), (2, 188)]
+
+
+def test_resize_media_udf_matches_native(spark):
+    docs = spark.createDataFrame(
+        [(1, "z" * 500), (2, "tiny")], "doc_id long, text string"
+    )
+    media = M.synthesize_media(docs, "doc_id", "text")
+    udf = {r["media_id"]: r for r in M.resize_media(media, 32, 32).collect()}
+    nat = {r["media_id"]: r
+           for r in M.resize_media(media, 32, 32, strategy="native").collect()}
+    assert set(udf) == set(nat)
+    for k in udf:
+        assert bytes(udf[k]["payload"]) == bytes(nat[k]["payload"])
+        assert udf[k]["width"] == 32 and udf[k]["height"] == 32
+    assert len(bytes(udf[1]["payload"])) == (32 * 32) // 16  # budget-capped
+
+
 # ---------------------------------------------------------------------------
 # global period intersection (range-partitioned scale path)
 # ---------------------------------------------------------------------------
