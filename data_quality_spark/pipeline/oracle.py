@@ -44,6 +44,10 @@ def annotate_pandas(pdf: pd.DataFrame, cfg: QFConfig = DEFAULT_CONFIG) -> pd.Dat
     out["ppl"] = perplexity.ppl_batch(
         pd.Series(extracted, index=out.index, dtype=object)
     ).values
+    out["ppl_bucket"] = [
+        "head" if p <= cfg.ppl_head else "middle" if p <= cfg.ppl_tail else "tail"
+        for p in out["ppl"]
+    ]
 
     url_counts = Counter(str(u) for u in out["url"] if not _is_empty(u))
 
@@ -71,9 +75,14 @@ def annotate_pandas(pdf: pd.DataFrame, cfg: QFConfig = DEFAULT_CONFIG) -> pd.Dat
                 fired.append("lang_mismatch")
         if not empty and scrub.py_pii_found(row["text_extracted"]):
             fired.append("pii_found")
+        # mirrors the engine's rule ORDER: the optional confidence rule sits
+        # between pii_found and duplicate_url (quality_rules appends there)
+        if (cfg.min_lang_margin is not None and not empty
+                and row["lang_margin"] < cfg.min_lang_margin):
+            fired.append("lang_low_confidence")
         if not _is_empty(row["url"]) and url_counts[str(row["url"])] > 1:
             fired.append("duplicate_url")
-        warn_only = {"pii_found"} | (
+        warn_only = {"pii_found", "lang_low_confidence"} | (
             {"lang_mismatch"} if not cfg.drop_lang_mismatch else set()
         )
         fails = [f for f in fired if f not in warn_only]

@@ -53,6 +53,14 @@ class QFConfig:
     max_perplexity: float = 26.0
     drop_lang_mismatch: bool = True
     n_sample_rows: int = 100
+    # CCNet-style perplexity terciles: head (cleanest) / middle / tail;
+    # annotation-only — downstream training picks buckets, the filter
+    # doesn't drop on them
+    ppl_head: float = 12.0
+    ppl_tail: float = 26.0
+    # optional fastText-style confidence gate: margin below this fires a
+    # WARNING rule (None = off, keeping the default rule set stable)
+    min_lang_margin: float | None = None
 
 
 DEFAULT_CONFIG = QFConfig()
@@ -95,6 +103,14 @@ def quality_rules(cfg: QFConfig = DEFAULT_CONFIG) -> list[Rule]:
         Rule("pii_found", "PII detected (text scrubbed)",
              scrub.native_pii_found(F.col("text_extracted")),
              severity="warning"),
+    ]
+    if cfg.min_lang_margin is not None:
+        R.append(
+            Rule("lang_low_confidence",
+                 f"language-ID margin < {cfg.min_lang_margin}",
+                 fired(F.col("lang_margin") < cfg.min_lang_margin),
+                 severity="warning"))
+    R += [
         # duplicate url: all members of the dup group flagged (reference
         # values_duplicate.py row semantics). The dup-key set is computed on
         # the RAW input in annotate_pages (column-pruned url-only scan,
@@ -106,7 +122,8 @@ def quality_rules(cfg: QFConfig = DEFAULT_CONFIG) -> list[Rule]:
     ]
     # precondition: content rules only apply when text is non-empty
     content = {"word_count", "mean_word_len", "symbol_ratio", "repeated_lines",
-               "stopword_density", "perplexity", "lang_mismatch"}
+               "stopword_density", "perplexity", "lang_mismatch",
+               "lang_low_confidence"}
     for r in R:
         if r.rule_id in content:
             r.violation = (~is_empty("text_extracted")) & r.violation
@@ -166,6 +183,14 @@ def annotate_pages(
         F.col("_m.lang_margin").alias("lang_margin"),
         F.col("_m.ppl").alias("ppl"),
     ).drop("_m")
+    # CCNet-style quality bucket by LM perplexity (head = cleanest tercile);
+    # annotation only — training-data consumers select buckets downstream
+    df = df.withColumn(
+        "ppl_bucket",
+        F.when(F.col("ppl") <= cfg.ppl_head, "head")
+        .when(F.col("ppl") <= cfg.ppl_tail, "middle")
+        .otherwise("tail"),
+    )
     eng = RuleEngine(quality_rules(cfg))
     df = eng.annotate(df)
     df = df.withColumn("text_scrubbed",

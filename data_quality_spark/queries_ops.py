@@ -484,6 +484,22 @@ SELECT id_a, id_b, cos_sim FROM scored WHERE cos_sim >= {LSH_PAIR_THRESHOLD}
 """
 
 
+def q_sim_lsh_drop(spark, sf_dir):
+    """Embedding-side survivor set: drop the higher id of every verified
+    cosine-LSH near-dup pair (keep-lowest; the embedding twin of
+    dedup_minhash_drop)."""
+    emb = _emb_with_near_dups(spark, sf_dir)
+    pairs = S.cosine_lsh_pairs(emb, "vec_id", "v", threshold=LSH_PAIR_THRESHOLD)
+    return D.drop_near_dups(emb, "vec_id", pairs).select("vec_id")
+
+
+def _sql_sim_lsh_drop() -> str:
+    return f"""
+SELECT vec_id FROM ({SQL_EMB_NEAR_CORPUS})
+WHERE vec_id NOT IN (SELECT id_b FROM ({_sql_sim_lsh_pairs()}))
+"""
+
+
 # ---------------------------------------------------------------------------
 # similarity 4 — IVF coarse-quantizer centroids (long format) + IVF top-k
 # ---------------------------------------------------------------------------
@@ -1146,6 +1162,7 @@ OPS_QUERIES = {
     "sim_cosine_pairs": q_sim_cosine_pairs,
     "sim_ann_lsh": q_sim_ann_lsh,
     "sim_lsh_pairs": q_sim_lsh_pairs,
+    "sim_lsh_drop": q_sim_lsh_drop,
     "sim_label_centroids": q_sim_label_centroids,
     "sim_ivf_topk": q_sim_ivf_topk,
     "sim_kmeans_centroids": q_sim_kmeans_centroids,
@@ -1177,6 +1194,7 @@ OPS_ORACLES = {
     "sim_cosine_pairs": SQL_SIM_COSINE_PAIRS,
     "sim_ann_lsh": _sql_ann_lsh(),
     "sim_lsh_pairs": _sql_sim_lsh_pairs(),
+    "sim_lsh_drop": _sql_sim_lsh_drop(),
     "sim_label_centroids": SQL_SIM_LABEL_CENTROIDS,
     "sim_ivf_topk": SQL_SIM_IVF_TOPK,
     "sim_kmeans_centroids": _sql_kmeans_centroids(),

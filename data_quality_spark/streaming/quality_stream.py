@@ -64,6 +64,12 @@ def annotate_stream(df: DataFrame, cfg: QFConfig = DEFAULT_CONFIG) -> DataFrame:
         F.col("_m.lang_margin").alias("lang_margin"),
         F.col("_m.ppl").alias("ppl"),
     ).drop("_m")
+    df = df.withColumn(
+        "ppl_bucket",
+        F.when(F.col("ppl") <= cfg.ppl_head, "head")
+        .when(F.col("ppl") <= cfg.ppl_tail, "middle")
+        .otherwise("tail"),
+    )
     eng = RuleEngine(streaming_rules(cfg))
     df = eng.annotate(df)
     df = df.withColumn("text_scrubbed", scrub.native_scrub(F.col("text_extracted")))

@@ -151,6 +151,43 @@ def test_pipeline_resume(spark, fixture_path, tmp_path):
     assert kept.filter(F.col("keep") == False).count() == 0  # noqa: E712
 
 
+def test_ppl_buckets_and_confidence_rule(spark, fixture_path):
+    """CCNet-style ppl terciles annotate every row (head ⊂ cleaner text),
+    and the optional language-confidence WARNING rule fires only when
+    configured — engine and pandas oracle agreeing on both."""
+    from data_quality_spark.pipeline.quality_filter import QFConfig
+
+    cfg = QFConfig(min_lang_margin=0.05)
+    df = spark.read.parquet(fixture_path).limit(300)
+    ann = annotate_pages(df, cfg)
+    rows = ann.select("url", "ppl", "ppl_bucket", "fired_rules", "keep",
+                      "fault_class").collect()
+    buckets = {r["ppl_bucket"] for r in rows}
+    assert buckets <= {"head", "middle", "tail"} and "head" in buckets
+    for r in rows:
+        exp = ("head" if r["ppl"] <= cfg.ppl_head
+               else "middle" if r["ppl"] <= cfg.ppl_tail else "tail")
+        assert r["ppl_bucket"] == exp
+    fired_conf = [r for r in rows if "lang_low_confidence" in r["fired_rules"]]
+    assert fired_conf  # gibberish rows have ~zero margin
+    # warning-only: the rule alone never drops
+    import pyarrow.parquet as pq
+
+    pdf = pq.read_table(fixture_path).to_pandas().head(300)
+    ora = O.annotate_pandas(pdf, cfg)
+    multi = set(ora["url"][ora["url"].duplicated(keep=False)])  # dup-url rows
+    exp_fired = {u: list(f) for u, f in zip(ora["url"], ora["fired_rules"])}
+    exp_bucket = {u: b for u, b in zip(ora["url"], ora["ppl_bucket"])}
+    mism = 0
+    for r in rows:
+        if r["url"] in multi:  # url keying is ambiguous for dup-url rows
+            continue
+        if list(r["fired_rules"]) != exp_fired[r["url"]]:
+            mism += 1
+        assert r["ppl_bucket"] == exp_bucket[r["url"]], r["url"]
+    assert mism <= 2  # same tolerance as the full-corpus fired-rules test
+
+
 def test_pipeline_dedup_stage(spark, fixture_path, tmp_path):
     """run_pipeline(dedup='exact') keeps ONE survivor per distinct scrubbed
     text; default mode leaves duplicates in place (only flags them)."""
