@@ -47,6 +47,10 @@ HEADLINE = [
     "sim_ivf_topk",
     "sim_ivf_kmeans_topk",   # k-means training + probe search
     "match_dimension_floatkey",
+    "text_contamination",    # broadcast probe semi-join
+    "host_quota",            # per-host rank window
+    "dedup_minhash_drop",    # pairs + survivor anti-join
+    "multimodal_frames",     # 1→N mapInPandas explode
     "period_overlap_global",
     "text_quality_score",
     "doc_fingerprint",
