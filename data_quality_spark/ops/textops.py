@@ -127,10 +127,15 @@ def group_doc_stats(df: DataFrame, group_col: str, text_col: str) -> DataFrame:
     Spark's partial aggregation already neutralizes group-key skew (each
     hot key collapses to one partial row per partition before the
     exchange) — no salting needed for sums/counts."""
+    # size(NULL) is -1 with ANSI off — NULL-text docs must contribute NULL
+    # (excluded from sum/avg, like the SQL oracle's len(NULL)), not -1
+    n_words = F.when(
+        F.col(text_col).isNotNull(), F.size(_toks(F.col(text_col)))
+    )
     aggs = [
         F.count(F.lit(1)).alias("n_docs"),
-        F.sum(F.size(_toks(F.col(text_col))).cast("long")).alias("total_words"),
-        F.round(F.avg(F.size(_toks(F.col(text_col)))), 6).alias("avg_words"),
+        F.sum(n_words.cast("long")).alias("total_words"),
+        F.round(F.avg(n_words), 6).alias("avg_words"),
     ]
     if "lang" in df.columns:
         aggs.append(F.countDistinct("lang").alias("n_langs"))
@@ -213,7 +218,7 @@ def contamination(
         .withColumn("__hit", F.lit(True))
     )
     joined = probe_sh.join(F.broadcast(hit_hashes), "h", "left")
-    return joined.groupBy(id_col).agg(
+    stats = joined.groupBy(id_col).agg(
         F.count(F.lit(1)).alias("n_shingles"),
         F.sum(F.coalesce(F.col("__hit"), F.lit(False)).cast("long")).alias("n_hit"),
         F.round(
@@ -221,6 +226,19 @@ def contamination(
             / F.count(F.lit(1)),
             6,
         ).alias("overlap"),
+    )
+    # probe docs with < n tokens yield no shingles and would vanish from the
+    # explode — report them as unmeasurable (0 shingles, NULL overlap)
+    # instead of silently omitting them from the contamination report
+    all_probe = probe.select(id_col).distinct()
+    return (
+        all_probe.join(stats, id_col, "left")
+        .select(
+            id_col,
+            F.coalesce("n_shingles", F.lit(0)).alias("n_shingles"),
+            F.coalesce("n_hit", F.lit(0)).alias("n_hit"),
+            F.col("overlap"),
+        )
     )
 
 

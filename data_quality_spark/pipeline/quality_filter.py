@@ -289,6 +289,17 @@ def run_pipeline(
         present = [c for c in out_cols if c in ann.columns]
         prev_mode = spark.conf.get("spark.sql.sources.partitionOverwriteMode")
         spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+        # clear the pending partitions up front: dynamic overwrite only
+        # replaces partitions the job WRITES, so a pending bucket that now
+        # keeps zero rows would otherwise leave a crashed earlier attempt's
+        # stale files in place (and be mis-counted as this run's output)
+        import shutil
+
+        for sub in ("kept", "metrics"):
+            for b in pending:
+                shutil.rmtree(
+                    os.path.join(out_dir, sub, f"bucket={b}"), ignore_errors=True
+                )
         try:
             kept_root = os.path.join(out_dir, "kept")
             (
@@ -306,15 +317,20 @@ def run_pipeline(
             )
         finally:
             spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev_mode)
-        # per-bucket kept counts from the written (columnar, slim) output
-        counts = {
-            r["bucket"]: r["n"]
-            for r in spark.read.parquet(kept_root)
-            .where(F.col("bucket").isin(pending))
-            .groupBy("bucket")
-            .agg(F.count(F.lit(1)).alias("n"))
-            .collect()
-        }
+        # per-bucket kept counts from the written (columnar, slim) output;
+        # an all-dropped run writes no partitions at all → schema inference
+        # fails → counts are simply zero for every pending bucket
+        try:
+            counts = {
+                r["bucket"]: r["n"]
+                for r in spark.read.parquet(kept_root)
+                .where(F.col("bucket").isin(pending))
+                .groupBy("bucket")
+                .agg(F.count(F.lit(1)).alias("n"))
+                .collect()
+            }
+        except Exception:
+            counts = {}
         for b in pending:
             n_kept = int(counts.get(b, 0))
             done[f"bucket={b}"] = {"rows_kept": n_kept}

@@ -438,8 +438,6 @@ def q_sim_lsh_pairs(spark, sf_dir):
 
 
 def _sql_sim_lsh_pairs() -> str:
-    from data_quality_spark.ops.dedup import MAX_BUCKET
-
     table_keys = []
     for t, planes in enumerate(S.PAIR_HYPERPLANES):
         hp_lits = [
@@ -462,7 +460,7 @@ banded AS (
 ),
 ok_buckets AS (
   SELECT band_key FROM banded GROUP BY 1
-  HAVING count(*) BETWEEN 2 AND {MAX_BUCKET}
+  HAVING count(*) BETWEEN 2 AND {D.MAX_BUCKET}
 ),
 cand AS (
   SELECT DISTINCT l.vec_id AS id_a, r.vec_id AS id_b,
@@ -578,11 +576,17 @@ def _kmeans_path() -> str:
     return os.path.join(EXPECTED_DIR, "kmeans_centroids.parquet")
 
 
+_KMEANS_CACHE: dict[str, list[list[float]]] = {}
+
+
 def _train_and_persist_kmeans(spark, sf_dir) -> list[list[float]]:
     """Train (deterministic — no RNG anywhere) and persist the centroid
     table; the SQL oracle reads the SAME persisted table, verifying the
     probe/search side independently while the training side is pinned by
-    the python-twin pytest."""
+    the python-twin pytest. Training is memoized per sf_dir so the
+    centroids and the search query share one run."""
+    if sf_dir in _KMEANS_CACHE:
+        return _KMEANS_CACHE[sf_dir]
     import os
 
     import pyarrow as pa
@@ -590,19 +594,19 @@ def _train_and_persist_kmeans(spark, sf_dir) -> list[list[float]]:
 
     emb = _t(spark, sf_dir, "embeddings")
     cents = S.train_kmeans_cells(emb, "vec_id", "embedding", KMEANS_K, KMEANS_ITER)
-    rows = [
-        (cell, pos, float(val))
-        for cell, c in enumerate(cents)
-        for pos, val in enumerate(c)
-    ]
     tbl = pa.Table.from_pylist(
-        [{"cell": c, "pos": p, "val": v} for c, p, v in rows],
+        [
+            {"cell": cell, "pos": pos, "val": float(val)}
+            for cell, c in enumerate(cents)
+            for pos, val in enumerate(c)
+        ],
         schema=pa.schema(
             [("cell", pa.int32()), ("pos", pa.int32()), ("val", pa.float64())]
         ),
     )
     os.makedirs(os.path.dirname(_kmeans_path()), exist_ok=True)
     pq.write_table(tbl, _kmeans_path())
+    _KMEANS_CACHE[sf_dir] = cents
     return cents
 
 
@@ -858,13 +862,21 @@ corpus_sh AS (
     FROM (SELECT {SQL_TOKS} AS toks FROM documents WHERE doc_id % 50 <> 0)
   )
 )
-SELECT doc_id,
-       count(*) AS n_shingles,
-       sum(CASE WHEN c.h IS NOT NULL THEN 1 ELSE 0 END)::BIGINT AS n_hit,
-       round(sum(CASE WHEN c.h IS NOT NULL THEN 1 ELSE 0 END)::DOUBLE
-             / count(*), 6) AS overlap
-FROM probe_sh p LEFT JOIN corpus_sh c USING (h)
-GROUP BY doc_id
+, stats AS (
+  SELECT doc_id,
+         count(*) AS n_shingles,
+         sum(CASE WHEN c.h IS NOT NULL THEN 1 ELSE 0 END)::BIGINT AS n_hit,
+         round(sum(CASE WHEN c.h IS NOT NULL THEN 1 ELSE 0 END)::DOUBLE
+               / count(*), 6) AS overlap
+  FROM probe_sh p LEFT JOIN corpus_sh c USING (h)
+  GROUP BY doc_id
+)
+SELECT p0.doc_id,
+       coalesce(s.n_shingles, 0) AS n_shingles,
+       coalesce(s.n_hit, 0) AS n_hit,
+       s.overlap
+FROM (SELECT DISTINCT doc_id FROM documents WHERE doc_id % 50 = 0) p0
+LEFT JOIN stats s USING (doc_id)
 """
 
 

@@ -71,7 +71,9 @@ def _svg_gauge(pct: float, label: str = "rows KO") -> str:
     import math
 
     color = "#2e7d32" if pct < 1 else "#f9a825" if pct < 5 else "#c62828"
-    frac = min(pct, 100.0) / 100.0
+    # cap just below a full turn: an SVG arc whose endpoints coincide is not
+    # rendered at all, so pct=100 would paint an EMPTY ring
+    frac = min(pct, 99.99) / 100.0
     r, cx, cy = 42, 55, 55
     ang = 2 * math.pi * frac - math.pi / 2
     x, y = cx + r * math.cos(ang), cy + r * math.sin(ang)

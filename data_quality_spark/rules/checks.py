@@ -55,8 +55,22 @@ def norm_key(c: Column | str) -> Column:
     zeros after the decimal point and a bare '.0…' tail, so a double FK of
     1.0 matches a dim key '1' (reference `_clean_string_float_inf_columns_df`,
     utils.py:121-125 — applied to EVERY key column's stringification in the
-    dimension/period checks). "1.50"→"1.5", "1.0"→"1", "100"→"100"."""
-    s = (F.col(c) if isinstance(c, str) else c).cast("string")
+    dimension/period checks). "1.50"→"1.5", "1.0"→"1", "100"→"100".
+
+    Spark renders doubles ≥1e7 / <1e-3 in scientific notation ("1.0E7"),
+    which python/DuckDB do not — those values are re-rendered through a
+    plain-decimal cast first so 10000000.0 normalizes to "10000000" in
+    every engine. (|key| ≥ 1e16 falls back to scientific rendering in ALL
+    engines including the reference's pandas backend, so parity holds by
+    matching, not by expansion.)"""
+    col = F.col(c) if isinstance(c, str) else c
+    s = col.cast("string")
+    s = F.when(
+        # strictly a scientific-notation NUMBER (never e.g. a string key
+        # that merely contains the letter e)
+        s.rlike(r"^-?[0-9]+(\.[0-9]+)?[eE][+-]?[0-9]+$"),
+        col.cast("decimal(38,18)").cast("string"),
+    ).otherwise(s)
     s = F.regexp_replace(s, r"\.([0-9]*[1-9])0+$", ".$1")
     return F.regexp_replace(s, r"\.0+$", "")
 

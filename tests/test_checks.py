@@ -278,6 +278,33 @@ def test_ko_rows_cap(spark):
     assert (sample["check_description"] == "Null values in column A").all()
 
 
+def test_norm_key_scientific_notation(spark):
+    """Doubles Spark renders in scientific notation (≥1e7, <1e-3) must still
+    normalize to the plain-decimal form python/DuckDB produce, and string
+    keys that merely contain 'e'/'E' must pass through untouched."""
+    rows = [(1, 10000000.0, "keep-E-literal"), (2, 0.0001, "2.5e3"),
+            (3, 1.5, "x"), (4, 123.450, "y")]
+    df = spark.createDataFrame(rows, "i int, d double, s string")
+    got = {
+        r["i"]: (r["nd"], r["ns"])
+        for r in df.select(
+            "i", C.norm_key("d").alias("nd"), C.norm_key("s").alias("ns")
+        ).collect()
+    }
+    assert got[1][0] == "10000000"
+    assert got[2][0] == "0.0001"
+    assert got[3][0] == "1.5"
+    assert got[4][0] == "123.45"
+    assert got[1][1] == "keep-E-literal"  # not a number — untouched
+    assert got[2][1] == "2500"  # a real sci-notation NUMBER string normalizes
+    # and a big-double FK matches an integer dim key through the join path
+    fact = spark.createDataFrame([(1, 10000000.0)], "id int, fk double")
+    dim = spark.createDataFrame([(10000000,)], "pk long")
+    rule = C.match_dimension(dim, "fk", "pk")
+    eng = RuleEngine([rule])
+    assert eng.flags(fact).where(F.col(f"__ko_{rule.rule_id}")).count() == 0
+
+
 def test_order_dimension_composite_fk_and_pair_fanout(spark):
     """Checks 13/14 must accept COMPOSITE foreign keys (2-column dim key,
     float-normalized) and fan out over left×right column pairs, one rule per

@@ -224,6 +224,34 @@ def test_group_doc_stats(spark):
     assert got["s2"]["total_words"] == 1
 
 
+def test_group_doc_stats_null_text(spark):
+    """NULL-text docs count toward n_docs but contribute no words (the SQL
+    oracle's len(NULL) semantics) — size(NULL) must never leak a -1."""
+    df = spark.createDataFrame(
+        [(1, "a b c", "s1"), (2, None, "s1")],
+        "doc_id long, text string, source string",
+    )
+    r = {x["grp"]: x for x in T.group_doc_stats(df, "source", "text").collect()}
+    assert r["s1"]["n_docs"] == 2
+    assert r["s1"]["total_words"] == 3
+    assert r["s1"]["avg_words"] == 3.0
+
+
+def test_contamination_short_probe_reported(spark):
+    """Probe docs too short to shingle must still appear in the report as
+    unmeasurable (0 shingles, NULL overlap), never be silently dropped."""
+    corpus = spark.createDataFrame([(10, "w x y z q")], "doc_id long, text string")
+    probe = spark.createDataFrame(
+        [(1, "w x y z q"), (2, "too short")], "doc_id long, text string"
+    )
+    got = {r["doc_id"]: r for r in
+           T.contamination(corpus, probe, "doc_id", "text").collect()}
+    assert set(got) == {1, 2}
+    assert got[2]["n_shingles"] == 0 and got[2]["n_hit"] == 0
+    assert got[2]["overlap"] is None
+    assert got[1]["overlap"] == 1.0
+
+
 def test_contamination_fractions(spark):
     corpus = spark.createDataFrame(
         [(10, "w x y z q"), (11, "unrelated words entirely here")],

@@ -218,6 +218,31 @@ def test_pipeline_dedup_stage(spark, fixture_path, tmp_path):
     assert n == n_distinct  # one survivor per distinct text
 
 
+def test_pipeline_all_dropped_run(spark, tmp_path):
+    """A run where EVERY row fails the filter must complete cleanly with
+    zero kept rows and a full manifest, not crash on the empty read-back."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    rows = [
+        {"url": f"https://h/{i}", "warc_ts": None, "html": None,
+         "text": "", "lang": "en", "fault_class": "empty"}
+        for i in range(40)
+    ]
+    src = str(tmp_path / "all_bad")
+    os.makedirs(src, exist_ok=True)
+    schema = pa.schema([("url", pa.string()), ("warc_ts", pa.timestamp("us")),
+                        ("html", pa.binary()), ("text", pa.string()),
+                        ("lang", pa.string()), ("fault_class", pa.string())])
+    pq.write_table(pa.Table.from_pylist(rows, schema=schema),
+                   os.path.join(src, "p.parquet"))
+    out = str(tmp_path / "out_bad")
+    s = run_pipeline(spark, src, out, n_buckets=2)
+    assert s["buckets_done"] == 2 and s["rows_kept"] == 0
+    m = json.load(open(os.path.join(out, "_manifest.json")))
+    assert all(v["rows_kept"] == 0 for v in m.values())
+
+
 def test_metrics_by_partition(spark, fixture_path):
     ann = annotate_pages(spark.read.parquet(fixture_path))
     m = metrics_by_partition(ann).toPandas()
