@@ -182,15 +182,20 @@ class RuleEngine:
         )
         return out.drop(*[self._flag_name(r) for r in self.rules])
 
-    def metrics(self, df: DataFrame) -> DataFrame:
+    def metrics(self, df: DataFrame, flagged: DataFrame | None = None) -> DataFrame:
         """Per-rule KO counts in ONE aggregate scan.
 
         Reference equivalent: one COUNT(*) GROUP BY verdict query PER check
         (check.py:84-108). Here: agg(sum(flag::long) per rule) — partial
         aggregation map-side, shuffle is one row per partition.
         Returns (rule_id, description, severity, n_ko, n_rows).
-        """
-        flagged = self.flags(df)
+
+        Pass a precomputed (possibly cached) `flags(df)` frame via
+        `flagged` to share one evaluation with ko_rows — prepare transforms
+        (joins, global-interval materializations) then run once, not once
+        per consumer."""
+        if flagged is None:
+            flagged = self.flags(df)
         aggs = [F.count(F.lit(1)).alias("__n")] + [
             F.sum(F.col(self._flag_name(r)).cast("long")).alias(self._flag_name(r))
             for r in self.rules
@@ -206,15 +211,23 @@ class RuleEngine:
             data, "rule_id string, description string, severity string, n_ko long, n_rows long"
         )
 
-    def ko_rows(self, df: DataFrame, rule_id: str, limit: int | None = None):
+    def ko_rows(
+        self,
+        df: DataFrame,
+        rule_id: str,
+        limit: int | None = None,
+        flagged: DataFrame | None = None,
+    ):
         """Capped failing-row sample for one rule (check.py:110-126).
 
         Returns (pandas_sample, flag_over_max_rows); over-cap detection =
-        sample size hit the cap (check.py:150-154).
-        """
+        sample size hit the cap (check.py:150-154). `flagged` as in
+        metrics(): reuse one evaluation across rules."""
         r = next(x for x in self.rules if x.rule_id == rule_id)
         cap = limit if limit is not None else r.max_rows
-        flagged = self.flags(df).filter(F.col(self._flag_name(r)))
+        if flagged is None:
+            flagged = self.flags(df)
+        flagged = flagged.filter(F.col(self._flag_name(r)))
         cols = r.output_columns or [
             c for c in df.columns if not c.startswith("__ko_")
         ]

@@ -303,27 +303,43 @@ class QualityTable:
         if not rules:
             return []
         eng = RuleEngine(rules)
-        m = {row["rule_id"]: row for row in eng.metrics(self.df).collect()}
-        results = []
-        for r in rules:
-            row = m[r.rule_id]
-            res = CheckResult(
-                rule_id=r.rule_id,
-                description=r.description,
-                severity=r.severity,
-                n_ko=row["n_ko"],
-                n_rows=row["n_rows"],
-                flag_ko=row["n_ko"] > 0,
-            )
-            if get_rows_flag and res.flag_ko:
-                res.ko_rows, res.flag_over_max_rows = eng.ko_rows(
-                    self.df, r.rule_id, r.max_rows
+        df = self.df
+        # evaluate the flag projection ONCE and share it between the metrics
+        # aggregate and every per-rule sample: prepare transforms (broadcast
+        # joins, the global-interval materialization) are not re-run per
+        # consumer, and with samples requested the frame is cached so the k
+        # sample filters read the computed flags instead of recomputing
+        flagged = eng.flags(df)
+        if get_rows_flag:
+            flagged = flagged.persist()
+        try:
+            m = {
+                row["rule_id"]: row
+                for row in eng.metrics(df, flagged=flagged).collect()
+            }
+            results = []
+            for r in rules:
+                row = m[r.rule_id]
+                res = CheckResult(
+                    rule_id=r.rule_id,
+                    description=r.description,
+                    severity=r.severity,
+                    n_ko=row["n_ko"],
+                    n_rows=row["n_rows"],
+                    flag_ko=row["n_ko"] > 0,
                 )
-            if "duplicate" in r.rule_id and res.flag_ko:
-                self.index_problem = True
-            results.append(res)
-            self.check_list.append(res)
-        return results
+                if get_rows_flag and res.flag_ko:
+                    res.ko_rows, res.flag_over_max_rows = eng.ko_rows(
+                        df, r.rule_id, r.max_rows, flagged=flagged
+                    )
+                if "duplicate" in r.rule_id and res.flag_ko:
+                    self.index_problem = True
+                results.append(res)
+                self.check_list.append(res)
+            return results
+        finally:
+            if get_rows_flag:
+                flagged.unpersist()
 
     def download_table(self, n_rows: int | None = None):
         """Materialize (a capped slice of) the table driver-side as pandas
