@@ -587,6 +587,10 @@ def period_intersection(
     # boundary-stitch operator (ops/intervals.py), which computes the same
     # lag/lead chain with only 2 boundary rows per partition leaving the
     # executors. Expressed as a prepare transform producing an aux flag.
+    # COST NOTE: each flags() evaluation materializes the range-sorted frame
+    # once (the op pins its partitioning); QualityTable.run shares ONE
+    # evaluation across metrics + samples, so prefer run()/annotate() over
+    # calling metrics() and ko_rows() separately for this rule.
     from data_quality_spark.ops.intervals import overlap_flags_global
 
     s_aux, e_aux = f"__aux_pis_{rule_id}", f"__aux_pie_{rule_id}"
