@@ -142,6 +142,20 @@ def group_doc_stats(df: DataFrame, group_col: str, text_col: str) -> DataFrame:
     return df.groupBy(F.col(group_col).alias("grp")).agg(*aggs)
 
 
+NORM_WS_CLASS = r"[ \t\n\r\f]+"  # explicit class: Java and RE2 \s differ on \x0B
+
+
+def normalize_text(text: Column) -> Column:
+    """Canonical text form for dedup/statistics keys: lowercase, whitespace
+    runs collapsed to single spaces, trimmed. Pure codegen (3 JVM string
+    ops); the exact chain is mirrored in the SQL oracle."""
+    return F.trim(F.regexp_replace(F.lower(text), NORM_WS_CLASS, " "))
+
+
+def with_normalized(df: DataFrame, text_col: str, out_col: str = "text_norm"):
+    return df.withColumn(out_col, normalize_text(F.col(text_col)))
+
+
 def group_quota(
     df: DataFrame, group_col: str, order_col: str, quota: int
 ) -> DataFrame:

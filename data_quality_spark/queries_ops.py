@@ -817,6 +817,24 @@ FROM documents GROUP BY 1
 # ---------------------------------------------------------------------------
 
 
+def q_text_normalize(spark, sf_dir):
+    """Canonical text normalization (lowercase, ws-collapse, trim) — the
+    form exact-dedup keys at scale are computed over."""
+    docs = _t(spark, sf_dir, "documents")
+    return T.with_normalized(docs, "text").select(
+        "doc_id", F.md5(F.col("text_norm")).alias("norm_md5"),
+        F.length("text_norm").alias("n_chars_norm"),
+    )
+
+
+SQL_TEXT_NORMALIZE = r"""
+SELECT doc_id,
+       md5(trim(regexp_replace(lower(text), '[ \t\n\r\f]+', ' ', 'g'))) AS norm_md5,
+       length(trim(regexp_replace(lower(text), '[ \t\n\r\f]+', ' ', 'g'))) AS n_chars_norm
+FROM documents
+"""
+
+
 HOST_QUOTA = 10
 
 
@@ -1185,6 +1203,7 @@ OPS_QUERIES = {
     "text_top_tokens": q_text_top_tokens,
     "text_group_stats": q_text_group_stats,
     "text_contamination": q_text_contamination,
+    "text_normalize": q_text_normalize,
     "host_quota": q_host_quota,
     "doc_fingerprint": q_doc_fingerprint,
     "multimodal_meta": q_multimodal_meta,
@@ -1217,6 +1236,7 @@ OPS_ORACLES = {
     "text_top_tokens": SQL_TEXT_TOP_TOKENS,
     "text_group_stats": SQL_TEXT_GROUP_STATS,
     "text_contamination": _sql_contamination(),
+    "text_normalize": SQL_TEXT_NORMALIZE,
     "host_quota": SQL_HOST_QUOTA,
     "doc_fingerprint": SQL_DOC_FINGERPRINT,
     "multimodal_meta": SQL_MULTIMODAL_META,

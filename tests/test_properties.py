@@ -111,6 +111,35 @@ def test_round_half_up_matches_decimal_grid(a, b):
     assert abs(r * 1e6 - round(r * 1e6)) < 1e-3
 
 
+@pytest.mark.parametrize("seed", [5])
+def test_norm_key_matches_pandas_reference(spark, seed):
+    """norm_key (the Spark float-key normalization) vs the reference's
+    pandas normalization (str() + the two regexes, utils.py:121-125) over
+    randomized doubles spanning the plain-decimal range."""
+    import random
+    import re
+
+    rng = random.Random(seed)
+    vals = [round(rng.uniform(-1e6, 1e6), rng.randrange(0, 7)) for _ in range(200)]
+    vals += [1.0, 0.0, -0.0, 100.0, 1.5, 123.45, 10000000.0, 0.0001, 2.5e3]
+
+    def py_norm(x: float) -> str:
+        s = str(x)
+        s = re.sub(r"\.([0-9]*[1-9])(0+)$", r".\1", s)
+        return re.sub(r"(\.0+)$", "", s)
+
+    pdf = pd.DataFrame({"i": range(len(vals)), "v": vals})
+    df = spark.createDataFrame(pdf)
+    from data_quality_spark.rules.checks import norm_key
+
+    got = {
+        r["i"]: r["n"]
+        for r in df.select("i", norm_key("v").alias("n")).collect()
+    }
+    for i, x in enumerate(vals):
+        assert got[i] == py_norm(x), (x, got[i], py_norm(x))
+
+
 @pytest.mark.parametrize("seed", [3])
 def test_group_quota_matches_pandas_head(spark, seed):
     """group_quota (Spark rank window) vs pandas groupby().head() — the
