@@ -109,6 +109,29 @@ def test_host_quota_stream_stateful(spark, stream_in, tmp_path):
     assert max(per_host.values()) == QUOTA
 
 
+def test_stream_rule_metrics_windowed(spark, stream_in, tmp_path):
+    """Watermarked windowed per-rule metrics: an availableNow drain into a
+    complete-mode memory sink must account for every input row exactly once
+    across event-time windows, with per-rule hit counts present."""
+    from data_quality_spark.streaming.quality_stream import stream_rule_metrics
+
+    agg = stream_rule_metrics(spark, stream_in, window="10 minutes",
+                              watermark="1 hour")
+    q = (
+        agg.writeStream.format("memory")
+        .queryName("qf_metrics_test")
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    m = spark.sql("SELECT * FROM qf_metrics_test").toPandas()
+    assert m["n_rows"].sum() == N_ROWS  # every page in exactly one window
+    assert (m["n_dropped"] <= m["n_rows"]).all()
+    assert "symbol_ratio" in m.columns and m["symbol_ratio"].sum() > 0
+    assert len(m) > 1  # 600 rows span ~70 min → several 10-min windows
+
+
 def test_stream_resume_no_duplicates(spark, stream_in, tmp_path):
     out = str(tmp_path / "kept2")
     ckpt = str(tmp_path / "ckpt2")
