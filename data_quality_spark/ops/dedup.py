@@ -219,11 +219,9 @@ def with_minhash(
         return df.withColumn("shingles", sh).withColumn(
             "minhash", minhash_signature(F.col("shingles"), k)
         )
-    # narrow local inputs (single parquet file → 1-2 splits) serialize the
-    # signature UDF; spread first. At scale file splits already provide this.
-    target = df.sparkSession.sparkContext.defaultParallelism
-    if df.rdd.getNumPartitions() < target:
-        df = df.repartition(2 * target)
+    from data_quality_spark.ops.util import spread_narrow
+
+    df = spread_narrow(df)
     m = _minhash_udf(n, k)(F.col(text_col))
     return (
         df.withColumn("_mh", m)
@@ -439,11 +437,11 @@ def simhash_pairs(
 ) -> DataFrame:
     """Near-dup pairs by SimHash: candidates share ≥1 of `bands` equal
     byte-bands; verified by Hamming distance ≤ max_hamming."""
+    from data_quality_spark.ops.util import spread_narrow
+
     band_bits = bits // bands
     mask = (1 << band_bits) - 1
-    target = df.sparkSession.sparkContext.defaultParallelism
-    if df.rdd.getNumPartitions() < target:
-        df = df.repartition(2 * target)
+    df = spread_narrow(df)
     base = df.select(
         id_col, _simhash_udf(n, bits)(F.col(text_col)).alias("simhash")
     ).where(F.col("simhash").isNotNull())

@@ -206,8 +206,11 @@ def resize_media(
         for pdf in it:
             out = []
             for p in pdf["payload"]:
-                s = bytes(p).decode("utf-8") if p is not None else ""
-                out.append(s[:budget].encode("utf-8"))
+                if p is None:
+                    out.append(None)  # NULL in → NULL out, like the native twin
+                else:
+                    s = bytes(p).decode("utf-8")
+                    out.append(s[:budget].encode("utf-8"))
             yield pd.DataFrame(
                 {
                     "media_id": pdf["media_id"],

@@ -292,10 +292,9 @@ def train_kmeans_cells(
     )
     cents = [[float(x) for x in r["__v"]] for r in seeds]
     if strategy == "udf":
-        # spread narrow local inputs so the assignment UDF parallelizes
-        target = df.sparkSession.sparkContext.defaultParallelism
-        if df.rdd.getNumPartitions() < target:
-            df = df.repartition(2 * target)
+        from data_quality_spark.ops.util import spread_narrow
+
+        df = spread_narrow(df)
     for _ in range(n_iter):
         assigned = df.select(
             assign_cells(v, cents, strategy).alias("__cell"), v.alias("__v")
@@ -448,11 +447,9 @@ def cosine_lsh_pairs(
     tables = tables if tables is not None else PAIR_HYPERPLANES
     v = _as_double(F.col(vec_col))
     if strategy == "udf":
-        # spread narrow local inputs so the signature UDF parallelizes (at
-        # scale, file splits already provide this)
-        target = df.sparkSession.sparkContext.defaultParallelism
-        if df.rdd.getNumPartitions() < target:
-            df = df.repartition(2 * target)
+        from data_quality_spark.ops.util import spread_narrow
+
+        df = spread_narrow(df)
         keys = _pair_band_keys_udf(tables)(v)
     else:  # 'native': pure Catalyst fold expressions, zero Python
         keys = F.array(

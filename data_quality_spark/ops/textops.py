@@ -215,12 +215,10 @@ def contamination(
     classic wrong plan — corpus-shingles.distinct() then join — would
     shuffle the full corpus's shingle set.
     """
+    from data_quality_spark.ops.util import spread_narrow
+
     sh = _shingle_hash_udf(n)
-    # spread narrow local inputs so the corpus-side shingle UDF parallelizes
-    # (at scale, file splits already provide this)
-    target = corpus.sparkSession.sparkContext.defaultParallelism
-    if corpus.rdd.getNumPartitions() < target:
-        corpus = corpus.repartition(2 * target)
+    corpus = spread_narrow(corpus)
     probe_sh = probe.select(
         F.col(id_col), F.explode(sh(F.col(text_col))).alias("h")
     ).dropDuplicates([id_col, "h"])

@@ -584,16 +584,21 @@ def _train_and_persist_kmeans(spark, sf_dir) -> list[list[float]]:
     table; the SQL oracle reads the SAME persisted table, verifying the
     probe/search side independently while the training side is pinned by
     the python-twin pytest. Training is memoized per sf_dir so the
-    centroids and the search query share one run."""
-    if sf_dir in _KMEANS_CACHE:
-        return _KMEANS_CACHE[sf_dir]
+    centroids and the search query share one run — but the parquet is
+    REWRITTEN on every call (the file path is shared across sf_dirs, and
+    the oracle that runs next must see THIS sf's centroids)."""
     import os
 
     import pyarrow as pa
     import pyarrow.parquet as pq
 
-    emb = _t(spark, sf_dir, "embeddings")
-    cents = S.train_kmeans_cells(emb, "vec_id", "embedding", KMEANS_K, KMEANS_ITER)
+    if sf_dir in _KMEANS_CACHE:
+        cents = _KMEANS_CACHE[sf_dir]
+    else:
+        emb = _t(spark, sf_dir, "embeddings")
+        cents = S.train_kmeans_cells(
+            emb, "vec_id", "embedding", KMEANS_K, KMEANS_ITER
+        )
     tbl = pa.Table.from_pylist(
         [
             {"cell": cell, "pos": pos, "val": float(val)}

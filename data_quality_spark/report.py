@@ -205,7 +205,10 @@ def create_html_output(session, path: str, sample_rows: int = 20) -> str:
 
     # one tab per table
     for ti, (t, info, n_rows) in enumerate(stats):
-        ann = t.annotate()
+        # cache the annotated frame: the tab draws 1 count + 1 sample per
+        # failing check, and without the persist each action would re-run
+        # every prepare join / model UDF stage from scratch
+        ann = t.annotate().persist()
         n_ko_rows = ann.where(F.size("fired_rules") > 0).count()
         pct = 100.0 * n_ko_rows / n_rows if n_rows else 0.0
         check_pct = (
@@ -255,6 +258,7 @@ def create_html_output(session, path: str, sample_rows: int = 20) -> str:
                 )
         body.append("</tbody></table></div>")
         parts.append("".join(body))
+        ann.unpersist()
 
     out = path if path.endswith(".html") else path + ".html"
     with open(out, "w") as f:

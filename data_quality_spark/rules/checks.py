@@ -60,16 +60,26 @@ def norm_key(c: Column | str) -> Column:
     Spark renders doubles ≥1e7 / <1e-3 in scientific notation ("1.0E7"),
     which python/DuckDB do not — those values are re-rendered through a
     plain-decimal cast first so 10000000.0 normalizes to "10000000" in
-    every engine. (|key| ≥ 1e16 falls back to scientific rendering in ALL
-    engines including the reference's pandas backend, so parity holds by
-    matching, not by expansion.)"""
+    every engine. The re-render applies ONLY when the decimal round-trips
+    the exact double (overflow beyond decimal(38,18) and sub-1e-18 values
+    keep their scientific rendering — the reference's pandas str() uses
+    scientific notation there too, so parity holds by matching).
+
+    Faithful-to-reference caveat: the trailing-zero stripping applies to
+    EVERY key column including strings — the reference normalizes every
+    key's stringification, so dim key "v1.0" matches fact "v1" there as
+    well (utils.py calls at match_dimension_table.py:77,183,222)."""
     col = F.col(c) if isinstance(c, str) else c
     s = col.cast("string")
+    dec = col.cast("decimal(38,18)")
     s = F.when(
         # strictly a scientific-notation NUMBER (never e.g. a string key
-        # that merely contains the letter e)
-        s.rlike(r"^-?[0-9]+(\.[0-9]+)?[eE][+-]?[0-9]+$"),
-        col.cast("decimal(38,18)").cast("string"),
+        # that merely contains the letter e), and only when the decimal
+        # representation is exact (no overflow-NULL, no tiny-value collapse)
+        s.rlike(r"^-?[0-9]+(\.[0-9]+)?[eE][+-]?[0-9]+$")
+        & dec.isNotNull()
+        & (dec.cast("double") == col.cast("double")),
+        dec.cast("string"),
     ).otherwise(s)
     s = F.regexp_replace(s, r"\.([0-9]*[1-9])0+$", ".$1")
     return F.regexp_replace(s, r"\.0+$", "")
@@ -474,10 +484,15 @@ def _order_vs_dimension(
         joined = df.join(
             dim, composite_key(fks) == F.col(keycol), "left"
         ).drop(keycol)
-        visible = right_col if right_col not in df.columns else f"{right_col}_2"
-        if visible not in joined.columns:
-            joined = joined.withColumn(visible, F.col(right_int))
-        return joined
+        # first FREE name: right_col, else _2, _3… (the reference's `_2`
+        # clash rename, extended so 3+ fanned-out rules sharing a right_col
+        # never alias another rule's joined value)
+        visible = right_col
+        i = 2
+        while visible in joined.columns:
+            visible = f"{right_col}_{i}"
+            i += 1
+        return joined.withColumn(visible, F.col(right_int))
 
     op = _OPS[operator]
     viol = ~op(cast_fn(left_col), cast_fn(right_int))

@@ -115,13 +115,21 @@ def host_quota_stream(
     pages: DataFrame,
     quota: int,
     host_col: str = "host",
+    order_col: str | None = None,
 ) -> DataFrame:
     """CUSTOM STATEFUL streaming operator via applyInPandasWithState:
     per-host admission cap across the whole stream — each host contributes
-    at most `quota` documents, in arrival order, with the admitted count
-    carried in group state between micro-batches (the streaming twin of the
-    batch `ops.textops.group_quota`; batch uses a rank window, a stream
-    needs true cross-batch state).
+    at most `quota` documents, with the admitted count carried in group
+    state between micro-batches (the streaming twin of the batch
+    `ops.textops.group_quota`; batch uses a rank window, a stream needs
+    true cross-batch state).
+
+    Admission order: ACROSS micro-batches it is stream order (state is
+    cumulative); WITHIN a micro-batch the post-shuffle row order is not
+    guaranteed, so pass `order_col` (e.g. warc_ts) to pin which rows of a
+    same-batch overflow are admitted — without it the admitted COUNT per
+    host is exact but the member set within one batch is
+    arrival-nondeterministic (like any streaming ingest).
 
     Input must already carry `host_col` (e.g. parse_url(url, 'HOST')).
     Returns the admitted-rows stream (append semantics). State per host is
@@ -135,13 +143,26 @@ def host_quota_stream(
 
     def admit(key, pdfs, state):
         n = state.get[0] if state.exists else 0
-        for pdf in pdfs:
-            room = quota - n
-            if room <= 0:
-                continue  # keep draining the iterator; nothing admitted
-            sel = pdf.iloc[:room]
-            n += len(sel)
-            yield sel[fields]
+        if order_col is None:
+            for pdf in pdfs:
+                room = quota - n
+                if room <= 0:
+                    continue  # keep draining the iterator; nothing admitted
+                sel = pdf.iloc[:room]
+                n += len(sel)
+                yield sel[fields]
+        else:
+            # deterministic within-batch admission: buffer this group's
+            # batch (bounded by maxFilesPerTrigger sizing), order, then cut
+            chunks = list(pdfs)
+            whole = pd.concat(chunks) if chunks else None
+            if whole is not None and len(whole):
+                whole = whole.sort_values(order_col, kind="mergesort")
+                room = max(0, quota - n)
+                sel = whole.iloc[:room]
+                n += len(sel)
+                if len(sel):
+                    yield sel[fields]
         state.update((n,))
 
     return (
