@@ -297,6 +297,18 @@ def test_norm_key_scientific_notation(spark):
     assert got[4][0] == "123.45"
     assert got[1][1] == "keep-E-literal"  # not a number — untouched
     assert got[2][1] == "2500"  # a real sci-notation NUMBER string normalizes
+    # decimal-overflow / tiny-value guard: beyond decimal(38,18)'s exact
+    # range the scientific rendering is KEPT (never NULLed, never collapsed
+    # toward zero) — matching python/DuckDB, which also go scientific there
+    extremes = spark.createDataFrame(
+        [(1, 1e20), (2, 1e-19), (3, -3e21)], "i int, d double"
+    )
+    got2 = {
+        r["i"]: r["nd"]
+        for r in extremes.select("i", C.norm_key("d").alias("nd")).collect()
+    }
+    assert got2[1] == "1.0E20" and got2[3] == "-3.0E21"  # kept, not NULL
+    assert got2[2] == "1.0E-19"  # not collapsed to "0"
     # and a big-double FK matches an integer dim key through the join path
     fact = spark.createDataFrame([(1, 10000000.0)], "id int, fk double")
     dim = spark.createDataFrame([(10000000,)], "pk long")

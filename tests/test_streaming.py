@@ -109,6 +109,38 @@ def test_host_quota_stream_stateful(spark, stream_in, tmp_path):
     assert max(per_host.values()) == QUOTA
 
 
+def test_host_quota_stream_ordered_deterministic(spark, stream_in, tmp_path):
+    """With order_col set, the ADMITTED MEMBER SET within each micro-batch
+    is deterministic: two independent drains admit exactly the same urls."""
+    from data_quality_spark.streaming.quality_stream import (
+        PAGES_SCHEMA,
+        host_quota_stream,
+    )
+
+    def drain(tag):
+        src = (
+            spark.readStream.schema(PAGES_SCHEMA)
+            .option("maxFilesPerTrigger", 2)
+            .parquet(stream_in)
+            .withColumn("host", F.expr("parse_url(url, 'HOST')"))
+        )
+        out = str(tmp_path / f"q_{tag}")
+        q = (
+            host_quota_stream(src, 5, order_col="url")
+            .writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", str(tmp_path / f"c_{tag}"))
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(300)
+        return sorted(r["url"] for r in spark.read.parquet(out).collect())
+
+    a, b = drain("a"), drain("b")
+    assert a == b and len(a) > 0
+
+
 def test_stream_rule_metrics_windowed(spark, stream_in, tmp_path):
     """Watermarked windowed per-rule metrics: an availableNow drain into a
     complete-mode memory sink must account for every input row exactly once
