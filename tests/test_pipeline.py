@@ -218,6 +218,34 @@ def test_pipeline_dedup_stage(spark, fixture_path, tmp_path):
     assert n == n_distinct  # one survivor per distinct text
 
 
+def test_pipeline_resume_clears_stale_partition(spark, fixture_path, tmp_path):
+    """A crashed earlier attempt can leave files in a pending bucket's
+    partition; the resume run must CLEAR them before its dynamic-overwrite
+    write, never count them as its own output."""
+    import shutil
+
+    out = str(tmp_path / "qf_stale")
+    s1 = run_pipeline(spark, fixture_path, out, n_buckets=4)
+    total = s1["rows_kept"]
+    # simulate a crashed attempt: bucket 1 pending again + stale junk inside
+    m_path = os.path.join(out, "_manifest.json")
+    m = json.load(open(m_path))
+    m.pop("bucket=1")
+    json.dump(m, open(m_path, "w"))
+    stale_src = os.path.join(out, "kept", "bucket=2")
+    stale_dst = os.path.join(out, "kept", "bucket=1")
+    for f in os.listdir(stale_src):  # double bucket 1's files with copies
+        if f.endswith(".parquet"):
+            shutil.copy(os.path.join(stale_src, f),
+                        os.path.join(stale_dst, "stale-" + f))
+    s2 = run_pipeline(spark, fixture_path, out, n_buckets=4)
+    assert s2["buckets_done"] == 1
+    kept = spark.read.parquet(os.path.join(out, "kept", "bucket=*"))
+    assert kept.count() == total  # stale files gone, nothing double-counted
+    m2 = json.load(open(m_path))
+    assert sum(v["rows_kept"] for v in m2.values()) == total
+
+
 def test_pipeline_all_dropped_run(spark, tmp_path):
     """A run where EVERY row fails the filter must complete cleanly with
     zero kept rows and a full manifest, not crash on the empty read-back."""
