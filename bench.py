@@ -67,8 +67,9 @@ def sf_from_dir(path: str) -> float:
 
 def pages_fixture(sf: float) -> tuple[str, int]:
     n = max(200, int(PAGES_PER_SF * sf))
-    # v2: generator gained no_main/empty_main fault classes — new cache key
-    path = os.path.join(BENCH_DIR, f"pages_v2_n{n}_seed42.parquet")
+    # v3: generator gained attr_main/upper_tags/entities fault classes
+    # (real-HTML extraction tolerance) — new cache key
+    path = os.path.join(BENCH_DIR, f"pages_v3_n{n}_seed42.parquet")
     if not os.path.exists(path):
         from data_quality_spark.pipeline.pages import write_parquet
 

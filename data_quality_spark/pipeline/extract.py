@@ -1,14 +1,38 @@
 """HTML→text extraction — byte-stable dual path (SURVEY.md §7 hard part #1).
 
-The extraction contract: content of ``<main>`` → one line per ``<p>`` block,
-entity-unescaped (&lt; &gt; &amp; — exact inverse of the generator's escape).
-NULL html → NULL text.
+The extraction contract: content of the ``<main>`` element → one line per
+``<p>`` block, entity-unescaped. NULL html → NULL text; html WITHOUT a
+``<main>`` element → NULL (the pipeline falls back to the raw ``text``
+column); an empty ``<main></main>`` → "".
+
+Real-world tolerance (round 3): tags match case-insensitively and may carry
+attributes (``<MAIN>``, ``<main class="content">``, ``<p id="x">``), and the
+five standard entities the generator can emit are unescaped (&lt; &gt;
+&quot; &#39; &amp; — &amp; strictly LAST, the inverse of escape order).
+Tag names are matched exactly (``<p(?:\\s[^>]*)?>`` — ``<pre>`` is NOT a
+paragraph), which is stricter than a bare ``<p[^>]*>``.
 
   * ``py_extract``     — pure-Python (oracle; also the parity pandas UDF)
-  * ``native_extract`` — JVM Column chain (regexp_extract_all + transform),
-    the default engine path: no Python in the hot loop, whole-stage codegen.
+  * ``with_extracted`` — the ENGINE hot path: a staged two-projection JVM
+    Column chain (below), whole-stage codegen, no Python.
+  * ``native_extract`` — single-Column convenience form of the same
+    semantics for expression contexts; NOT for the hot path (see below).
 
-Equality of the two paths over the full synthetic corpus is pinned by
+PERF SHAPE (round-3 regression fix): the round-2 variant referenced the
+full-document RegexpExtract (``m0``) inside conditional when() branches —
+conditional branches are outside codegen subexpression elimination, so the
+multi-KB html was regex-scanned up to 3× per row (~40% slower extraction,
+measured on 400k docs). ``with_extracted`` materializes ``m0`` ONCE as its
+own projected column; every later reference is a BoundReference, so exactly
+one full-document regex runs per row. CollapseProject will not re-inline the
+alias (regexp_extract is non-cheap and multi-referenced), and both
+projections fuse into one WholeStageCodegen stage. The opening tag's
+variable length (attributes) is found with ``instr(m0, '>')`` — by the
+grammar ``<main(?:\\s[^>]*)?>`` the opening tag ends at the FIRST '>', so
+instr and the regex agree by construction.
+
+Equality of the two engine paths and ``py_extract`` over the full synthetic
+corpus (incl. the attributed/uppercase/entity fault classes) is pinned by
 tests/test_pipeline.py (byte-identical per url — BASELINE.md invariant).
 """
 
@@ -17,15 +41,32 @@ from __future__ import annotations
 import re
 
 import pandas as pd
-from pyspark.sql import Column
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-_MAIN = re.compile(r"<main>(.*)</main>", re.S)
-_PARA = re.compile(r"<p>(.*?)</p>", re.S)
+# Shared grammar — ALL paths compile exactly these strings (byte parity).
+MAIN_PATTERN = r"<main(?:\s[^>]*)?>(.*)</main>"
+PARA_PATTERN = r"<p(?:\s[^>]*)?>(.*?)</p>"
+
+_MAIN = re.compile(MAIN_PATTERN, re.S | re.I)
+_PARA = re.compile(PARA_PATTERN, re.S | re.I)
+
+# (entity, char) strictly in this order — &amp; LAST (a correct unescape
+# never re-interprets the output of an earlier replacement: "&amp;lt;"
+# becomes the literal "&lt;", not "<").
+ENTITIES: list[tuple[str, str]] = [
+    ("&lt;", "<"),
+    ("&gt;", ">"),
+    ("&quot;", '"'),
+    ("&#39;", "'"),
+    ("&amp;", "&"),
+]
 
 
 def py_unescape(s: str) -> str:
-    return s.replace("&lt;", "<").replace("&gt;", ">").replace("&amp;", "&")
+    for ent, ch in ENTITIES:
+        s = s.replace(ent, ch)
+    return s
 
 
 def py_extract(html_bytes: bytes | None) -> str | None:
@@ -52,29 +93,55 @@ def spark_udf():
     return extract_udf
 
 
-def native_extract(html_col: Column) -> Column:
-    s = F.decode(html_col, "UTF-8")
-    # ONE regex pass over the (large) html: extract the FULL match (group 0,
-    # "<main>…</main>") — it is "" exactly when no <main> element exists, so
-    # no-match vs matched-empty is distinguishable without a second rlike
-    # probe, and the inner content is a cheap substring (len - 6 - 7 tag
-    # chars) instead of a second group-1 extraction.
-    m0 = F.regexp_extract(s, r"(?s)<main>(.*)</main>", 0)
-    inner = m0.substr(F.lit(7), F.length(m0) - 13)
-    paras = F.regexp_extract_all(inner, F.lit(r"(?s)<p>(.*?)</p>"), F.lit(1))
-    unescaped = F.transform(
-        paras,
-        lambda p: F.replace(
-            F.replace(F.replace(p, F.lit("&lt;"), F.lit("<")), F.lit("&gt;"), F.lit(">")),
-            F.lit("&amp;"),
-            F.lit("&"),
-        ),
-    )
-    # parity with py_extract: html WITHOUT a <main> element yields NULL (the
-    # downstream coalesce then falls back to the raw text column); an EMPTY
-    # <main></main> yields "".
+def _extract_from_m0(html_col: Column, m0: Column) -> Column:
+    """Shared tail: given the group-0 `<main…>…</main>` match (m0 == ""
+    exactly when no <main> exists — a real match is ≥ 13 chars), produce the
+    extracted text. m0 should be a materialized column reference in hot
+    paths (multi-referenced below)."""
+    open_len = F.instr(m0, ">")  # grammar: opening tag ends at first '>'
+    inner = m0.substr(open_len + 1, F.length(m0) - open_len - 7)
+    paras = F.regexp_extract_all(inner, F.lit(f"(?is){PARA_PATTERN}"), F.lit(1))
+
+    def unescape(p: Column) -> Column:
+        for ent, ch in ENTITIES:
+            p = F.replace(p, F.lit(ent), F.lit(ch))
+        return p
+
+    unescaped = F.transform(paras, unescape)
     return (
         F.when(html_col.isNull(), F.lit(None).cast("string"))
         .when(m0 == "", F.lit(None).cast("string"))
         .otherwise(F.array_join(unescaped, "\n"))
     )
+
+
+def _m0_expr(html_col: Column) -> Column:
+    return F.regexp_extract(
+        F.decode(html_col, "UTF-8"), f"(?is){MAIN_PATTERN}", 0
+    )
+
+
+def with_extracted(
+    df: DataFrame,
+    html_col: str = "html",
+    out_col: str = "text_extracted",
+    fallback_col: str | None = "text",
+) -> DataFrame:
+    """ENGINE PATH: add `out_col` = extracted text (coalesced with
+    `fallback_col` when extraction yields NULL), evaluating the
+    full-document regex exactly once per row via a staged projection."""
+    aux = f"__aux_m0_{out_col}"
+    df = df.withColumn(aux, _m0_expr(F.col(html_col)))
+    ext = _extract_from_m0(F.col(html_col), F.col(aux))
+    if fallback_col is not None:
+        ext = F.coalesce(ext, F.col(fallback_col))
+    return df.withColumn(out_col, ext).drop(aux)
+
+
+def native_extract(html_col: Column) -> Column:
+    """Single-Column form for expression contexts (tests, ad-hoc exprs).
+    Semantically identical to `with_extracted`; the m0 subexpression is
+    inline here and multi-referenced, so Catalyst may evaluate the
+    full-document regex more than once per row — use `with_extracted`
+    on hot paths."""
+    return _extract_from_m0(html_col, _m0_expr(html_col))

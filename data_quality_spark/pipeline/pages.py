@@ -41,20 +41,37 @@ PII_SNIPPETS = [
 ]
 
 
-def escape_text(t: str) -> str:
-    return t.replace("&", "&amp;").replace("<", "&lt;").replace(">", "&gt;")
+def escape_text(t: str, quotes: bool = False) -> str:
+    t = t.replace("&", "&amp;").replace("<", "&lt;").replace(">", "&gt;")
+    if quotes:
+        t = t.replace('"', "&quot;").replace("'", "&#39;")
+    return t
 
 
 def make_html(text: str, variant: str = "main") -> bytes:
     """variant='main': normal page, paragraphs inside <main>.
     'no_main': no <main> element at all (extraction yields NULL → pipeline
     falls back to the raw text column). 'empty_main': a present-but-empty
-    <main></main> (extraction yields "" → empty-text rule fires)."""
-    body = "".join(f"<p>{escape_text(line)}</p>" for line in text.split("\n"))
+    <main></main> (extraction yields "" → empty-text rule fires).
+    Real-HTML classes (round 3): 'attr_main' — <main>/<p> carry attributes;
+    'upper_tags' — uppercase <MAIN>/<P>; 'entities' — quotes/apostrophes in
+    the text escaped as &quot;/&#39; (extraction must restore them)."""
+    quotes = variant == "entities"
+    p_open = '<P CLASS="t">' if variant == "upper_tags" else (
+        '<p class="para">' if variant == "attr_main" else "<p>"
+    )
+    p_close = "</P>" if variant == "upper_tags" else "</p>"
+    body = "".join(
+        f"{p_open}{escape_text(line, quotes)}{p_close}" for line in text.split("\n")
+    )
     if variant == "no_main":
         middle = body
     elif variant == "empty_main":
         middle = f"<main></main><aside>{body}</aside>"
+    elif variant == "attr_main":
+        middle = f'<main class="content" id="m" data-x="1">{body}</main>'
+    elif variant == "upper_tags":
+        middle = f"<MAIN>{body}</MAIN>"
     else:
         middle = f"<main>{body}</main>"
     page = (
@@ -100,7 +117,19 @@ def gen_row(i: int, seed: int = 42) -> dict:
 
     fault = "clean"
     text: str | None = clean_text()
-    if cls == 46:
+    if cls == 43:
+        fault = "attr_main"  # <main class=...>/<p class=...>: must extract
+    elif cls == 44:
+        fault = "upper_tags"  # <MAIN>/<P> uppercase: must extract
+    elif cls == 45:
+        # quotes in the text, &quot;/&#39;-escaped in the html: extraction
+        # must restore them byte-identically
+        fault = "entities"
+        words = _clean_words(rng, lang, rng.randint(30, 60))
+        words.insert(rng.randrange(len(words)), '"quoted"')
+        words.insert(rng.randrange(len(words)), "it's")
+        text = _lines(words)
+    elif cls == 46:
         fault = "no_main"  # html exists but has no <main>: text fallback
     elif cls == 47:
         fault = "empty_main"  # <main></main> present but empty: "" extract
@@ -150,7 +179,11 @@ def gen_row(i: int, seed: int = 42) -> dict:
         )
         url = f"https://{_host(prev_rng)}/docs/{seed}-{i - 1}"
 
-    variant = fault if fault in ("no_main", "empty_main") else "main"
+    variant = (
+        fault
+        if fault in ("no_main", "empty_main", "attr_main", "upper_tags", "entities")
+        else "main"
+    )
     html = (
         None
         if (fault == "empty" and i % 4 == 0)

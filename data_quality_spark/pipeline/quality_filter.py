@@ -169,8 +169,9 @@ def annotate_pages(
         .select("url", F.lit(True).alias("__aux_dup_url"))
     )
     df = df.join(dup_keys, on="url", how="left")
-    ext = extract.native_extract(F.col("html"))
-    df = df.withColumn("text_extracted", F.coalesce(ext, F.col("text")))
+    # staged extraction: ONE full-document regex per row (extract.py perf
+    # shape note); NULL extract (no <main>) falls back to the raw text column
+    df = extract.with_extracted(df, "html", "text_extracted", "text")
     # html served its purpose — dropping the (dominant-width) payload here
     # keeps it out of every downstream stage's row buffers
     df = df.drop("html")

@@ -53,8 +53,7 @@ def annotate_stream(df: DataFrame, cfg: QFConfig = DEFAULT_CONFIG) -> DataFrame:
     """Per-row annotation, streaming-safe (no shuffles, no state): identical
     expressions to the batch ``annotate_pages`` for every shared stage."""
     df = df.withColumn("src_file", F.input_file_name())
-    ext = extract.native_extract(F.col("html"))
-    df = df.withColumn("text_extracted", F.coalesce(ext, F.col("text")))
+    df = extract.with_extracted(df, "html", "text_extracted", "text")
     df = df.drop("html")
     df = textstats.with_features(df, "text_extracted")
     df = df.withColumn("_m", models.spark_udf()(F.col("text_extracted")))

@@ -441,3 +441,39 @@ def test_match_dimension_isin_strategy(spark, sf_dir):
     isin_ids = ko_ids(C.match_dimension(dim, "c_nationkey", "n_nationkey",
                                         strategy="isin"))
     assert join_ids == isin_ids and len(join_ids) > 0
+
+
+def test_norm_key_type_gate_is_noop(spark):
+    """The round-3 dtype gate (integral/boolean/date → plain cast) must be
+    value-identical to the full normalization chain on those types, and the
+    gated plan must carry no regexp over the key."""
+    import datetime
+
+    from pyspark.sql.types import DateType, DoubleType, LongType
+
+    rows = [
+        (1, 12345678901234, True, datetime.date(2024, 2, 29), 1.50),
+        (2, -7, False, datetime.date(1999, 12, 31), 10000000.0),
+        (3, 0, None, None, None),
+    ]
+    df = spark.createDataFrame(rows, "i int, l long, b boolean, d date, f double")
+    for col, dt in [("l", LongType()), ("b", None), ("d", DateType())]:
+        dtype = dt or df.schema[col].dataType
+        got = df.select(
+            "i",
+            C.norm_key(col, dtype).alias("gated"),
+            C.norm_key(col).alias("full"),
+        ).collect()
+        for r in got:
+            assert r["gated"] == r["full"], (col, r)
+    # doubles are NOT gated (normalization is semantic there)
+    full = {r["i"]: r["n"] for r in df.select(
+        "i", C.norm_key("f", DoubleType()).alias("n")).collect()}
+    assert full[1] == "1.5" and full[2] == "10000000"
+    # plan check: a bigint-keyed composite key contains no regexp
+    expr = C.composite_key(["l"], df.schema)
+    plan = df.select(expr.alias("k"))._jdf.queryExecution().analyzed().toString()
+    assert "regexp_replace" not in plan
+    # while an ungated one does
+    plan_full = df.select(C.composite_key(["l"]).alias("k"))._jdf.queryExecution().analyzed().toString()
+    assert "regexp_replace" in plan_full

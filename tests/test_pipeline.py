@@ -98,25 +98,42 @@ def test_fault_classes_caught(engine_ann):
     assert rates["no_main"] >= 0.99
     # empty <main></main> extracts "" → empty-text rule fires → dropped
     assert rates["empty_main"] <= 0.01
+    # real-HTML shapes must extract cleanly (clean text → kept)
+    assert rates["attr_main"] >= 0.99
+    assert rates["upper_tags"] >= 0.99
+    assert rates["entities"] >= 0.99
     for bad in ["empty", "gibberish", "length", "repeated_lines",
                 "symbol_spam", "wrong_lang"]:
         assert rates[bad] <= 0.01, (bad, rates[bad])
 
 
-def test_extract_dual_path_parity(spark):
-    """native_extract must agree byte-for-byte with py_extract on every html
-    shape: normal <main>, NO <main> (→ NULL, so the pipeline falls back to
-    raw text), empty <main></main> (→ ""), entity escapes, NULL html."""
-    from data_quality_spark.pipeline import extract
+def _extract_cases():
     from data_quality_spark.pipeline.pages import make_html
 
-    cases = [
+    return [
         make_html("hello world\nsecond <p> & line"),
         make_html("plain text here", variant="no_main"),
         make_html("invisible body", variant="empty_main"),
         b"<html><body>no main at all</body></html>",
         None,
+        # real-HTML tolerance (round 3)
+        make_html("attributed main\nwith lines", variant="attr_main"),
+        make_html("UPPER tags body", variant="upper_tags"),
+        make_html("she said \"hi\" and it's fine", variant="entities"),
+        b'<html><MAIN ID="X">\n<P>mixed CASE</P><p a="1">attrs</p></MAIN></html>',
+        b"<html><main><pre>not a paragraph</pre><p>real</p></main></html>",
     ]
+
+
+def test_extract_dual_path_parity(spark):
+    """native_extract must agree byte-for-byte with py_extract on every html
+    shape: normal <main>, NO <main> (→ NULL, so the pipeline falls back to
+    raw text), empty <main></main> (→ ""), entity escapes, NULL html, and
+    the round-3 real-HTML shapes (attributes, uppercase tags, &quot;/&#39;
+    entities, <pre> non-paragraph)."""
+    from data_quality_spark.pipeline import extract
+
+    cases = _extract_cases()
     df = spark.createDataFrame([(i, c) for i, c in enumerate(cases)],
                                "i int, html binary")
     native = {
@@ -130,6 +147,35 @@ def test_extract_dual_path_parity(spark):
     assert native[0] == "hello world\nsecond <p> & line"
     assert native[1] is None and native[3] is None and native[4] is None
     assert native[2] == ""
+    assert native[5] == "attributed main\nwith lines"
+    assert native[6] == "UPPER tags body"
+    assert native[7] == "she said \"hi\" and it's fine"
+    assert native[8] == "mixed CASE\nattrs"
+    assert native[9] == "real"
+
+
+def test_extract_staged_path_parity(spark):
+    """with_extracted (the staged hot path: one full-document regex per row)
+    must agree byte-for-byte with py_extract, and apply the fallback column
+    exactly when extraction yields NULL."""
+    from data_quality_spark.pipeline import extract
+
+    cases = _extract_cases()
+    df = spark.createDataFrame(
+        [(i, c, f"fallback-{i}") for i, c in enumerate(cases)],
+        "i int, html binary, text string",
+    )
+    out = {
+        r["i"]: r["text_extracted"]
+        for r in extract.with_extracted(df).collect()
+    }
+    for i, c in enumerate(cases):
+        exp = extract.py_extract(c)
+        if exp is None:
+            exp = f"fallback-{i}"
+        assert out[i] == exp, (i, out[i])
+    # no staged aux column may leak
+    assert all(not c.startswith("__aux_") for c in extract.with_extracted(df).columns)
 
 
 def test_pipeline_resume(spark, fixture_path, tmp_path):

@@ -83,7 +83,7 @@ def main() -> None:
     ap.add_argument("--cpus", type=int, nargs=2, default=[8, 32])
     a = ap.parse_args()
 
-    fixture = os.path.join(REPO, ".bench", f"pages_v2_n{a.docs}_seed42.parquet")
+    fixture = os.path.join(REPO, ".bench", f"pages_v3_n{a.docs}_seed42.parquet")
     if not os.path.exists(fixture):
         sys.path.insert(0, REPO)
         from data_quality_spark.pipeline.pages import write_parquet
