@@ -40,6 +40,12 @@ SCRUB_PATTERNS: list[tuple[str, str, str]] = [
     ("fiscal_code",
      r"\b[A-Z]{6}[0-9]{2}[A-Z][0-9]{2}[A-Z][0-9]{3}[A-Z]\b",
      "<FISCAL_CODE>"),
+    # Italian ATECO activity code NN.NN.X[X] (reference seed
+    # /root/reference/data_quality/src/utils.py:5, de-anchored for in-text
+    # scrubbing; explicit classes — portable across re/Java/DuckDB)
+    ("ateco",
+     r"\b[0-9]{2}\.[0-9]{2}\.[0-9A-Za-z]{1,2}\b",
+     "<ATECO>"),
     # IPv4
     ("ipv4",
      r"\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b",

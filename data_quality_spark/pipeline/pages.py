@@ -38,6 +38,7 @@ PII_SNIPPETS = [
     "192.168.12.34",
     "+39 333 123 4567",
     "RSSMRA85T10A562S",
+    "62.01.00",  # ATECO activity code (reference utils.py:5)
 ]
 
 

@@ -318,10 +318,15 @@ def run_pipeline(
             )
         finally:
             spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev_mode)
-        # per-bucket kept counts from the written (columnar, slim) output;
-        # an all-dropped run writes no partitions at all → schema inference
-        # fails → counts are simply zero for every pending bucket
-        try:
+        # per-bucket kept counts from the written (columnar, slim) output.
+        # An all-dropped run writes no bucket=* partitions at all — checked
+        # explicitly so ONLY that case yields zero counts; any real read
+        # failure propagates instead of silently corrupting the manifest
+        # (a swallowed transient error would record pending buckets as done
+        # with rows_kept=0)
+        import glob
+
+        if glob.glob(os.path.join(kept_root, "bucket=*")):
             counts = {
                 r["bucket"]: r["n"]
                 for r in spark.read.parquet(kept_root)
@@ -330,7 +335,7 @@ def run_pipeline(
                 .agg(F.count(F.lit(1)).alias("n"))
                 .collect()
             }
-        except Exception:
+        else:
             counts = {}
         for b in pending:
             n_kept = int(counts.get(b, 0))

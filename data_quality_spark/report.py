@@ -65,9 +65,12 @@ def export_details(session, path: str, max_rows_per_table: int = 10_000) -> str:
         return path
 
 
-def _svg_gauge(pct: float, label: str = "rows KO") -> str:
+def _svg_gauge(pct: float, label: str = "rows KO", prefix: str = "") -> str:
     """SVG donut gauge (reference: Bokeh annular-wedge gauge,
-    plot.py:18-79) — green <1%, amber <5%, red otherwise."""
+    plot.py:18-79) — green <1%, amber <5%, red otherwise. `prefix` carries
+    the reference's over-cap estimation markers ('>' / '≈',
+    plot.py:184-196): when a check's KO sample hit its row cap the exact
+    unique-KO-row count is a bound, not a measurement."""
     import math
 
     color = "#2e7d32" if pct < 1 else "#f9a825" if pct < 5 else "#c62828"
@@ -89,7 +92,7 @@ def _svg_gauge(pct: float, label: str = "rows KO") -> str:
         f'<circle cx="{cx}" cy="{cy}" r="{r}" fill="none" stroke="#eee" stroke-width="11"/>'
         f"{arc}"
         f'<text x="{cx}" y="{cy}" text-anchor="middle" dy="-2" font-size="17" '
-        f'font-weight="bold" fill="{color}">{pct:.1f}%</text>'
+        f'font-weight="bold" fill="{color}">{html_mod.escape(prefix)}{pct:.1f}%</text>'
         f'<text x="{cx}" y="{cy}" text-anchor="middle" dy="15" font-size="9" '
         f'fill="#666">{html_mod.escape(label)}</text></svg>'
     )
@@ -209,56 +212,84 @@ def create_html_output(session, path: str, sample_rows: int = 20) -> str:
         # failing check, and without the persist each action would re-run
         # every prepare join / model UDF stage from scratch
         ann = t.annotate().persist()
-        n_ko_rows = ann.where(F.size("fired_rules") > 0).count()
-        pct = 100.0 * n_ko_rows / n_rows if n_rows else 0.0
-        check_pct = (
-            100.0 * info["n_ko_checks"] / info["n_checks"] if info["n_checks"] else 0.0
-        )
-        body = [
-            "<div class='tab'>",
-            "<div class='cards'>",
-            f"<div class='card'>{_svg_gauge(pct)}</div>",
-            f"<div class='card'>{_svg_gauge(check_pct, 'checks KO')}</div>",
-            f"<div class='card kpi'>{n_rows}<small>rows</small></div>",
-            f"<div class='card kpi'>{n_ko_rows}<small>rows with ≥1 KO</small></div>",
-            "</div>",
-            "<table class='checks'><thead><tr>"
-            + "".join(
-                f"<th onclick='sortBy(this)'>{h}</th>"
-                for h in ["check", "severity", "n_ko", "n_rows", "status", "sample"]
+        try:
+            # over-cap estimation (reference plot.py:184-196): when any
+            # check's KO sample hit its row cap, the reference can only
+            # BOUND the unique-KO-row count — [max single-check n_ko,
+            # min(Σ n_ko, n_rows)] — and prefixes the gauge with '>' when
+            # the bound is loose (range > 1% of rows), '≈' otherwise.
+            over_cap = any(c.flag_over_max_rows for c in t.check_list)
+            if over_cap:
+                min_n = info["max_n_ko"]
+                max_n = min(info["total_n_ko"], n_rows)
+                n_ko_rows = min_n
+                prefix = ">" if n_rows and (max_n - min_n) / n_rows > 0.01 else "≈"
+            else:
+                n_ko_rows = ann.where(F.size("fired_rules") > 0).count()
+                prefix = ""
+            pct = 100.0 * n_ko_rows / n_rows if n_rows else 0.0
+            check_pct = (
+                100.0 * info["n_ko_checks"] / info["n_checks"]
+                if info["n_checks"] else 0.0
             )
-            + "</tr></thead><tbody>",
-        ]
-        for ci, c in enumerate(sorted(t.check_list, key=lambda c: -c.n_ko)):
-            status = (
-                "ko" if (c.flag_ko and c.severity == "fail")
-                else "warn" if c.flag_ko else "ok"
-            )
-            sid = f"s{ti}_{ci}"
-            btn = (
-                f"<button class='tgl' onclick=\"tglSample('{sid}',this)\">"
-                "show rows</button>"
-                if c.flag_ko
-                else ""
-            )
-            body.append(
-                f"<tr><td>{html_mod.escape(c.description)}</td>"
-                f"<td>{c.severity}</td><td data-v='{c.n_ko}'>{c.n_ko}</td>"
-                f"<td data-v='{c.n_rows}'>{c.n_rows}</td>"
-                f"<td class='status-{status}'>{status.upper()}</td><td>{btn}</td></tr>"
-            )
-            if c.flag_ko:
-                sample = ann.where(
-                    F.array_contains("fired_rules", c.rule_id)
-                ).drop("fired_rules").limit(sample_rows).toPandas()
-                body.append(
-                    f"<tr class='sample' id='{sid}'><td colspan='6'>"
-                    + sample.to_html(index=False, border=0)
-                    + "</td></tr>"
+            # samples show the SOURCE table's columns only (mirrors
+            # ko_rows' internal-column filter) — never engine/aux columns
+            src_cols = [
+                c for c in (t.output_columns or t.df.columns)
+                if not c.startswith("__")
+            ]
+            body = [
+                "<div class='tab'>",
+                "<div class='cards'>",
+                f"<div class='card'>{_svg_gauge(pct, prefix=prefix)}</div>",
+                f"<div class='card'>{_svg_gauge(check_pct, 'checks KO')}</div>",
+                f"<div class='card kpi'>{n_rows}<small>rows</small></div>",
+                f"<div class='card kpi'>{html_mod.escape(prefix)}{n_ko_rows}"
+                "<small>rows with ≥1 KO</small></div>",
+                "</div>",
+                "<table class='checks'><thead><tr>"
+                + "".join(
+                    f"<th onclick='sortBy(this)'>{h}</th>"
+                    for h in ["check", "severity", "n_ko", "n_rows", "status", "sample"]
                 )
-        body.append("</tbody></table></div>")
-        parts.append("".join(body))
-        ann.unpersist()
+                + "</tr></thead><tbody>",
+            ]
+            for ci, c in enumerate(sorted(t.check_list, key=lambda c: -c.n_ko)):
+                status = (
+                    "ko" if (c.flag_ko and c.severity == "fail")
+                    else "warn" if c.flag_ko else "ok"
+                )
+                sid = f"s{ti}_{ci}"
+                cap_mark = " (sample capped)" if c.flag_over_max_rows else ""
+                btn = (
+                    f"<button class='tgl' onclick=\"tglSample('{sid}',this)\">"
+                    f"show rows</button>{cap_mark}"
+                    if c.flag_ko
+                    else ""
+                )
+                body.append(
+                    f"<tr><td>{html_mod.escape(c.description)}</td>"
+                    f"<td>{c.severity}</td><td data-v='{c.n_ko}'>{c.n_ko}</td>"
+                    f"<td data-v='{c.n_rows}'>{c.n_rows}</td>"
+                    f"<td class='status-{status}'>{status.upper()}</td><td>{btn}</td></tr>"
+                )
+                if c.flag_ko:
+                    cols = [c2 for c2 in src_cols if c2 in ann.columns]
+                    sample = (
+                        ann.where(F.array_contains("fired_rules", c.rule_id))
+                        .select(*cols)
+                        .limit(sample_rows)
+                        .toPandas()
+                    )
+                    body.append(
+                        f"<tr class='sample' id='{sid}'><td colspan='6'>"
+                        + sample.to_html(index=False, border=0)
+                        + "</td></tr>"
+                    )
+            body.append("</tbody></table></div>")
+            parts.append("".join(body))
+        finally:
+            ann.unpersist()
 
     out = path if path.endswith(".html") else path + ".html"
     with open(out, "w") as f:

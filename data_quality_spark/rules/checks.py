@@ -655,14 +655,13 @@ def period_intersection(
             **kw,
         )
     # UN-KEYED case: Window.partitionBy(lit(1)) would funnel the whole table
-    # through ONE task — instead route through the range-partition +
-    # boundary-stitch operator (ops/intervals.py), which computes the same
-    # lag/lead chain with only 2 boundary rows per partition leaving the
-    # executors. Expressed as a prepare transform producing an aux flag.
-    # COST NOTE: each flags() evaluation materializes the range-sorted frame
-    # once (the op pins its partitioning); QualityTable.run shares ONE
-    # evaluation across metrics + samples, so prefer run()/annotate() over
-    # calling metrics() and ko_rows() separately for this rule.
+    # through ONE task — instead route through the deterministic range-
+    # partition + boundary-stitch operator (ops/intervals.py), which
+    # computes the same lag/lead chain with only 2 boundary rows per
+    # partition leaving the executors. Expressed as a prepare transform
+    # producing an aux flag. COST NOTE: constructing flags() runs two slim
+    # column-pruned driver jobs (boundary sampling + stitch bounds); the
+    # wide frame is traversed once, with no checkpoint/materialization.
     from data_quality_spark.ops.intervals import overlap_flags_global
 
     s_aux, e_aux = f"__aux_pis_{rule_id}", f"__aux_pie_{rule_id}"

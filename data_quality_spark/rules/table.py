@@ -222,7 +222,11 @@ class QualityTable:
         )  # table.py:644-681
 
     def check_custom_condition(self, condition, description=None, eager=False, **kw):
-        r = C.custom_condition(condition)  # table.py:684-708
+        # rule_id forwarded so several custom conditions can coexist on one
+        # table (default id is the shared "custom_condition")
+        r = C.custom_condition(condition, **(
+            {"rule_id": kw.pop("rule_id")} if "rule_id" in kw else {}
+        ))  # table.py:684-708
         if description:
             r.description = description
         return self._add([r], eager, **kw)

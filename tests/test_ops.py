@@ -623,3 +623,60 @@ def test_label_centroids_values(spark):
              S.label_centroids(df, "v", "label", dim=2).collect()}
     assert cents[0] == (2, [2.0, 4.0])
     assert cents[1] == (1, [10.0, 0.0])
+
+
+def test_overlapping_periods_global_no_materialization_and_colocated_pids(spark):
+    """Round-3 contract: the global interval operator must run with NO
+    localCheckpoint/cache anywhere in its plan (partition ids are a
+    deterministic expression of the row key), and must stay correct when
+    several pid groups share one shuffle task AND partitions arrive as
+    multiple Arrow batches."""
+    import datetime as dt
+
+    from pyspark.sql import Window
+
+    from data_quality_spark.ops.intervals import (
+        overlap_flags_global,
+        overlapping_periods_global,
+    )
+
+    base = dt.datetime(2024, 1, 1)
+    rows = []
+    for i in range(900):
+        start = base + dt.timedelta(minutes=3 * i)
+        dur = 5 if i % 7 == 0 else 2
+        rows.append((i, start, start + dt.timedelta(minutes=dur)))
+    df = spark.createDataFrame(
+        rows, "event_id long, start_ts timestamp, end_ts timestamp"
+    )
+    flagged = overlap_flags_global(
+        df, "start_ts", "end_ts", tiebreak_cols=["event_id"], num_partitions=6
+    )
+    plan = flagged._jdf.queryExecution().executedPlan().toString()
+    assert "Checkpoint" not in plan and "InMemoryTableScan" not in plan
+    assert flagged.count() == len(rows)  # 1:1 row preservation
+
+    # forced co-location: 6 pid ranges funneled into 2 shuffle tasks, with
+    # 50-row Arrow batches → pid transitions mid-task and mid-batch
+    old = spark.conf.get("spark.sql.execution.arrow.maxRecordsPerBatch")
+    spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", "50")
+    try:
+        got = sorted(
+            r["event_id"]
+            for r in overlap_flags_global(
+                df, "start_ts", "end_ts", tiebreak_cols=["event_id"],
+                num_partitions=6, shuffle_partitions=2,
+            ).where(F.col("__overlap_ko")).collect()
+        )
+    finally:
+        spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", old)
+    w = Window.orderBy("start_ts", "end_ts", "event_id")
+    chk = F.coalesce(F.lag("end_ts").over(w) > F.col("start_ts"), F.lit(False))
+    exp = sorted(
+        r["event_id"]
+        for r in df.withColumn("chk", chk)
+        .withColumn("d", F.col("chk") | F.coalesce(F.lead("chk").over(w), F.lit(False)))
+        .where("d")
+        .collect()
+    )
+    assert got == exp and len(exp) > 200

@@ -87,7 +87,9 @@ def test_scrub_actually_scrubs(engine_ann):
     joined = "\n".join(pii["text_scrubbed"])
     assert "@" not in joined
     assert "4111-1111-1111-1111" not in joined
+    assert "62.01.00" not in joined  # ATECO seed scrubbed
     assert "<EMAIL>" in joined or "<CREDIT_CARD>" in joined or "<IP>" in joined
+    assert "<ATECO>" in joined
 
 
 def test_fault_classes_caught(engine_ann):

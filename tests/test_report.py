@@ -79,3 +79,48 @@ def test_py_files_zip_importable(tmp_path):
         cwd=str(tmp_path), env={**os.environ, "PYTHONPATH": ""},
     )
     assert out.returncode == 0 and out.stdout.strip() == "en"
+
+
+def test_html_report_over_cap_prefix(spark, sf_dir, tmp_path):
+    """When a check's KO sample hits its row cap, the gauge must render the
+    reference's estimation prefix ('>' when the KO bound is loose, '≈' when
+    tight — plot.py:184-196) and mark the capped sample; samples must show
+    only source-table columns (never engine/aux columns)."""
+    from data_quality_spark.session import QualitySession
+
+    s = QualitySession(spark)
+    t = s.table_from_parquet(
+        f"{sf_dir}/orders.parquet", "orders", index_column="o_orderkey"
+    )
+    # two checks with heavily-overlapping KO sets and a tiny cap → capped
+    # samples AND a loose unique-row bound (max-min spread > 1% of rows)
+    t.check_custom_condition("o_totalprice < 100000", rule_id="low", n_max_rows_output=5)
+    t.check_custom_condition("o_totalprice > 200000", rule_id="high", n_max_rows_output=5)
+    res = t.run(get_rows_flag=True)
+    assert any(c.flag_over_max_rows for c in res)
+    out = s.create_html_output(str(tmp_path / "capped"))
+    html = open(out).read()
+    assert "&gt;" in html.split("rows KO")[0]  # '>' prefix in the gauge text
+    assert "(sample capped)" in html
+    assert "fired_descriptions" not in html  # engine columns filtered
+    assert "flag_only_warning" not in html
+
+    # tight bound: a single capped check → range 0 → '≈' prefix
+    s2 = QualitySession(spark)
+    t2 = s2.table_from_parquet(
+        f"{sf_dir}/orders.parquet", "orders", index_column="o_orderkey"
+    )
+    t2.check_custom_condition("o_totalprice > 1000", rule_id="big", n_max_rows_output=5)
+    t2.run(get_rows_flag=True)
+    html2 = open(s2.create_html_output(str(tmp_path / "capped2"))).read()
+    assert "≈" in html2
+
+    # uncapped: exact gauge, no prefix
+    s3 = QualitySession(spark)
+    t3 = s3.table_from_parquet(
+        f"{sf_dir}/orders.parquet", "orders", index_column="o_orderkey"
+    )
+    t3.check_index_not_null()
+    t3.run(get_rows_flag=True)
+    html3 = open(s3.create_html_output(str(tmp_path / "uncapped"))).read()
+    assert "≈" not in html3
