@@ -382,19 +382,75 @@ def minhash_lsh_pairs(
     ).where(F.col("jaccard") >= threshold)
 
 
-def drop_near_dups(df: DataFrame, id_col: str, pairs: DataFrame) -> DataFrame:
-    """Survivor set after near-dedup: drop every row appearing as the
-    HIGHER id of a verified pair (pairs carry id_a < id_b). Works with any
-    pair source (minhash_lsh_pairs / simhash_pairs / cosine_lsh_pairs).
+def drop_near_dups(
+    df: DataFrame,
+    id_col: str,
+    pairs: DataFrame,
+    policy: str = "keep_lowest",
+    max_iter: int = 20,
+) -> DataFrame:
+    """Survivor set after near-dedup. Works with any pair source
+    (minhash_lsh_pairs / simhash_pairs / cosine_lsh_pairs; id_a < id_b).
 
-    Keep-lowest is the standard near-dedup survivor policy: in a chain
-    a–b, b–c the rows b and c each appear as some pair's id_b and drop,
-    keeping a — no transitive-closure/connected-components pass needed
-    (which would cost an iterative shuffle per hop at 100 TB). Plan shape:
-    the (small) loser-id set anti-joins the corpus — AQE broadcasts it, so
-    the wide frame never shuffles."""
-    losers = pairs.select(F.col("id_b").alias(id_col)).distinct()
-    return df.join(losers, on=id_col, how="left_anti")
+    policy='keep_lowest' (default): drop every row appearing as the HIGHER
+    id of a verified pair. In a chain a–b, b–c the rows b and c each appear
+    as some pair's id_b and drop, keeping a — no transitive-closure pass.
+    BUT pairs (a,c),(b,c) keep BOTH a and b (they never appear as id_b):
+    one survivor per EDGE-dominated set, not per connected component.
+
+    policy='cluster': exactly ONE survivor (the min id) per connected
+    component, via iterative min-label propagation over the pair graph.
+    Costs one small shuffle per hop up to the component diameter (bounded
+    by max_iter — an unconverged residual after max_iter hops leaves extra
+    survivors, never drops a whole cluster). The propagation runs on the
+    PAIR graph only (the candidate-dup set, ≪ corpus); the corpus-side
+    plan is the same single anti-join either way, so the wide frame never
+    shuffles (AQE broadcasts the loser set)."""
+    if policy == "keep_lowest":
+        losers = pairs.select(F.col("id_b").alias(id_col)).distinct()
+        return df.join(losers, on=id_col, how="left_anti")
+    if policy != "cluster":
+        raise ValueError(f"unknown survivor policy: {policy}")
+    edges = pairs.select(
+        F.col("id_a").alias("src"), F.col("id_b").alias("dst")
+    ).unionByName(
+        pairs.select(F.col("id_b").alias("src"), F.col("id_a").alias("dst"))
+    )
+    labels = (
+        edges.select(F.col("src").alias("id"))
+        .distinct()
+        .withColumn("label", F.col("id"))
+        .persist()
+    )
+    labels.count()
+    for _ in range(max_iter):
+        nbr_min = (
+            edges.join(labels, edges["dst"] == labels["id"])
+            .select(edges["src"].alias("id"), F.col("label"))
+        )
+        new = (
+            labels.select("id", "label")
+            .unionByName(nbr_min)
+            .groupBy("id")
+            .agg(F.min("label").alias("label"))
+            .persist()
+        )
+        changed = (
+            new.join(labels.withColumnRenamed("label", "__old"), "id")
+            .where(F.col("label") != F.col("__old"))
+            .count()
+        )
+        labels.unpersist()
+        labels = new
+        if changed == 0:
+            break
+    losers = labels.where(F.col("label") != F.col("id")).select(
+        F.col("id").alias(id_col)
+    )
+    out = df.join(losers, on=id_col, how="left_anti")
+    # the anti-join's loser set is materialized in `labels`; leave the
+    # persist in place for the caller's action and let Spark evict it
+    return out
 
 
 # ---------------------------------------------------------------------------

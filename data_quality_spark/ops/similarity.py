@@ -136,6 +136,45 @@ def label_centroids(
     )
 
 
+def save_centroids(path: str, rows) -> str:
+    """Persist a quantizer table ([{cell, centroid}] rows) as slim parquet
+    (cell, pos, val) — readable by Spark, DuckDB, and pyarrow alike."""
+    import os
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    # cell keeps its NATIVE type (int labels stay ints — a string round-trip
+    # would reorder ties and break the probe filter's equality)
+    tbl = pa.Table.from_pylist(
+        [
+            {"cell": r["cell"], "pos": pos, "val": float(val)}
+            for r in rows
+            for pos, val in enumerate(r["centroid"])
+        ]
+    )
+    os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
+    pq.write_table(tbl, path)
+    return path
+
+
+def load_centroids(path: str) -> list[dict]:
+    """Inverse of save_centroids: [{cell, centroid}], cells sorted. Pure
+    pyarrow — loading a persisted quantizer issues NO Spark job."""
+    import pyarrow.parquet as pq
+
+    pdf = pq.read_table(path).to_pandas()
+    out = []
+    for cell, grp in pdf.groupby("cell", sort=True):
+        out.append(
+            {
+                "cell": cell.item() if hasattr(cell, "item") else cell,
+                "centroid": list(grp.sort_values("pos")["val"]),
+            }
+        )
+    return out
+
+
 def ivf_topk(
     df: DataFrame,
     id_col: str,
@@ -146,6 +185,7 @@ def ivf_topk(
     n_probe: int = 1,
     dim: int = EMB_DIM,
     centroids=None,
+    centroids_path: str | None = None,
 ) -> DataFrame:
     """IVF-style ANN: rank cells by cosine(query, centroid), search the
     n_probe nearest cells exactly, return top-k. Recall < 1 by construction
@@ -153,16 +193,25 @@ def ivf_topk(
     search feasible: the scan touches ~n_probe/n_cells of the corpus, and a
     cell-partitioned table prunes at the file level.
 
-    Pass `centroids` (rows of label_centroids, or any [{cell, centroid}])
-    to reuse a persisted quantizer table instead of recomputing it per
-    query; see train_kmeans_cells/ivf_topk_trained for the trained variant."""
+    Quantizer reuse — the DEFAULT path for repeated queries: pass
+    `centroids_path`; an existing table is loaded driver-side (pyarrow, NO
+    Spark job over the corpus), a missing one is computed ONCE and
+    persisted there. `centroids` (rows of label_centroids, or any
+    [{cell, centroid}]) overrides both. Only with neither given does every
+    call pay a full centroid scan — fine for one-offs, wrong for a query
+    service. See train_kmeans_cells/ivf_topk_trained for the trained
+    variant (same persistence via save_centroids)."""
     import math
+    import os
 
-    cents = (
-        centroids
-        if centroids is not None
-        else label_centroids(df, vec_col, cell_col, dim).collect()
-    )
+    if centroids is not None:
+        cents = centroids
+    elif centroids_path is not None and os.path.exists(centroids_path):
+        cents = load_centroids(centroids_path)
+    else:
+        cents = label_centroids(df, vec_col, cell_col, dim).collect()
+        if centroids_path is not None:
+            save_centroids(centroids_path, cents)
     q = query_vec
 
     def cos(c: list[float]) -> float:

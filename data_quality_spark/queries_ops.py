@@ -525,11 +525,34 @@ GROUP BY 1, 2
 IVF_NPROBE = 2
 
 
+_LABELC_CACHE: dict[str, list] = {}
+
+
+def _label_centroids_persisted(spark, sf_dir):
+    """Persisted label-cell quantizer (the ivf_topk default path): computed
+    ONCE per sf, written via save_centroids, reused driver-side — repeated
+    IVF queries issue no centroid job (test-pinned). The SQL oracle still
+    recomputes its centroids independently (centl CTE), so the persistence
+    shortcut is itself verified."""
+    import os
+
+    from data_quality_spark.pipeline.expected import EXPECTED_DIR
+
+    if sf_dir not in _LABELC_CACHE:
+        path = os.path.join(EXPECTED_DIR, "label_centroids.parquet")
+        emb = _t(spark, sf_dir, "embeddings")
+        rows = S.label_centroids(emb, "embedding", "label").collect()
+        S.save_centroids(path, rows)
+        _LABELC_CACHE[sf_dir] = S.load_centroids(path)
+    return _LABELC_CACHE[sf_dir]
+
+
 def q_sim_ivf_topk(spark, sf_dir):
     emb = _t(spark, sf_dir, "embeddings")
     return S.ivf_topk(
         emb, "vec_id", "embedding", "label",
         _query_vec(spark, sf_dir), TOPK, n_probe=IVF_NPROBE,
+        centroids=_label_centroids_persisted(spark, sf_dir),
     )
 
 

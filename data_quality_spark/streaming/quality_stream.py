@@ -83,12 +83,21 @@ def stream_quality_filter(
     cfg: QFConfig = DEFAULT_CONFIG,
     max_files_per_trigger: int = 8,
     available_now: bool = False,
+    dedup_within: str | None = None,
 ):
     """readStream(pages parquet dir) → annotate → writeStream(kept parquet).
 
     Returns the started StreamingQuery. ``available_now=True`` drains
     whatever exists and stops (batch-like run with streaming checkpoints —
-    also how the tests drive it)."""
+    also how the tests drive it).
+
+    ``dedup_within`` (e.g. "1 hour"): BOUNDED-STATE url dedup via
+    ``dropDuplicatesWithinWatermark`` — a same-url page arriving within the
+    watermark window of an already-emitted one is suppressed; state for a
+    url is evictable once the watermark passes its event time, so state
+    stays O(urls-per-window), not O(stream). Near-real-time consumers get
+    dup suppression without waiting for the nightly batch (which remains
+    the source of truth for exact global dedup — the lambda split)."""
     src = (
         spark.readStream.schema(PAGES_SCHEMA)
         .option("maxFilesPerTrigger", max_files_per_trigger)
@@ -99,6 +108,9 @@ def stream_quality_filter(
         "url", "warc_ts", "lang", "lang_pred", "ppl",
         "text_scrubbed", "fired_rules", "part_id", "src_file",
     )
+    if dedup_within is not None:
+        kept = kept.withWatermark("warc_ts", dedup_within)
+        kept = kept.dropDuplicatesWithinWatermark(["url"])
     writer = (
         kept.writeStream.format("parquet")
         .option("path", out_path)

@@ -680,3 +680,64 @@ def test_overlapping_periods_global_no_materialization_and_colocated_pids(spark)
         .collect()
     )
     assert got == exp and len(exp) > 200
+
+
+def test_ivf_persisted_centroids_default(spark, sf_dir, tmp_path, monkeypatch):
+    """ivf_topk(centroids_path=...) must compute the quantizer ONCE, persist
+    it, and on later calls load it driver-side WITHOUT a centroid job over
+    the corpus — pinned by swapping in a corpus that would yield different
+    centroids and observing the persisted ones still drive the probe."""
+    import os
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    q = [float(i % 5 - 2) for i in range(64)]
+    path = str(tmp_path / "cent.parquet")
+
+    first = S.ivf_topk(emb, "vec_id", "embedding", "label", q,
+                       k=5, n_probe=2, centroids_path=path).collect()
+    assert os.path.exists(path)
+    # round-trip preserves cell type and values exactly
+    loaded = S.load_centroids(path)
+    computed = {r["cell"]: list(r["centroid"])
+                for r in S.label_centroids(emb, "embedding", "label").collect()}
+    assert {r["cell"]: r["centroid"] for r in loaded} == computed
+    assert all(isinstance(r["cell"], type(next(iter(computed)))) for r in loaded)
+
+    # with the file in place, a repeated call must NOT recompute centroids:
+    # any call into label_centroids now fails the test outright
+    def _boom(*a, **k):
+        raise AssertionError("centroid job issued despite persisted table")
+
+    monkeypatch.setattr(S, "label_centroids", _boom)
+    rows = S.ivf_topk(emb, "vec_id", "embedding", "label", q,
+                      k=5, n_probe=2, centroids_path=path).collect()
+    assert [r["vec_id"] for r in rows] == [r["vec_id"] for r in first]
+
+
+def test_drop_near_dups_cluster_policy(spark):
+    """policy='cluster' keeps exactly one survivor (min id) per connected
+    component, including shapes keep-lowest gets wrong: pairs (a,c),(b,c)
+    leave {a,b} under keep-lowest but only {a} under cluster."""
+    docs = spark.createDataFrame(
+        [(i, f"d{i}") for i in range(1, 9)], "id long, text string"
+    )
+    # components: {1,2,3} via (1,3),(2,3); chain {4,5,6}; isolated 7, 8
+    pairs = spark.createDataFrame(
+        [(1, 3), (2, 3), (4, 5), (5, 6)], "id_a long, id_b long"
+    )
+    kl = sorted(r["id"] for r in D.drop_near_dups(docs, "id", pairs).collect())
+    assert kl == [1, 2, 4, 7, 8]  # keep-lowest: b=2 survives the (a,c),(b,c) shape
+    cl = sorted(
+        r["id"]
+        for r in D.drop_near_dups(docs, "id", pairs, policy="cluster").collect()
+    )
+    assert cl == [1, 4, 7, 8]  # one survivor per component
+    # a long chain converges too (diameter 6 < max_iter)
+    chain = spark.createDataFrame(
+        [(i, i + 1) for i in range(1, 8)], "id_a long, id_b long"
+    )
+    cl2 = sorted(
+        r["id"]
+        for r in D.drop_near_dups(docs, "id", chain, policy="cluster").collect()
+    )
+    assert cl2 == [1]

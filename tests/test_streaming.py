@@ -176,3 +176,43 @@ def test_stream_resume_no_duplicates(spark, stream_in, tmp_path):
     n2 = spark.read.parquet(out).count()
     assert n1 == n2 > 0
     assert os.path.isdir(ckpt)
+
+
+def test_stream_dedup_within_watermark(spark, tmp_path):
+    """dedup_within: a same-url page arriving inside the watermark window
+    of an already-emitted one is suppressed (bounded-state streaming dedup);
+    distinct urls pass untouched."""
+    import datetime as dt
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from data_quality_spark.pipeline.pages import gen_row
+
+    # two clean rows + an exact same-url replay 10 minutes later (well
+    # inside the 1-hour watermark) + a distinct third url
+    r1 = gen_row(0, seed=11)          # clean class
+    r2 = dict(r1)
+    r2["warc_ts"] = r1["warc_ts"] + dt.timedelta(minutes=10)
+    r3 = gen_row(100, seed=11)        # different url, clean class
+    assert r1["fault_class"] == "clean" and r3["fault_class"] == "clean"
+    src_dir = str(tmp_path / "dup_pages")
+    os.makedirs(src_dir, exist_ok=True)
+    schema = pa.schema([("url", pa.string()), ("warc_ts", pa.timestamp("us")),
+                        ("html", pa.binary()), ("text", pa.string()),
+                        ("lang", pa.string())])
+    rows = [{k: r[k] for k in schema.names} for r in (r1, r2, r3)]
+    pq.write_table(pa.Table.from_pylist(rows, schema=schema),
+                   os.path.join(src_dir, "p.parquet"))
+
+    out = str(tmp_path / "kept_dedup")
+    q = stream_quality_filter(
+        spark, src_dir, out, str(tmp_path / "ckpt_dedup"),
+        available_now=True, dedup_within="1 hour",
+    )
+    q.awaitTermination(300)
+    got = spark.read.parquet(out).select("url").collect()
+    urls = [r["url"] for r in got]
+    assert sorted(set(urls)) == sorted({r1["url"], r3["url"]})
+    assert urls.count(r1["url"]) == 1  # the replay was suppressed
+    assert len(urls) == 2
