@@ -139,6 +139,17 @@ def main() -> None:
     qf_sec = _median(qf_runs)
     record("qf_pipeline", qf_runs)
     n_kept = sum(r["count"] for r in counts if r["keep"])
+    # FULL OUTPUT variant: forces text_scrubbed per row (what the parquet
+    # write in run_pipeline evaluates) — the keep-count plan prunes scrub
+    qf_full_runs = []
+    for _ in range(N_REPS):
+        t0 = time.perf_counter()
+        QF.annotate_pages(pages).select(
+            F.sum(F.length("text_scrubbed") + F.size("fired_rules")
+                  + F.col("keep").cast("long"))
+        ).collect()
+        qf_full_runs.append(time.perf_counter() - t0)
+    record("qf_pipeline_full", qf_full_runs)
 
     # keep/drop F1 vs the single-process oracle on a deterministic subsample
     # (BASELINE metric: F1 >= 0.99); full-corpus parity is pytest's job.
@@ -175,6 +186,7 @@ def main() -> None:
         "cpus": int(CPUS) if CPUS.isdigit() else CPUS,
         "qf_docs": n_pages,
         "qf_docs_per_sec": round(n_pages / qf_sec, 1),
+        "qf_docs_per_sec_full_output": round(n_pages / _median(qf_full_runs), 1),
         "qf_kept": n_kept,
         "qf_f1_vs_oracle": round(f1, 4),
         "qf_f1_sample": n_sub,

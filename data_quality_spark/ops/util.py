@@ -10,8 +10,20 @@ def spread_narrow(df: DataFrame, factor: int = 2) -> DataFrame:
     Arrow UDF stage parallelizes instead of serializing on one task. At
     scale the file splits already provide parallelism and this is a no-op
     (condition: existing partitions < defaultParallelism). Round-robin —
-    callers needing a specific key distribution repartition themselves."""
+    callers needing a specific key distribution repartition themselves.
+
+    The partition probe (`df.rdd.getNumPartitions()`) forces a driver-side
+    plan conversion; its result is memoized on the DataFrame object so an
+    operator that routes the same frame through several UDF stages pays it
+    once (the probe never executes a job — planning only)."""
     target = df.sparkSession.sparkContext.defaultParallelism
-    if df.rdd.getNumPartitions() < target:
+    n = getattr(df, "_dqs_num_partitions", None)
+    if n is None:
+        n = df.rdd.getNumPartitions()
+        try:
+            df._dqs_num_partitions = n
+        except Exception:
+            pass
+    if n < target:
         return df.repartition(factor * target)
     return df

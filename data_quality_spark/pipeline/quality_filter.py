@@ -66,11 +66,22 @@ class QFConfig:
 DEFAULT_CONFIG = QFConfig()
 
 
-def quality_rules(cfg: QFConfig = DEFAULT_CONFIG) -> list[Rule]:
+def quality_rules(
+    cfg: QFConfig = DEFAULT_CONFIG, pii_col: str | None = None
+) -> list[Rule]:
     """The rule set, expressed over the feature/score columns. Ancestry:
     each is a Custom/BetweenValues/ValuesInList/Duplicate check shape
-    (SURVEY.md §2.3 mapping table)."""
+    (SURVEY.md §2.3 mapping table).
+
+    pii_col: name of a precomputed native_pii_found column — the pipeline
+    passes 'pii_found' so the PII detector evaluates ONCE and is shared
+    with the scrub gate (standalone use computes it inline)."""
     fired = lambda c: F.coalesce(c, F.lit(False))  # noqa: E731
+    pii_viol = (
+        fired(F.col(pii_col))
+        if pii_col is not None
+        else scrub.native_pii_found(F.col("text_extracted"))
+    )
     R = [
         Rule("text_not_empty", "extracted text is null or empty",
              is_empty("text_extracted")),
@@ -101,7 +112,7 @@ def quality_rules(cfg: QFConfig = DEFAULT_CONFIG) -> list[Rule]:
              severity="fail" if cfg.drop_lang_mismatch else "warning"),
         # PII: WARNING — the row is kept, the text is scrubbed
         Rule("pii_found", "PII detected (text scrubbed)",
-             scrub.native_pii_found(F.col("text_extracted")),
+             pii_viol,
              severity="warning"),
     ]
     if cfg.min_lang_margin is not None:
@@ -192,10 +203,18 @@ def annotate_pages(
         .when(F.col("ppl") <= cfg.ppl_tail, "middle")
         .otherwise("tail"),
     )
-    eng = RuleEngine(quality_rules(cfg))
+    # ONE PII-detector evaluation, shared by the pii rule and the scrub
+    # gate (annotation column — downstream consumers can filter on it)
+    df = df.withColumn(
+        "pii_found",
+        F.coalesce(scrub.native_pii_found(F.col("text_extracted")), F.lit(False)),
+    )
+    eng = RuleEngine(quality_rules(cfg, pii_col="pii_found"))
     df = eng.annotate(df)
-    df = df.withColumn("text_scrubbed",
-                       scrub.native_scrub(F.col("text_extracted")))
+    df = df.withColumn(
+        "text_scrubbed",
+        scrub.native_scrub(F.col("text_extracted"), found=F.col("pii_found")),
+    )
     # lineage (north_rule: per-partition lineage + metrics)
     df = df.withColumn("part_id", F.spark_partition_id())
     return df

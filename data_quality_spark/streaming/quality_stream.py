@@ -45,8 +45,13 @@ PAGES_SCHEMA = (
 
 def streaming_rules(cfg: QFConfig = DEFAULT_CONFIG):
     """The batch rule set minus cross-row rules (duplicate_url needs
-    unbounded state — batch's job)."""
-    return [r for r in quality_rules(cfg) if r.rule_id != "duplicate_url"]
+    unbounded state — batch's job). The pii rule reads the shared
+    'pii_found' column annotate_stream computes (one detector scan)."""
+    return [
+        r
+        for r in quality_rules(cfg, pii_col="pii_found")
+        if r.rule_id != "duplicate_url"
+    ]
 
 
 def annotate_stream(df: DataFrame, cfg: QFConfig = DEFAULT_CONFIG) -> DataFrame:
@@ -69,9 +74,16 @@ def annotate_stream(df: DataFrame, cfg: QFConfig = DEFAULT_CONFIG) -> DataFrame:
         .when(F.col("ppl") <= cfg.ppl_tail, "middle")
         .otherwise("tail"),
     )
+    df = df.withColumn(
+        "pii_found",
+        F.coalesce(scrub.native_pii_found(F.col("text_extracted")), F.lit(False)),
+    )
     eng = RuleEngine(streaming_rules(cfg))
     df = eng.annotate(df)
-    df = df.withColumn("text_scrubbed", scrub.native_scrub(F.col("text_extracted")))
+    df = df.withColumn(
+        "text_scrubbed",
+        scrub.native_scrub(F.col("text_extracted"), found=F.col("pii_found")),
+    )
     return df.withColumn("part_id", F.spark_partition_id())
 
 

@@ -325,3 +325,51 @@ def test_metrics_by_partition(spark, fixture_path):
     assert m["n_rows"].sum() == N_ROWS
     assert (m["n_dropped"] <= m["n_rows"]).all()
     assert m["symbol_ratio"].sum() > 0  # some spam caught in every run
+
+
+def test_native_pii_detector_matches_python(spark):
+    """The two-stage native detector (char-class gate + alternation) must
+    agree with py_pii_found row-for-row, including gate edge cases."""
+    from data_quality_spark.functions import scrub
+
+    cases = [
+        "plain clean text with words only",
+        "mail me at a.b@c.example today",          # @ gate
+        "my card 4111-1111-1111-1111 thanks",      # digit gate
+        "call +39 333 123 4567 now",               # + gate
+        "code RSSMRA85T10A562S here",              # fiscal
+        "ateco 62.01.00 registered",               # ateco
+        "ip 192.168.12.34 logged",                 # ip
+        "you absolute IDIOT",                      # toxic, no gate chars
+        "idiotic but not the word",                # gate-free, toxic probe
+        "numbers 123 but no pii",                  # gate true, detect false
+        "", None,
+    ]
+    df = spark.createDataFrame([(i, c) for i, c in enumerate(cases)],
+                               "i int, t string")
+    from pyspark.sql import functions as F2
+    got = {
+        r["i"]: r["f"]
+        for r in df.select(
+            "i", F2.coalesce(scrub.native_pii_found(F2.col("t")), F2.lit(False)).alias("f")
+        ).collect()
+    }
+    for i, c in enumerate(cases):
+        assert got[i] == scrub.py_pii_found(c), (i, c)
+
+
+def test_pipeline_pii_detector_evaluated_once(spark, fixture_path):
+    """The pii rule and the scrub gate must share ONE detector evaluation:
+    the expensive pattern alternation appears exactly once in the executed
+    plan of the full annotated frame."""
+    ann = annotate_pages(spark.read.parquet(fixture_path).limit(50))
+    plan = ann._jdf.queryExecution().executedPlan().toString()
+    from data_quality_spark.functions.scrub import _PII_DETECT, SCRUB_PATTERNS
+    # each pattern appears once inside the shared detect ALTERNATION and
+    # once as its own regexp_replace in the (gated) rewrite chain — but the
+    # alternation itself must appear exactly once (rule + scrub share it)
+    n = plan.count(_PII_DETECT)
+    assert n == 1, f"PII detector alternation appears {n}x in the plan"
+    # and each pattern: alternation + one replace = exactly 2
+    email_pat = SCRUB_PATTERNS[0][1]
+    assert plan.count(email_pat) == 2

@@ -191,3 +191,30 @@ def test_spark_python_parity_randomized(spark, seed):
             g = got.loc[i, k]
             assert g == pytest.approx(v, rel=1e-9), (i, k, t[:50])
         assert got.loc[i, "scrubbed"] == scrub.py_scrub(t), (i, t[:50])
+
+
+# gate-char-free text: letters, whitespace, punctuation — NO digit/@/+
+GATELESS = st.text(
+    alphabet=st.sampled_from(
+        list("abcdefghijklmnopqrstuvwxyzABCDEFGH \t\n.,-_#%()!?<>")
+    ),
+    max_size=200,
+)
+
+
+@settings(max_examples=300, deadline=None, derandomize=True)
+@given(GATELESS)
+def test_scrub_gate_class_invariant(t):
+    """The two-stage native detector's stage-1 gate ([0-9@+]) is sound:
+    NO SCRUB_PATTERN can match text containing none of those characters
+    (toxic words are handled by their own probe). Adding a pattern that
+    violates this invariant must fail here, not silently skip PII."""
+    import re
+
+    for name, pat, _ in scrub.SCRUB_PATTERNS:
+        assert re.search(pat, t) is None, (name, t)
+    # end-to-end: the full python detector on gateless text can only fire
+    # via the toxic-word probe
+    if scrub.py_pii_found(t):
+        low = t.lower()
+        assert any(w in low for w in scrub.TOXIC_WORDS)

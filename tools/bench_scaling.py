@@ -25,6 +25,7 @@ REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 RUNNER = r"""
 import json, os, sys, time
 sys.path.insert(0, "__REPO__")
+from pyspark.sql import functions as F
 from data_quality_spark.session import get_spark
 from data_quality_spark.pipeline import quality_filter as QF
 
@@ -33,10 +34,21 @@ spark.sparkContext.setLogLevel("ERROR")
 pages = spark.read.parquet("__FIXTURE__").drop("fault_class")
 
 def run_once():
+    # keep/drop aggregation — the cross-round scaling protocol (Catalyst
+    # prunes the scrub chain here: only the keep decision is computed)
     t0 = time.perf_counter()
     ann = QF.annotate_pages(pages)
     counts = ann.groupBy("keep").count().collect()
     return time.perf_counter() - t0, sum(r["count"] for r in counts)
+
+def run_full():
+    # FULL OUTPUT: forces text_scrubbed + fired_rules + keep per row — what
+    # run_pipeline's parquet write actually evaluates (docs/sec with output)
+    t0 = time.perf_counter()
+    ann = QF.annotate_pages(pages)
+    ann.select(F.sum(F.length("text_scrubbed") + F.size("fired_rules")
+                     + F.col("keep").cast("long"))).collect()
+    return time.perf_counter() - t0
 
 cold_sec, n = run_once()
 warm = []
@@ -44,10 +56,13 @@ for _ in range(3):
     s, n2 = run_once()
     assert n == n2
     warm.append(s)
+full = [run_full() for _ in range(2)]
 print(json.dumps({"cpus": os.environ["SPARK_GRAFT_CPUS"],
                   "cold_sec": round(cold_sec, 2),
                   "warm_sec": round(min(warm), 2),
                   "warm_all": [round(s, 2) for s in warm],
+                  "full_sec": round(min(full), 2),
+                  "full_all": [round(s, 2) for s in full],
                   "docs": n}))
 """
 
@@ -96,13 +111,17 @@ def main() -> None:
     r_hi = run_at(hi, fixture)
     t_lo, t_hi = r_lo["warm_sec"], r_hi["warm_sec"]
     eff = t_lo / (factor * t_hi)
+    f_lo, f_hi = r_lo.get("full_sec"), r_hi.get("full_sec")
     result = {
         "docs": a.docs,
         "runs": [r_lo, r_hi],
         "docs_per_sec": {str(lo): round(a.docs / t_lo, 1),
                          str(hi): round(a.docs / t_hi, 1)},
+        "docs_per_sec_full_output": {str(lo): round(a.docs / f_lo, 1),
+                                     str(hi): round(a.docs / f_hi, 1)},
         "speedup": round(t_lo / t_hi, 2),
         "scaling_efficiency": round(eff, 3),
+        "scaling_efficiency_full_output": round(f_lo / (factor * f_hi), 3),
         "pass_0.8": eff >= 0.8,
     }
     print(json.dumps(result))
