@@ -61,6 +61,11 @@ class QFConfig:
     # optional fastText-style confidence gate: margin below this fires a
     # WARNING rule (None = off, keeping the default rule set stable)
     min_lang_margin: float | None = None
+    # raw `text` is only the extraction fallback input; once text_extracted
+    # is coalesced it is dead weight in every downstream row buffer
+    # (~kB/row × every projection's row materialization). Dropped by
+    # default; set True to carry it through to the annotated output.
+    keep_source_text: bool = False
 
 
 DEFAULT_CONFIG = QFConfig()
@@ -183,9 +188,12 @@ def annotate_pages(
     # staged extraction: ONE full-document regex per row (extract.py perf
     # shape note); NULL extract (no <main>) falls back to the raw text column
     df = extract.with_extracted(df, "html", "text_extracted", "text")
-    # html served its purpose — dropping the (dominant-width) payload here
-    # keeps it out of every downstream stage's row buffers
+    # html (and by default the raw text fallback) served their purpose —
+    # dropping the payload columns here keeps them out of every downstream
+    # stage's row buffers (measured ~6% of 8-core pipeline time for text)
     df = df.drop("html")
+    if not cfg.keep_source_text:
+        df = df.drop("text")
     df = textstats.with_features(df, "text_extracted")
     # one fused Arrow stage for both models: text crosses JVM→Python once
     df = df.withColumn("_m", models.spark_udf()(F.col("text_extracted")))

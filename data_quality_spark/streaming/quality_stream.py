@@ -60,6 +60,8 @@ def annotate_stream(df: DataFrame, cfg: QFConfig = DEFAULT_CONFIG) -> DataFrame:
     df = df.withColumn("src_file", F.input_file_name())
     df = extract.with_extracted(df, "html", "text_extracted", "text")
     df = df.drop("html")
+    if not cfg.keep_source_text:
+        df = df.drop("text")
     df = textstats.with_features(df, "text_extracted")
     df = df.withColumn("_m", models.spark_udf()(F.col("text_extracted")))
     df = df.select(

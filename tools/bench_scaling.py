@@ -67,28 +67,46 @@ print(json.dumps({"cpus": os.environ["SPARK_GRAFT_CPUS"],
 """
 
 
+def _one_jvm(cpus: int, fixture: str) -> dict:
+    env = dict(os.environ, SPARK_GRAFT_CPUS=str(cpus))
+    code = RUNNER.replace("__REPO__", REPO).replace("__FIXTURE__", fixture)
+    out = subprocess.run(
+        [sys.executable, "-c", code], env=env, capture_output=True,
+        text=True, timeout=1800,
+    )
+    if out.returncode != 0:
+        raise RuntimeError(out.stderr[-2000:])
+    return json.loads(out.stdout.strip().splitlines()[-1])
+
+
 def run_at(cpus: int, fixture: str, jvms: int = 2) -> dict:
     """Best steady-state across `jvms` fresh JVMs: heap/GC state drifts
     within a long-lived local JVM (measured: +70% by the 5th repeat), so
     each JVM contributes only its early post-warmup runs and the minimum
     over JVMs is the steady-state estimate."""
-    env = dict(os.environ, SPARK_GRAFT_CPUS=str(cpus))
-    code = RUNNER.replace("__REPO__", REPO).replace("__FIXTURE__", fixture)
-    best = None
-    for _ in range(jvms):
-        out = subprocess.run(
-            [sys.executable, "-c", code], env=env, capture_output=True,
-            text=True, timeout=1800,
-        )
-        if out.returncode != 0:
-            raise RuntimeError(out.stderr[-2000:])
-        r = json.loads(out.stdout.strip().splitlines()[-1])
-        if best is None or r["warm_sec"] < best["warm_sec"]:
-            r["warm_all_jvms"] = (best or {}).get("warm_all_jvms", []) + [r["warm_all"]]
-            best = r
-        else:
-            best["warm_all_jvms"] = best.get("warm_all_jvms", [best["warm_all"]]) + [r["warm_all"]]
-    return best
+    return _merge([_one_jvm(cpus, fixture) for _ in range(jvms)])
+
+
+def _merge(rs: list[dict]) -> dict:
+    out = dict(min(rs, key=lambda r: r["warm_sec"]))
+    out["warm_all_jvms"] = [r["warm_all"] for r in rs]
+    out["full_sec"] = min(r.get("full_sec", float("inf")) for r in rs)
+    out["full_all_jvms"] = [r.get("full_all") for r in rs]
+    return out
+
+
+def run_interleaved(lo: int, hi: int, fixture: str, rounds: int = 3):
+    """Alternate lo- and hi-core fresh JVMs so slow epochs of a noisy host
+    (steal time on shared boxes) hit BOTH configs rather than biasing the
+    efficiency ratio — single-config blocks were observed to swing the
+    measured efficiency 0.68–0.86 on identical code."""
+    los, his = [], []
+    for i in range(rounds):
+        los.append(_one_jvm(lo, fixture))
+        his.append(_one_jvm(hi, fixture))
+        print(f"round {i}: lo warm={los[-1]['warm_all']} hi warm={his[-1]['warm_all']}",
+              file=sys.stderr, flush=True)
+    return _merge(los), _merge(his)
 
 
 def main() -> None:
@@ -96,6 +114,8 @@ def main() -> None:
     ap.add_argument("--docs", type=int, default=100_000)
     ap.add_argument("--out", default=os.path.join(REPO, "BENCH.md"))
     ap.add_argument("--cpus", type=int, nargs=2, default=[8, 32])
+    ap.add_argument("--rounds", type=int, default=3,
+                    help="interleaved (lo,hi) fresh-JVM pairs")
     a = ap.parse_args()
 
     fixture = os.path.join(REPO, ".bench", f"pages_v3_n{a.docs}_seed42.parquet")
@@ -107,8 +127,7 @@ def main() -> None:
 
     lo, hi = sorted(a.cpus)
     factor = hi // lo
-    r_lo = run_at(lo, fixture)
-    r_hi = run_at(hi, fixture)
+    r_lo, r_hi = run_interleaved(lo, hi, fixture, rounds=a.rounds)
     t_lo, t_hi = r_lo["warm_sec"], r_hi["warm_sec"]
     eff = t_lo / (factor * t_hi)
     f_lo, f_hi = r_lo.get("full_sec"), r_hi.get("full_sec")
