@@ -188,6 +188,46 @@ WHERE doc_id NOT IN (SELECT id_b FROM ({_sql_minhash_lsh()}))
 """
 
 
+def q_dedup_cluster_drop(spark, sf_dir):
+    """Cluster-exact survivor set: ONE survivor (min id) per connected
+    component of the verified near-dup pair graph
+    (drop_near_dups(policy='cluster') — bounded min-label propagation).
+    Oracle: the same components via a DuckDB recursive CTE."""
+    corpus = _near_dup_corpus(spark, sf_dir)
+    pairs = D.minhash_lsh_pairs(
+        corpus, "doc_id", "text", threshold=MINHASH_THRESHOLD
+    )
+    return D.drop_near_dups(corpus, "doc_id", pairs, policy="cluster").select(
+        "doc_id"
+    )
+
+
+def _sql_cluster_drop() -> str:
+    # connected components in SQL: reach(a,b) = b reachable from a over the
+    # undirected pair graph; component label = min reachable id (incl.
+    # self); survivors = rows that are their own label (plus rows not in
+    # the graph at all)
+    return f"""
+WITH RECURSIVE
+pairs AS ({_sql_minhash_lsh()}),
+edges AS (
+  SELECT id_a AS src, id_b AS dst FROM pairs
+  UNION
+  SELECT id_b AS src, id_a AS dst FROM pairs
+),
+reach(src, dst) AS (
+  SELECT src, dst FROM edges
+  UNION
+  SELECT r.src, e.dst FROM reach r JOIN edges e ON e.src = r.dst
+),
+label AS (
+  SELECT src AS id, least(min(dst), src) AS label FROM reach GROUP BY src
+)
+SELECT doc_id FROM ({SQL_NEAR_CORPUS})
+WHERE doc_id NOT IN (SELECT id FROM label WHERE label <> id)
+"""
+
+
 # ---------------------------------------------------------------------------
 # dedup 3 — SimHash (32-bit, 4 byte-bands, Hamming <= 6)
 # ---------------------------------------------------------------------------
@@ -1214,6 +1254,7 @@ OPS_QUERIES = {
     "period_overlap_global": q_period_overlap_global,
     "dedup_minhash_lsh": q_dedup_minhash_lsh,
     "dedup_minhash_drop": q_dedup_minhash_drop,
+    "dedup_cluster_drop": q_dedup_cluster_drop,
     "dedup_simhash": q_dedup_simhash,
     "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
     "sim_topk_cosine": q_sim_topk_cosine,
@@ -1247,6 +1288,7 @@ OPS_ORACLES = {
     "period_overlap_global": SQL_PERIOD_OVERLAP_GLOBAL,
     "dedup_minhash_lsh": _sql_minhash_lsh(),
     "dedup_minhash_drop": _sql_minhash_drop(),
+    "dedup_cluster_drop": _sql_cluster_drop(),
     "dedup_simhash": _sql_simhash(),
     "dedup_ngram_jaccard": SQL_DEDUP_NGRAM_JACCARD,
     "sim_topk_cosine": SQL_SIM_TOPK,
