@@ -156,6 +156,85 @@ def with_normalized(df: DataFrame, text_col: str, out_col: str = "text_norm"):
     return df.withColumn(out_col, normalize_text(F.col(text_col)))
 
 
+SAMPLE_DENOM = 1_000_000  # hash-bucket resolution: fractions to 1e-6
+
+
+def sample_stratified(
+    df: DataFrame,
+    id_col: str,
+    fractions: dict | float,
+    strata_col: str | None = None,
+    salt: str = "sample",
+    default_fraction: float = 0.0,
+) -> DataFrame:
+    """Deterministic stratified sampling for training-data mixes: keep a
+    row iff portable_hash64(id||'#'||salt) mod 1e6 < fraction·1e6 for its
+    stratum (e.g. per-language downsampling rates). Properties a training
+    pipeline needs that `df.sample`/`sampleBy` lack:
+
+      * reproducible across runs, engines, AND partitionings (the hash is
+        a pure function of the row id — Spark's samplers are seeded per
+        partition, so a repartition changes the selected set);
+      * consistent across tables (the same id samples identically
+        everywhere — joins between sampled tables stay aligned);
+      * auditable in SQL (md5-portable — the oracle reproduces the exact
+        row set).
+
+    Plan shape: map-only filter, no shuffle; different salts give
+    independent samples."""
+    from data_quality_spark.ops.hashing import portable_hash64
+
+    bucket = F.pmod(
+        portable_hash64(F.col(id_col).cast("string"), f"#{salt}"),
+        F.lit(SAMPLE_DENOM),
+    )
+    if strata_col is None:
+        thr: Column = F.lit(int(round(float(fractions) * SAMPLE_DENOM)))
+    else:
+        case = None
+        for k, v in fractions.items():
+            cond = F.col(strata_col).cast("string") == str(k)
+            n = int(round(v * SAMPLE_DENOM))
+            case = F.when(cond, n) if case is None else case.when(cond, n)
+        dflt = int(round(default_fraction * SAMPLE_DENOM))
+        thr = case.otherwise(dflt) if case is not None else F.lit(dflt)
+    return df.where(bucket < thr)
+
+
+def token_budget_cap(
+    df: DataFrame,
+    group_col: str,
+    order_col: str,
+    tokens_col: Column | str,
+    budget: int,
+) -> DataFrame:
+    """Per-group TOKEN budget (the LLM-mix sibling of group_quota's row
+    cap): admit rows of each group in `order_col` order while the running
+    token total of the rows admitted BEFORE them is < budget — so the row
+    that crosses the budget is the last one admitted, and every group with
+    any rows contributes at least one (no budget starvation on long docs).
+
+    `tokens_col` may be a column name or an expression (e.g. the ws-token
+    count of a text column). `order_col` must be unique per group for a
+    deterministic result. Window cumsum per group — the group key (source /
+    lang / host) parallelizes when its cardinality ≫ executors; a single
+    giant group serializes, like any per-group total order."""
+    from pyspark.sql import Window
+
+    toks = F.col(tokens_col) if isinstance(tokens_col, str) else tokens_col
+    w = (
+        Window.partitionBy(group_col)
+        .orderBy(order_col)
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    before = F.coalesce(F.sum(toks).over(w), F.lit(0).cast("long"))
+    return (
+        df.withColumn("__tok_before", before)
+        .where(F.col("__tok_before") < budget)
+        .drop("__tok_before")
+    )
+
+
 def group_quota(
     df: DataFrame, group_col: str, order_col: str, quota: int
 ) -> DataFrame:

@@ -920,6 +920,66 @@ SELECT doc_id, source FROM documents
 QUALIFY row_number() OVER (PARTITION BY source ORDER BY doc_id) <= {HOST_QUOTA}
 """
 
+# deterministic stratified sampling: per-language downsampling rates for a
+# training mix (md5-portable hash threshold — same constants both engines)
+SAMPLE_FRACTIONS = {"en": 0.5, "de": 0.25, "fr": 0.1}
+SAMPLE_DEFAULT = 0.05
+SAMPLE_SALT = "mix_v1"
+
+
+def q_text_sample_stratified(spark, sf_dir):
+    """Reproducible per-language corpus downsampling (training-mix rates):
+    row kept iff hash64(doc_id||'#mix_v1') mod 1e6 < rate(lang)·1e6 —
+    stable under repartitioning, engines, and re-runs (ops.textops
+    .sample_stratified)."""
+    docs = _t(spark, sf_dir, "documents")
+    return T.sample_stratified(
+        docs, "doc_id", SAMPLE_FRACTIONS, strata_col="lang",
+        salt=SAMPLE_SALT, default_fraction=SAMPLE_DEFAULT,
+    ).select("doc_id", "lang")
+
+
+def _sql_sample_stratified() -> str:
+    h = sql_hash64("doc_id::VARCHAR", f"#{SAMPLE_SALT}")
+    denom = T.SAMPLE_DENOM
+    cases = " ".join(
+        f"WHEN lang = '{k}' THEN {int(round(v * denom))}"
+        for k, v in SAMPLE_FRACTIONS.items()
+    )
+    return f"""
+SELECT doc_id, lang FROM documents
+WHERE ({h}) % {denom}
+      < CASE {cases} ELSE {int(round(SAMPLE_DEFAULT * denom))} END
+"""
+
+
+TOKEN_BUDGET = 2_000
+
+
+def q_text_token_budget(spark, sf_dir):
+    """Per-source TOKEN budget: admit docs per source (by doc_id order)
+    while the running whitespace-token total before them is under the
+    budget — the row crossing the budget is the last admitted
+    (ops.textops.token_budget_cap; the LLM-mix sibling of host_quota)."""
+    docs = _t(spark, sf_dir, "documents")
+    toks = F.size(F.filter(F.split(F.col("text"), r"\s+"), lambda x: x != ""))
+    return T.token_budget_cap(
+        docs, "source", "doc_id", toks.cast("long"), TOKEN_BUDGET
+    ).select("doc_id", "source")
+
+
+def _sql_token_budget() -> str:
+    return f"""
+SELECT doc_id, source FROM (
+  SELECT doc_id, source,
+         coalesce(sum(len({SQL_TOKS})) OVER (
+           PARTITION BY source ORDER BY doc_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+         ), 0) AS tok_before
+  FROM documents
+) WHERE tok_before < {TOKEN_BUDGET}
+"""
+
 
 def q_text_contamination(spark, sf_dir):
     """Probe set = every 50th doc (stand-in benchmark/eval set); corpus =
@@ -1274,6 +1334,8 @@ OPS_QUERIES = {
     "text_contamination": q_text_contamination,
     "text_normalize": q_text_normalize,
     "host_quota": q_host_quota,
+    "text_sample_stratified": q_text_sample_stratified,
+    "text_token_budget": q_text_token_budget,
     "doc_fingerprint": q_doc_fingerprint,
     "multimodal_meta": q_multimodal_meta,
     "multimodal_frames": q_multimodal_frames,
@@ -1308,6 +1370,8 @@ OPS_ORACLES = {
     "text_contamination": _sql_contamination(),
     "text_normalize": SQL_TEXT_NORMALIZE,
     "host_quota": SQL_HOST_QUOTA,
+    "text_sample_stratified": _sql_sample_stratified(),
+    "text_token_budget": _sql_token_budget(),
     "doc_fingerprint": SQL_DOC_FINGERPRINT,
     "multimodal_meta": SQL_MULTIMODAL_META,
     "multimodal_frames": SQL_MULTIMODAL_FRAMES,

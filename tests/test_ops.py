@@ -741,3 +741,45 @@ def test_drop_near_dups_cluster_policy(spark):
         for r in D.drop_near_dups(docs, "id", chain, policy="cluster").collect()
     )
     assert cl2 == [1]
+
+
+def test_sample_stratified_deterministic(spark, sf_dir):
+    """Hash-threshold sampling is a pure function of (id, salt): the kept
+    set is identical under repartitioning (Spark's own samplers are not),
+    monotone in the fraction, and disjoint-ish across salts."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    kept1 = {r["doc_id"] for r in T.sample_stratified(
+        docs, "doc_id", 0.3, salt="s1").select("doc_id").collect()}
+    kept2 = {r["doc_id"] for r in T.sample_stratified(
+        docs.repartition(13), "doc_id", 0.3, salt="s1").select("doc_id").collect()}
+    assert kept1 == kept2 and 0 < len(kept1) < docs.count()
+    # monotone: a larger fraction strictly contains a smaller one
+    kept_small = {r["doc_id"] for r in T.sample_stratified(
+        docs, "doc_id", 0.1, salt="s1").select("doc_id").collect()}
+    assert kept_small <= kept1
+    # per-stratum rates: lang-keyed fractions apply per row's language
+    strat = T.sample_stratified(
+        docs, "doc_id", {"en": 1.0}, strata_col="lang", default_fraction=0.0)
+    rows = strat.select("lang").distinct().collect()
+    assert {r["lang"] for r in rows} == {"en"}
+
+
+def test_token_budget_cap(spark):
+    """Rows admitted per group while tokens-before < budget: the crossing
+    row IS admitted, later rows are not; every nonempty group contributes
+    at least its first row even when it alone exceeds the budget."""
+    rows = [
+        ("a", 1, 40), ("a", 2, 50), ("a", 3, 20), ("a", 4, 5),
+        ("b", 1, 500),  # single giant doc: still admitted
+        ("b", 2, 1),
+        ("c", 1, 10),
+    ]
+    df = spark.createDataFrame(rows, "grp string, i int, toks long")
+    out = sorted(
+        (r["grp"], r["i"])
+        for r in T.token_budget_cap(df, "grp", "i", "toks", budget=100).collect()
+    )
+    # a: before-sums 0,40,90,110 → i=1,2,3 admitted (3 crosses), 4 not
+    # b: i=1 admitted (before 0), i=2 not (before 500)
+    # c: admitted
+    assert out == [("a", 1), ("a", 2), ("a", 3), ("b", 1), ("c", 1)]
