@@ -255,6 +255,9 @@ def dedup_kept(kept: DataFrame, mode: str | None) -> DataFrame:
     mode='exact'   — one survivor (min url) per distinct scrubbed text.
     mode='minhash' — additionally drop near-duplicates (MinHash-LSH pairs,
                      keep-lowest survivor policy).
+    mode='minhash_cluster' — as 'minhash' but cluster-exact survivors:
+                     ONE survivor per connected component of the pair
+                     graph (min-label propagation).
 
     Scale note: within one run the single-pass job processes every pending
     bucket in ONE frame, so dedup here is GLOBAL for a fresh run; a resumed
@@ -268,9 +271,10 @@ def dedup_kept(kept: DataFrame, mode: str | None) -> DataFrame:
     kept = D.drop_exact_dups(kept, "url", "text_scrubbed")
     if mode == "exact":
         return kept
-    if mode == "minhash":
+    if mode in ("minhash", "minhash_cluster"):
         pairs = D.minhash_lsh_pairs(kept, "url", "text_scrubbed", threshold=0.7)
-        return D.drop_near_dups(kept, "url", pairs)
+        policy = "cluster" if mode == "minhash_cluster" else "keep_lowest"
+        return D.drop_near_dups(kept, "url", pairs, policy=policy)
     raise ValueError(f"unknown dedup mode: {mode}")
 
 
@@ -386,7 +390,8 @@ def main():  # pragma: no cover
     ap.add_argument("--out", required=True, help="output directory")
     ap.add_argument("--buckets", type=int, default=8)
     ap.add_argument("--no-resume", action="store_true")
-    ap.add_argument("--dedup", choices=["exact", "minhash"], default=None)
+    ap.add_argument("--dedup", choices=["exact", "minhash", "minhash_cluster"],
+                    default=None)
     a = ap.parse_args()
     spark = get_spark(app_name="quality_filter")
     print(json.dumps(run_pipeline(spark, a.input, a.out,
