@@ -83,24 +83,34 @@ def _literal_struct(row, sort_cols: list[str], schema) -> Column:
     )
 
 
-def range_boundaries(
-    df: DataFrame, sort_cols: list[str], n: int
-) -> list:
-    """Literal range-boundary rows for (sort_cols): range-partition the
-    key columns ONLY (slim, column-pruned) and take each nonempty
-    partition's minimum. Boundaries containing a NULL field are dropped —
-    struct comparison against them is not total, and NULL keys belong to
-    partition 0 under asc-nulls-first anyway."""
+def _sample_partitions(df: DataFrame, sort_cols: list[str], n: int) -> list:
+    """ONE slim job: range-partition the key columns ONLY (column-pruned)
+    and collect each nonempty partition's (min, max, count) key rows,
+    sorted by partition id."""
     keys = df.select(*sort_cols)
-    mins = (
+    rows = (
         keys.repartitionByRange(n, *[F.col(c) for c in sort_cols])
         .withColumn("__pid", F.spark_partition_id())
         .groupBy("__pid")
-        .agg(F.min(_key_struct(sort_cols)).alias("__min"))
+        .agg(
+            F.min(_key_struct(sort_cols)).alias("__min"),
+            F.max(_key_struct(sort_cols)).alias("__max"),
+            F.count(F.lit(1)).alias("__n"),
+        )
         .collect()
     )
-    rows = sorted((r for r in mins), key=lambda r: r["__pid"])
-    # first partition's min is a lower bound, not a cut point
+    return sorted(rows, key=lambda r: r["__pid"])
+
+
+def range_boundaries(
+    df: DataFrame, sort_cols: list[str], n: int
+) -> list:
+    """Literal range-boundary rows for (sort_cols): each nonempty sampled
+    partition's minimum (the first is a lower bound, not a cut point).
+    Boundaries containing a NULL field are dropped — struct comparison
+    against them is not total, and NULL keys belong to partition 0 under
+    asc-nulls-first anyway."""
+    rows = _sample_partitions(df, sort_cols, n)
     bounds = [r["__min"] for r in rows[1:]]
     return [b for b in bounds if all(b[c] is not None for c in sort_cols)]
 
@@ -134,31 +144,56 @@ def overlap_flags_global(
     un-keyed period check can route here via `prepare` instead of funnelling
     the table through Window.partitionBy(lit(1))'s single task).
 
-    COST NOTE: constructing this plan runs two SLIM driver jobs (boundary
-    sampling + stitch bounds, both column-pruned to the key columns); the
-    wide frame itself is traversed once, by the final flag pass — no
-    checkpoint/cache/materialization anywhere."""
+    COST NOTE: constructing this plan runs ONE slim column-pruned driver
+    job in the common case (range-sample the key columns; the same job's
+    per-partition min/max double as the stitch table, because pid provably
+    equals the sampled partition's rank — see below). Only when null key
+    FIELDS spread beyond the first sampled partition does a second slim
+    stitch job run. The wide frame itself is traversed once, by the final
+    flag pass — no checkpoint/cache/materialization anywhere."""
     tiebreak_cols = tiebreak_cols or []
     sort_cols = [start_col, end_col, *tiebreak_cols]
     n = num_partitions or df.sparkSession.sparkContext.defaultParallelism * 2
 
-    boundaries = range_boundaries(df, sort_cols, n)
-    pid = pid_expr(boundaries, sort_cols, df.schema)
-
-    # stitch bounds: per-pid first/last key rows + counts. pid is a pure
-    # function of the key columns, so this job column-prunes to them and
-    # NECESSARILY agrees with the flag pass below — no pinning required.
-    bounds = (
-        df.select(pid.alias("__pid"), _key_struct(sort_cols).alias("__k"))
-        .groupBy("__pid")
-        .agg(
-            F.min("__k").alias("__first"),
-            F.max("__k").alias("__last"),
-            F.count(F.lit(1)).alias("__n"),
-        )
-        .collect()
+    parts = _sample_partitions(df, sort_cols, n)
+    cand_bounds = [r["__min"] for r in parts[1:]]
+    fused = all(
+        all(b[c] is not None for c in sort_cols) for b in cand_bounds
     )
-    info = {r["__pid"]: r for r in bounds}
+    if fused:
+        # pid == rank of the sampled partition: equal keys never split
+        # across range partitions, so max(part j) < min(part j+1); a row of
+        # the j-th nonempty partition satisfies key >= b_i exactly for the
+        # i <= j boundaries → pid = j. The sampling job's min/max/count ARE
+        # the stitch table — no second job.
+        boundaries = cand_bounds
+        info = {
+            j: {"__first": r["__min"], "__last": r["__max"], "__n": r["__n"]}
+            for j, r in enumerate(parts)
+        }
+    else:
+        # rare: null FIELDS with differing later fields split across
+        # partitions; dropping those boundaries merges the lowest ranges,
+        # so the rank identity breaks — recompute stitch bounds against
+        # the actual pid expression (second slim job)
+        boundaries = [
+            b for b in cand_bounds
+            if all(b[c] is not None for c in sort_cols)
+        ]
+        pid0 = pid_expr(boundaries, sort_cols, df.schema)
+        bounds = (
+            df.select(pid0.alias("__pid"), _key_struct(sort_cols).alias("__k"))
+            .groupBy("__pid")
+            .agg(
+                F.min("__k").alias("__first"),
+                F.max("__k").alias("__last"),
+                F.count(F.lit(1)).alias("__n"),
+            )
+            .collect()
+        )
+        info = {r["__pid"]: r for r in bounds}
+
+    pid = pid_expr(boundaries, sort_cols, df.schema)
 
     def _cmp(prev_end, start) -> bool:
         if prev_end is None or start is None:

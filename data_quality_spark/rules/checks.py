@@ -659,9 +659,10 @@ def period_intersection(
     # partition + boundary-stitch operator (ops/intervals.py), which
     # computes the same lag/lead chain with only 2 boundary rows per
     # partition leaving the executors. Expressed as a prepare transform
-    # producing an aux flag. COST NOTE: constructing flags() runs two slim
-    # column-pruned driver jobs (boundary sampling + stitch bounds); the
-    # wide frame is traversed once, with no checkpoint/materialization.
+    # producing an aux flag. COST NOTE: constructing flags() runs ONE slim
+    # column-pruned driver job (range sampling doubles as the stitch
+    # table; a second job only if null keys split ranges); the wide frame
+    # is traversed once, with no checkpoint/materialization.
     from data_quality_spark.ops.intervals import overlap_flags_global
 
     s_aux, e_aux = f"__aux_pis_{rule_id}", f"__aux_pie_{rule_id}"

@@ -783,3 +783,43 @@ def test_token_budget_cap(spark):
     # b: i=1 admitted (before 0), i=2 not (before 500)
     # c: admitted
     assert out == [("a", 1), ("a", 2), ("a", 3), ("b", 1), ("c", 1)]
+
+
+def test_overlapping_periods_global_null_field_fallback(spark):
+    """NULL start values with DIFFERING ends can split across range
+    partitions (null==null compares equal on the first field), breaking
+    the fused pid==rank identity — the operator must detect it and fall
+    back to the explicit stitch job, matching the window oracle."""
+    import datetime as dt
+
+    from pyspark.sql import Window
+
+    from data_quality_spark.ops.intervals import overlap_flags_global
+
+    base = dt.datetime(2024, 1, 1)
+    rows = []
+    # 120 null-start rows with distinct ends (forces null keys into
+    # several range partitions) + a real overlapping tail
+    for i in range(120):
+        rows.append((i, None, base + dt.timedelta(minutes=i)))
+    for i in range(120, 200):
+        start = base + dt.timedelta(minutes=3 * i)
+        dur = 5 if i % 7 == 0 else 2
+        rows.append((i, start, start + dt.timedelta(minutes=dur)))
+    df = spark.createDataFrame(rows, "event_id long, s timestamp, e timestamp")
+    got = sorted(
+        r["event_id"]
+        for r in overlap_flags_global(
+            df, "s", "e", tiebreak_cols=["event_id"], num_partitions=8
+        ).where(F.col("__overlap_ko")).collect()
+    )
+    w = Window.orderBy("s", "e", "event_id")
+    chk = F.coalesce(F.lag("e").over(w) > F.col("s"), F.lit(False))
+    exp = sorted(
+        r["event_id"]
+        for r in df.withColumn("chk", chk)
+        .withColumn("d", F.col("chk") | F.coalesce(F.lead("chk").over(w), F.lit(False)))
+        .where("d")
+        .collect()
+    )
+    assert got == exp and len(exp) > 10
