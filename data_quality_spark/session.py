@@ -95,6 +95,11 @@ class QualitySession:
     def table_from_sql(self, sql: str, name: str, **meta):
         return self.table_from_df(self.spark.sql(sql), name, **meta)
 
+    def del_table(self, table):
+        """Remove a registered table (reference del_table,
+        data_quality_holder.py:55-58)."""
+        self.tables.remove(table)
+
     # -- reporting (reference holder:72-85 → report.py) ---------------------
     def create_html_output(self, path: str, **kw) -> str:
         from data_quality_spark.report import create_html_output
