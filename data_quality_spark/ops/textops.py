@@ -156,7 +156,49 @@ def with_normalized(df: DataFrame, text_col: str, out_col: str = "text_norm"):
     return df.withColumn(out_col, normalize_text(F.col(text_col)))
 
 
+def remove_repeated_lines(text: Column) -> Column:
+    """Boilerplate suppression INSIDE a document: keep only the FIRST
+    occurrence of each line (web pages repeat nav/footer/cookie banners;
+    Gopher-style filters drop whole docs on repetition — this op rewrites
+    instead, the in-document sibling of corpus-level dedup). Pure codegen:
+    split → array_distinct (order-preserving, first occurrence) → join.
+    NULL text → NULL."""
+    return F.array_join(F.array_distinct(F.split(text, r"\n")), "\n")
+
+
+# URL canonicalization patterns, applied strictly in order; each is a
+# (pattern, spark_replacement, duckdb_replacement) triple — group syntax
+# differs ($1 vs \1), the PATTERNS are the shared constants. Explicit ASCII
+# classes, no lookbehind (portable re/Java/RE2 subset, like scrub.py).
+URL_CANON_STEPS: list[tuple[str, str, str]] = [
+    # 1. drop the fragment
+    (r"#.*$", "", ""),
+    # 2. drop tracking params (utm_*, gclid, fbclid) wherever they appear
+    (r"[?&](?:utm_[A-Za-z0-9_]*|gclid|fbclid)=[^&#]*", "", ""),
+    # 3. a surviving '&param' that now leads the query becomes '?param'
+    #    (prefix contains neither '?' nor '&' — i.e. the '?' was removed
+    #    along with a leading tracking param)
+    (r"^([^?&]*)&", "$1?", r"\1?"),
+    # 4. drop default ports (delimiter captured — RE2 has no lookahead)
+    (r"^(http://[^/:?#]+):80([/?#]|$)", "$1$2", r"\1\2"),
+    (r"^(https://[^/:?#]+):443([/?#]|$)", "$1$2", r"\1\2"),
+    # 5. dangling '?' or '&' at end
+    (r"[?&]$", "", ""),
+]
+
 SAMPLE_DENOM = 1_000_000  # hash-bucket resolution: fractions to 1e-6
+
+
+def canonicalize_url(url: Column) -> Column:
+    """Canonical url for dedup keys / host grouping: strip fragments,
+    tracking params (utm_*, gclid, fbclid), and default ports — the
+    standard web-pipeline normalization before url-keyed dedup. Pure
+    regexp_replace chain (codegen); the pattern constants are shared with
+    the SQL oracle (replacement group syntax rendered per engine)."""
+    out = url
+    for pat, spark_repl, _ in URL_CANON_STEPS:
+        out = F.regexp_replace(out, pat, spark_repl)
+    return out
 
 
 def sample_stratified(

@@ -953,6 +953,77 @@ WHERE ({h}) % {denom}
 """
 
 
+def q_text_line_dedup(spark, sf_dir):
+    """In-document repeated-line removal (boilerplate suppression): both
+    engines build the same adversarial text (doc text + FOOTER + the same
+    text + FOOTER again) and must keep exactly the first occurrence of
+    every line."""
+    docs = _t(spark, sf_dir, "documents")
+    t2 = F.concat_ws(
+        "\n", F.col("text"), F.lit("FOOTER"), F.col("text"), F.lit("FOOTER")
+    )
+    return docs.select(
+        "doc_id", T.remove_repeated_lines(t2).alias("text_dedup")
+    ).where(F.col("text").isNotNull())
+
+
+def _sql_line_dedup() -> str:
+    t2 = "text || chr(10) || 'FOOTER' || chr(10) || text || chr(10) || 'FOOTER'"
+    return f"""
+SELECT doc_id,
+       array_to_string(
+         list_filter(ls, (x, i) -> list_position(ls, x) = i), chr(10)
+       ) AS text_dedup
+FROM (SELECT doc_id, string_split({t2}, chr(10)) AS ls
+      FROM documents WHERE text IS NOT NULL)
+"""
+
+
+def q_text_url_canon(spark, sf_dir):
+    """URL canonicalization (tracking params / fragments / default ports)
+    over synthetic adversarial urls — both engines construct the same url
+    per doc_id, so the canonical forms must hash-match."""
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+    i = F.col("doc_id").cast("string")
+    raw = (
+        F.when(F.col("doc_id") % 6 == 0,
+               F.concat(F.lit("https://ex.example:443/p/"), i,
+                        F.lit("?utm_source=x&keep="), i, F.lit("#frag")))
+        .when(F.col("doc_id") % 6 == 1,
+              F.concat(F.lit("http://ex.example:80/p/"), i, F.lit("#sec")))
+        .when(F.col("doc_id") % 6 == 2,
+              F.concat(F.lit("https://ex.example/p/"), i,
+                       F.lit("?utm_a=1&utm_b=2")))
+        .when(F.col("doc_id") % 6 == 3,
+              F.concat(F.lit("https://ex.example/p/"), i,
+                       F.lit("?gclid=abc&x=1&fbclid=z")))
+        .when(F.col("doc_id") % 6 == 4,
+              F.concat(F.lit("http://ex.example:8080/p/"), i,
+                       F.lit("?a=1&utm_x=")))
+        .otherwise(F.concat(F.lit("https://ex.example/p/"), i))
+    )
+    return docs.select(
+        "doc_id", raw.alias("url_raw"), T.canonicalize_url(raw).alias("url_canon")
+    )
+
+
+def _sql_url_canon() -> str:
+    raw = """CASE doc_id % 6
+      WHEN 0 THEN 'https://ex.example:443/p/' || doc_id || '?utm_source=x&keep=' || doc_id || '#frag'
+      WHEN 1 THEN 'http://ex.example:80/p/' || doc_id || '#sec'
+      WHEN 2 THEN 'https://ex.example/p/' || doc_id || '?utm_a=1&utm_b=2'
+      WHEN 3 THEN 'https://ex.example/p/' || doc_id || '?gclid=abc&x=1&fbclid=z'
+      WHEN 4 THEN 'http://ex.example:8080/p/' || doc_id || '?a=1&utm_x='
+      ELSE 'https://ex.example/p/' || doc_id END"""
+    canon = "url_raw"
+    for pat, _, duck_repl in T.URL_CANON_STEPS:
+        canon = f"regexp_replace({canon}, '{pat.replace(chr(39), chr(39)*2)}', '{duck_repl}', 'g')"
+    return f"""
+SELECT doc_id, url_raw, {canon} AS url_canon
+FROM (SELECT doc_id, {raw} AS url_raw FROM documents)
+"""
+
+
 TOKEN_BUDGET = 2_000
 
 
@@ -1336,6 +1407,8 @@ OPS_QUERIES = {
     "host_quota": q_host_quota,
     "text_sample_stratified": q_text_sample_stratified,
     "text_token_budget": q_text_token_budget,
+    "text_line_dedup": q_text_line_dedup,
+    "text_url_canon": q_text_url_canon,
     "doc_fingerprint": q_doc_fingerprint,
     "multimodal_meta": q_multimodal_meta,
     "multimodal_frames": q_multimodal_frames,
@@ -1372,6 +1445,8 @@ OPS_ORACLES = {
     "host_quota": SQL_HOST_QUOTA,
     "text_sample_stratified": _sql_sample_stratified(),
     "text_token_budget": _sql_token_budget(),
+    "text_line_dedup": _sql_line_dedup(),
+    "text_url_canon": _sql_url_canon(),
     "doc_fingerprint": SQL_DOC_FINGERPRINT,
     "multimodal_meta": SQL_MULTIMODAL_META,
     "multimodal_frames": SQL_MULTIMODAL_FRAMES,

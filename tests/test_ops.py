@@ -823,3 +823,40 @@ def test_overlapping_periods_global_null_field_fallback(spark):
         .collect()
     )
     assert got == exp and len(exp) > 10
+
+
+def test_remove_repeated_lines(spark):
+    rows = [
+        (1, "nav\nbody one\nnav\nbody two\nnav\nfooter\nfooter"),
+        (2, "only\nunique\nlines"),
+        (3, ""),
+        (4, None),
+    ]
+    df = spark.createDataFrame(rows, "i int, t string")
+    got = {r["i"]: r["d"] for r in df.select(
+        "i", T.remove_repeated_lines(F.col("t")).alias("d")).collect()}
+    assert got[1] == "nav\nbody one\nbody two\nfooter"
+    assert got[2] == "only\nunique\nlines"
+    assert got[3] == ""
+    assert got[4] is None
+
+
+def test_canonicalize_url(spark):
+    cases = {
+        "https://h.example/p?utm_source=a&x=1#frag": "https://h.example/p?x=1",
+        "https://h.example/p?utm_a=1&utm_b=2": "https://h.example/p",
+        "http://h.example:80/p": "http://h.example/p",
+        "https://h.example:443/": "https://h.example/",
+        "http://h.example:8080/p": "http://h.example:8080/p",  # non-default kept
+        "https://h.example/p?gclid=z&keep=2": "https://h.example/p?keep=2",
+        "https://h.example/p?fbclid=q": "https://h.example/p",
+        "https://h.example/plain": "https://h.example/plain",
+        # utm value empty; surviving param promoted to '?'
+        "https://h.example/p?utm_x=&a=1": "https://h.example/p?a=1",
+    }
+    df = spark.createDataFrame([(i, u) for i, u in enumerate(cases)],
+                               "i int, u string")
+    got = {r["i"]: r["c"] for r in df.select(
+        "i", T.canonicalize_url(F.col("u")).alias("c")).collect()}
+    for i, (raw, exp) in enumerate(cases.items()):
+        assert got[i] == exp, (raw, got[i], exp)
