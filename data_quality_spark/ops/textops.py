@@ -425,3 +425,147 @@ def fingerprint(
         F.col("_fp.fp_max").alias("fp_max"),
         F.col("_fp.n_shingles").alias("n_shingles"),
     ).where(F.col("n_shingles") > 0)
+
+
+# ---------------------------------------------------------------------------
+# corpus-level boilerplate line removal (CCNet / RefinedWeb-style)
+# ---------------------------------------------------------------------------
+
+# Hard cap on the boilerplate-line set collected to the driver for the
+# map-only rewrite pass. By construction each boilerplate line accounts for
+# >= min_docs documents, so |set| <= total_lines / min_docs — small for any
+# sane threshold; the cap turns a pathological corpus into a loud error
+# (with the shuffle-join strategy as the escape hatch) instead of driver OOM.
+BOILER_MAX_BROADCAST = 200_000
+
+
+def boilerplate_lines(
+    df: DataFrame, text_col: str, min_docs: int, min_line_chars: int = 1
+) -> DataFrame:
+    """Corpus-wide boilerplate detection: (line, n_docs) for every line that
+    appears in >= min_docs DISTINCT documents (nav bars, cookie banners,
+    copyright footers — the CCNet/RefinedWeb 'line appears verbatim across
+    the corpus' signal; the in-document sibling is remove_repeated_lines).
+
+    Scale shape — full line text never shuffles in bulk:
+      1. per-doc distinct lines (array_distinct BEFORE explode, so a plain
+         count equals the document count — no countDistinct double shuffle);
+      2. candidate pass groups by the 60-bit portable hash only (16 bytes/
+         line on the wire instead of the line bytes);
+      3. exact confirm re-aggregates ONLY the candidate lines (those whose
+         hash bucket reached min_docs — rare by definition), eliminating
+         hash-collision false positives, with the candidate-hash set
+         broadcast into a map-only semi-join.
+    Lines shorter than min_line_chars are never boilerplate (default 1:
+    blank lines are kept — stripping them would rewrite paragraph breaks
+    corpus-wide)."""
+    from data_quality_spark.ops.hashing import portable_hash64
+
+    per_doc = (
+        df.where(F.col(text_col).isNotNull())
+        .select(
+            F.explode(F.array_distinct(F.split(F.col(text_col), r"\n"))).alias(
+                "line"
+            )
+        )
+        .where(F.length("line") >= min_line_chars)
+    )
+    hashed = per_doc.select("line", portable_hash64(F.col("line")).alias("__h"))
+    cand = (
+        hashed.groupBy("__h")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .where(F.col("n") >= min_docs)
+        .select("__h")
+    )
+    return (
+        hashed.join(F.broadcast(cand), "__h", "left_semi")
+        .groupBy("line")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+        .where(F.col("n_docs") >= min_docs)
+    )
+
+
+def remove_boilerplate(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    min_docs: int,
+    out_col: str = "text_clean",
+    min_line_chars: int = 1,
+    strategy: str = "broadcast",
+    max_broadcast: int = BOILER_MAX_BROADCAST,
+) -> DataFrame:
+    """Strip corpus-level boilerplate lines (see boilerplate_lines) from
+    every document: df + out_col with the offending lines removed, remaining
+    lines in original order. NULL text -> NULL; a doc whose every line is
+    boilerplate -> ''.
+
+    strategy='broadcast' (default): the detected line set is collected
+    (hard-capped at max_broadcast, loud error beyond) and shipped once per
+    executor; the rewrite is a map-only Arrow UDF with O(1) set membership
+    per line — the full corpus never shuffles.
+    strategy='join': no driver collection — posexplode + broadcast anti-join
+    against the detected set + ordered re-assembly, then an id-keyed join
+    back. Costs one full-corpus shuffle (the re-group) — the escape hatch
+    for a boilerplate set too large to broadcast."""
+    bl = boilerplate_lines(df, text_col, min_docs, min_line_chars)
+
+    if strategy == "join":
+        lines = (
+            df.where(F.col(text_col).isNotNull())
+            .select(
+                F.col(id_col),
+                F.posexplode(F.split(F.col(text_col), r"\n")).alias(
+                    "__pos", "__line"
+                ),
+            )
+            .join(
+                F.broadcast(bl.select(F.col("line").alias("__line"))),
+                "__line",
+                "left_anti",
+            )
+        )
+        rebuilt = lines.groupBy(id_col).agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("__pos", "__line"))),
+                    lambda s: s["__line"],
+                ),
+                "\n",
+            ).alias(out_col)
+        )
+        return df.join(rebuilt, id_col, "left").withColumn(
+            out_col,
+            F.when(F.col(text_col).isNull(), F.lit(None).cast("string")).otherwise(
+                F.coalesce(F.col(out_col), F.lit(""))
+            ),
+        )
+
+    if strategy != "broadcast":
+        raise ValueError(f"unknown strategy {strategy!r}")
+
+    rows = bl.select("line").limit(max_broadcast + 1).collect()
+    if len(rows) > max_broadcast:
+        raise ValueError(
+            f"boilerplate set exceeds max_broadcast={max_broadcast}; "
+            "use strategy='join' or raise min_docs"
+        )
+    blset = frozenset(r["line"] for r in rows)
+    b = df.sparkSession.sparkContext.broadcast(blset)
+
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("string")
+    def strip(texts: pd.Series) -> pd.Series:
+        s = b.value
+        return pd.Series(
+            [
+                None
+                if not isinstance(t, str)
+                else "\n".join(ln for ln in t.split("\n") if ln not in s)
+                for t in texts
+            ],
+            dtype=object,
+        )
+
+    return df.withColumn(out_col, strip(F.col(text_col)))

@@ -979,6 +979,58 @@ FROM (SELECT doc_id, string_split({t2}, chr(10)) AS ls
 """
 
 
+# boilerplate-line threshold for the oracle query: the two banners appear in
+# all 500 docs, SUBSCRIBE NOW in ~72 (doc_id%7), RARE PROMO in ~18 (doc_id%29)
+# — so the threshold separates removed (>=50 docs) from kept (<50) lines.
+BOILER_MIN_DOCS = 50
+
+
+def _boiler_spark_text(docs):
+    return F.concat_ws(
+        "\n",
+        F.col("text"),
+        F.lit("COOKIE BANNER - accept all"),
+        F.when(F.col("doc_id") % 7 == 0, F.lit("SUBSCRIBE NOW")),
+        F.when(F.col("doc_id") % 29 == 0, F.lit("RARE PROMO")),
+        F.lit("(c) example.com all rights reserved"),
+    )
+
+
+def q_text_boilerplate(spark, sf_dir):
+    """Corpus-level boilerplate line removal (ops.textops.remove_boilerplate):
+    lines appearing verbatim in >= BOILER_MIN_DOCS distinct documents are
+    stripped from every document, first-seen order preserved. Both engines
+    build the same adversarial multi-line text (doc text + always-banners +
+    modular-arithmetic-gated lines straddling the threshold)."""
+    docs = _t(spark, sf_dir, "documents")
+    staged = docs.where(F.col("text").isNotNull()).select(
+        "doc_id", _boiler_spark_text(docs).alias("text2")
+    )
+    return T.remove_boilerplate(
+        staged, "doc_id", "text2", BOILER_MIN_DOCS
+    ).select("doc_id", "text_clean")
+
+
+def _sql_boilerplate() -> str:
+    t2 = """concat_ws(chr(10), text, 'COOKIE BANNER - accept all',
+      CASE WHEN doc_id % 7 = 0 THEN 'SUBSCRIBE NOW' END,
+      CASE WHEN doc_id % 29 = 0 THEN 'RARE PROMO' END,
+      '(c) example.com all rights reserved')"""
+    return f"""
+WITH t2 AS (SELECT doc_id, {t2} AS text2 FROM documents WHERE text IS NOT NULL),
+docline AS (SELECT doc_id, unnest(list_distinct(string_split(text2, chr(10)))) AS line FROM t2),
+freq AS (SELECT line FROM docline WHERE length(line) >= 1
+         GROUP BY line HAVING count(*) >= {BOILER_MIN_DOCS}),
+fl AS (SELECT coalesce(list(line), []) AS flines FROM freq)
+SELECT doc_id,
+       array_to_string(
+         list_filter(string_split(text2, chr(10)),
+                     x -> NOT list_contains(fl.flines, x)), chr(10)
+       ) AS text_clean
+FROM t2, fl
+"""
+
+
 def q_text_url_canon(spark, sf_dir):
     """URL canonicalization (tracking params / fragments / default ports)
     over synthetic adversarial urls — both engines construct the same url
@@ -1409,6 +1461,7 @@ OPS_QUERIES = {
     "text_token_budget": q_text_token_budget,
     "text_line_dedup": q_text_line_dedup,
     "text_url_canon": q_text_url_canon,
+    "text_boilerplate": q_text_boilerplate,
     "doc_fingerprint": q_doc_fingerprint,
     "multimodal_meta": q_multimodal_meta,
     "multimodal_frames": q_multimodal_frames,
@@ -1447,6 +1500,7 @@ OPS_ORACLES = {
     "text_token_budget": _sql_token_budget(),
     "text_line_dedup": _sql_line_dedup(),
     "text_url_canon": _sql_url_canon(),
+    "text_boilerplate": _sql_boilerplate(),
     "doc_fingerprint": SQL_DOC_FINGERPRINT,
     "multimodal_meta": SQL_MULTIMODAL_META,
     "multimodal_frames": SQL_MULTIMODAL_FRAMES,

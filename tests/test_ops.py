@@ -860,3 +860,39 @@ def test_canonicalize_url(spark):
         "i", T.canonicalize_url(F.col("u")).alias("c")).collect()}
     for i, (raw, exp) in enumerate(cases.items()):
         assert got[i] == exp, (raw, got[i], exp)
+
+
+def test_remove_boilerplate_both_strategies(spark):
+    # BANNER appears in 4 docs (>= min_docs=3), SEMI in 2 (< 3, kept);
+    # doc 4 is ALL boilerplate -> ''; doc 5 NULL -> NULL; blank lines kept
+    # (min_line_chars=1 means '' is never boilerplate even though shared).
+    rows = [
+        (1, "alpha\nBANNER\n\nbody one"),
+        (2, "BANNER\nbody two\nSEMI"),
+        (3, "body three\n\nBANNER\nSEMI"),
+        (4, "BANNER"),
+        (5, None),
+    ]
+    df = spark.createDataFrame(rows, "i int, t string")
+    bl = {r["line"]: r["n_docs"]
+          for r in T.boilerplate_lines(df, "t", 3).collect()}
+    assert bl == {"BANNER": 4}
+    expected = {
+        1: "alpha\n\nbody one",
+        2: "body two\nSEMI",
+        3: "body three\n\nSEMI",
+        4: "",
+        5: None,
+    }
+    for strategy in ("broadcast", "join"):
+        got = {r["i"]: r["text_clean"] for r in T.remove_boilerplate(
+            df, "i", "t", 3, strategy=strategy).collect()}
+        assert got == expected, strategy
+
+
+def test_remove_boilerplate_broadcast_cap(spark):
+    # every line is shared by both docs -> 2 boilerplate lines > cap of 1
+    df = spark.createDataFrame(
+        [(1, "x\ny"), (2, "x\ny")], "i int, t string")
+    with pytest.raises(ValueError, match="max_broadcast"):
+        T.remove_boilerplate(df, "i", "t", 2, max_broadcast=1)
