@@ -109,6 +109,47 @@ def drop_exact_dups(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     return kept.unionByName(df.where(F.col(text_col).isNull()))
 
 
+def seen_hash_index(df: DataFrame, text_col: str) -> DataFrame:
+    """DataFrame[text_md5] — the persisted exact-dedup index of a corpus
+    snapshot. Write this once per ingested batch (partitioned/bucketed by
+    text_md5 at scale) and feed it to dedup_incremental for the next batch."""
+    return (
+        df.where(F.col(text_col).isNotNull())
+        .select(F.md5(F.col(text_col)).alias("text_md5"))
+        .distinct()
+    )
+
+
+def dedup_incremental(
+    new_df: DataFrame,
+    seen: DataFrame,
+    id_col: str,
+    text_col: str,
+    seen_col: str = "text_md5",
+) -> DataFrame:
+    """Incremental exact dedup of a NEW batch against an already-ingested
+    corpus: drop rows whose text hash exists in the `seen` index, then drop
+    in-batch duplicates keeping the min id (drop_exact_dups semantics);
+    null-text rows pass through. This is the daily-crawl shape — re-hashing
+    or re-shuffling the historical corpus per batch would be O(corpus), this
+    is O(batch + index probe).
+
+    Scale shape: only (md5, id) pairs shuffle — the anti-join against the
+    index and the min-id group key on the md5; the wide rows re-enter via an
+    id semi-join. With the index bucketed by text_md5 the anti-join is
+    shuffle-free on the index side; AQE broadcasts it when small."""
+    hashed = (
+        new_df.where(F.col(text_col).isNotNull())
+        .select(F.md5(F.col(text_col)).alias("__h"), F.col(id_col))
+    )
+    fresh = hashed.join(
+        seen.select(F.col(seen_col).alias("__h")), "__h", "left_anti"
+    )
+    keep_ids = fresh.groupBy("__h").agg(F.min(id_col).alias(id_col)).select(id_col)
+    kept = new_df.join(keep_ids, on=id_col, how="left_semi")
+    return kept.unionByName(new_df.where(F.col(text_col).isNull()))
+
+
 # ---------------------------------------------------------------------------
 # 2 — MinHash + LSH
 # ---------------------------------------------------------------------------

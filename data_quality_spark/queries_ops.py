@@ -106,6 +106,57 @@ UNION ALL
 SELECT doc_id FROM corpus WHERE text IS NULL
 """
 
+# incremental dedup: the corpus is split by portable hash into an already-
+# ingested snapshot (seen) and a new batch; the new batch additionally gets
+# re-crawled copies of seen content (doc_id%3, +10000 ids) and in-batch
+# duplicates (doc_id%5==1, +20000 ids) so both drop classes are exercised.
+INCR_SALT = "incr_v1"
+
+
+def q_dedup_incremental(spark, sf_dir):
+    """Incremental exact dedup of a new crawl batch vs a persisted
+    seen-hash index (ops.dedup.dedup_incremental): re-crawled copies of
+    seen texts drop against the index, in-batch copies drop keeping the
+    min doc_id; only the surviving new-batch ids are returned."""
+    from data_quality_spark.ops.hashing import portable_hash64
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    bucket = F.pmod(
+        portable_hash64(F.col("doc_id").cast("string"), f"#{INCR_SALT}"),
+        F.lit(T.SAMPLE_DENOM),
+    )
+    seen_docs = docs.where(bucket < T.SAMPLE_DENOM // 2)
+    new_raw = docs.where(bucket >= T.SAMPLE_DENOM // 2)
+    recrawl = seen_docs.where(F.col("doc_id") % 3 == 0).select(
+        (F.col("doc_id") + 10_000).alias("doc_id"), "text"
+    )
+    inbatch = new_raw.where(F.col("doc_id") % 5 == 1).select(
+        (F.col("doc_id") + 20_000).alias("doc_id"), "text"
+    )
+    new_batch = new_raw.unionByName(recrawl).unionByName(inbatch)
+    seen = D.seen_hash_index(seen_docs, "text")
+    return D.dedup_incremental(new_batch, seen, "doc_id", "text").select("doc_id")
+
+
+def _sql_dedup_incremental() -> str:
+    h = sql_hash64("doc_id::VARCHAR", f"#{INCR_SALT}")
+    half = T.SAMPLE_DENOM // 2
+    return f"""
+WITH seen_docs AS (SELECT doc_id, text FROM documents WHERE ({h}) % {T.SAMPLE_DENOM} < {half}),
+new_raw AS (SELECT doc_id, text FROM documents WHERE ({h}) % {T.SAMPLE_DENOM} >= {half}),
+new_batch AS (
+  SELECT doc_id, text FROM new_raw
+  UNION ALL SELECT doc_id + 10000, text FROM seen_docs WHERE doc_id % 3 = 0
+  UNION ALL SELECT doc_id + 20000, text FROM new_raw WHERE doc_id % 5 = 1),
+fresh AS (
+  SELECT doc_id, text FROM new_batch
+  WHERE text IS NOT NULL
+    AND md5(text) NOT IN (SELECT DISTINCT md5(text) FROM seen_docs WHERE text IS NOT NULL))
+SELECT min(doc_id) AS doc_id FROM fresh GROUP BY md5(text)
+UNION ALL
+SELECT doc_id FROM new_batch WHERE text IS NULL
+"""
+
 
 # ---------------------------------------------------------------------------
 # dedup 2 — MinHash + LSH (K=12, 4 bands x 3 rows, verify J >= 0.5)
@@ -1433,6 +1484,7 @@ SELECT event_id FROM doubled WHERE double_chk
 
 OPS_QUERIES = {
     "dedup_exact": q_dedup_exact,
+    "dedup_incremental": q_dedup_incremental,
     "dedup_exact_drop": q_dedup_exact_drop,
     "period_overlap_global": q_period_overlap_global,
     "dedup_minhash_lsh": q_dedup_minhash_lsh,
@@ -1472,6 +1524,7 @@ OPS_QUERIES = {
 
 OPS_ORACLES = {
     "dedup_exact": SQL_DEDUP_EXACT,
+    "dedup_incremental": _sql_dedup_incremental(),
     "dedup_exact_drop": SQL_DEDUP_EXACT_DROP,
     "period_overlap_global": SQL_PERIOD_OVERLAP_GLOBAL,
     "dedup_minhash_lsh": _sql_minhash_lsh(),

@@ -896,3 +896,17 @@ def test_remove_boilerplate_broadcast_cap(spark):
         [(1, "x\ny"), (2, "x\ny")], "i int, t string")
     with pytest.raises(ValueError, match="max_broadcast"):
         T.remove_boilerplate(df, "i", "t", 2, max_broadcast=1)
+
+
+def test_dedup_incremental(spark):
+    seen = D.seen_hash_index(
+        spark.createDataFrame([(1, "dup-old"), (2, None)], "i int, t string"),
+        "t",
+    )
+    new = spark.createDataFrame(
+        [(10, "dup-old"), (11, "x"), (12, "x"), (13, "y"), (14, None)],
+        "i int, t string",
+    )
+    got = sorted(r["i"] for r in D.dedup_incremental(new, seen, "i", "t").collect())
+    # 10 drops vs the index, 12 drops in-batch (11 is min id), null passes
+    assert got == [11, 13, 14]
