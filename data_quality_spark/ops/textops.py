@@ -277,6 +277,81 @@ def token_budget_cap(
     )
 
 
+def pack_shards(
+    df: DataFrame,
+    id_col: str,
+    tokens_col: Column | str,
+    shard_tokens: int,
+    n_buckets: int = 1024,
+    salt: str = "shard",
+) -> DataFrame:
+    """Token-aware training-shard assignment: df + (shard_bucket,
+    shard_seq), where a shard = (bucket, seq) holds ~shard_tokens tokens.
+    Rows hash into n_buckets (the hash order doubles as the corpus shuffle
+    training wants — deterministic, reproducible across engines/partition-
+    ings); within a bucket, rows in (hash, id) order are packed by running
+    token position: shard_seq = floor(tokens_before / shard_tokens), so a
+    shard closes once the doc that crosses the budget is admitted and every
+    shard has at least one doc.
+
+    Scale shape: ONE shuffle (the window by shard_bucket); buckets ≫
+    executors parallelize, and shard sizes stay balanced because the hash
+    order decorrelates doc length from position. tokens_col may be a name
+    or expression; rows with NULL/negative token counts are the caller's
+    responsibility (filter or coalesce first)."""
+    from pyspark.sql import Window
+
+    from data_quality_spark.ops.hashing import portable_hash64
+
+    toks = F.col(tokens_col) if isinstance(tokens_col, str) else tokens_col
+    h = portable_hash64(F.col(id_col).cast("string"), f"#{salt}")
+    out = df.withColumn("__h", h).withColumn(
+        "shard_bucket", F.pmod(F.col("__h"), F.lit(n_buckets)).cast("int")
+    )
+    w = (
+        Window.partitionBy("shard_bucket")
+        .orderBy(F.col("__h"), F.col(id_col))
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    before = F.coalesce(F.sum(toks).over(w), F.lit(0).cast("long"))
+    return out.withColumn(
+        "shard_seq", F.floor(before / F.lit(shard_tokens)).cast("int")
+    ).drop("__h")
+
+
+def top_fraction(
+    df: DataFrame,
+    score_col: str,
+    frac: float,
+    tiebreak_col: str,
+    group_col: str | None = None,
+    descending: bool = True,
+) -> DataFrame:
+    """Adaptive-threshold quality filter: keep the top `frac` of rows by
+    score — percent_rank() <= frac — rather than a fixed score cutoff
+    (CCNet-style 'keep the best X%' selection; the threshold adapts to the
+    corpus' score distribution with no quantile estimation step, and the
+    exact kept fraction is engine-reproducible where approx quantiles are
+    not). `tiebreak_col` must be unique so ranks (hence the kept set) are
+    deterministic.
+
+    With group_col (lang / source / host) the window partitions by stratum
+    and parallelizes when stratum cardinality >> executors — the scale
+    path. Without it the rank is a single global total order (one
+    partition) — fine for samples, not for the full corpus; prefer a
+    stratified call or sample_stratified at scale."""
+    from pyspark.sql import Window
+
+    score = F.col(score_col).desc() if descending else F.col(score_col).asc()
+    base = Window.partitionBy(group_col) if group_col else Window.partitionBy()
+    w = base.orderBy(score, F.col(tiebreak_col).asc())
+    return (
+        df.withColumn("__pr", F.percent_rank().over(w))
+        .where(F.col("__pr") <= frac)
+        .drop("__pr")
+    )
+
+
 def group_quota(
     df: DataFrame, group_col: str, order_col: str, quota: int
 ) -> DataFrame:

@@ -835,27 +835,91 @@ def q_text_quality_score(spark, sf_dir):
     )
 
 
-def _sql_quality_score() -> str:
+def _sql_quality_score(extra_cols: str = "") -> str:
+    ec = f"{extra_cols}, " if extra_cols else ""
     sw = ", ".join(f"'{w}'" for ws in STOPWORDS.values() for w in ws)
     return f"""
 WITH f AS (
-  SELECT doc_id, text, {SQL_TOKS} AS toks FROM documents
+  SELECT doc_id, {ec}text, {SQL_TOKS} AS toks FROM documents
 ),
 g AS (
-  SELECT doc_id,
+  SELECT doc_id, {ec}
          len(toks) AS n_words,
          len(list_filter(toks, t -> list_contains([{sw}], lower(t)))) AS n_sw,
          length(text) AS n_chars,
          length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS n_alpha
   FROM f
 )
-SELECT doc_id,
+SELECT doc_id, {ec}
        round(0.4 * least(n_words::DOUBLE / 100.0, 1.0)
              + 0.3 * least((CASE WHEN n_words > 0
                             THEN n_sw::DOUBLE / n_words ELSE 0.0 END) * 5.0, 1.0)
              + 0.3 * (n_alpha::DOUBLE / greatest(n_chars, 1)::DOUBLE),
              6) AS q_score
 FROM g
+"""
+
+
+TOPFRAC = 0.3
+
+
+def q_text_quality_topfrac(spark, sf_dir):
+    """Adaptive per-language quality selection (ops.textops.top_fraction):
+    keep the top 30% of documents by quality score WITHIN each language —
+    percent_rank over (lang) strata, doc_id tiebreak — so the cutoff adapts
+    to each language's score distribution instead of a fixed threshold."""
+    docs = _t(spark, sf_dir, "documents")
+    scored = docs.select(
+        "doc_id", "lang", T.quality_score(F.col("text")).alias("q_score")
+    )
+    return T.top_fraction(scored, "q_score", TOPFRAC, "doc_id", group_col="lang")
+
+
+def _sql_quality_topfrac() -> str:
+    return f"""
+WITH scored AS ({_sql_quality_score("lang")}),
+r AS (
+  SELECT doc_id, lang, q_score,
+         percent_rank() OVER (PARTITION BY lang
+                              ORDER BY q_score DESC, doc_id) AS pr
+  FROM scored)
+SELECT doc_id, lang, q_score FROM r WHERE pr <= {TOPFRAC}
+"""
+
+
+SHARD_TOKENS = 500
+SHARD_BUCKETS = 8
+SHARD_SALT = "shard_v1"
+
+
+def q_text_shard_pack(spark, sf_dir):
+    """Token-aware training-shard assignment (ops.textops.pack_shards):
+    docs hash into buckets, then pack into ~SHARD_TOKENS-token shards in
+    deterministic hash order — the writer-side step that turns a filtered
+    corpus into balanced training shards."""
+    docs = _t(spark, sf_dir, "documents").where(F.col("text").isNotNull())
+    staged = docs.select(
+        "doc_id", F.size(T._toks(F.col("text"))).alias("n_toks")
+    )
+    return T.pack_shards(
+        staged, "doc_id", "n_toks", SHARD_TOKENS,
+        n_buckets=SHARD_BUCKETS, salt=SHARD_SALT,
+    ).select("doc_id", "n_toks", "shard_bucket", "shard_seq")
+
+
+def _sql_shard_pack() -> str:
+    h = sql_hash64("doc_id::VARCHAR", f"#{SHARD_SALT}")
+    return f"""
+WITH staged AS (
+  SELECT doc_id, len({SQL_TOKS}) AS n_toks, ({h}) AS h,
+         (({h}) % {SHARD_BUCKETS})::INT AS shard_bucket
+  FROM documents WHERE text IS NOT NULL)
+SELECT doc_id, n_toks, shard_bucket,
+       floor(coalesce(sum(n_toks) OVER (
+                PARTITION BY shard_bucket ORDER BY h, doc_id
+                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+             / {SHARD_TOKENS})::INT AS shard_seq
+FROM staged
 """
 
 
@@ -1503,6 +1567,8 @@ OPS_QUERIES = {
     "sim_ivf_kmeans_topk": q_sim_ivf_kmeans_topk,
     "text_langid_heur": q_text_langid_heur,
     "text_quality_score": q_text_quality_score,
+    "text_quality_topfrac": q_text_quality_topfrac,
+    "text_shard_pack": q_text_shard_pack,
     "text_token_counts": q_text_token_counts,
     "text_top_tokens": q_text_top_tokens,
     "text_group_stats": q_text_group_stats,
@@ -1543,6 +1609,8 @@ OPS_ORACLES = {
     "sim_ivf_kmeans_topk": _sql_ivf_kmeans_topk(),
     "text_langid_heur": _sql_langid_heur(),
     "text_quality_score": _sql_quality_score(),
+    "text_quality_topfrac": _sql_quality_topfrac(),
+    "text_shard_pack": _sql_shard_pack(),
     "text_token_counts": SQL_TOKEN_COUNTS,
     "text_top_tokens": SQL_TEXT_TOP_TOKENS,
     "text_group_stats": SQL_TEXT_GROUP_STATS,

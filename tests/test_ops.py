@@ -910,3 +910,38 @@ def test_dedup_incremental(spark):
     got = sorted(r["i"] for r in D.dedup_incremental(new, seen, "i", "t").collect())
     # 10 drops vs the index, 12 drops in-batch (11 is min id), null passes
     assert got == [11, 13, 14]
+
+
+def test_top_fraction(spark):
+    rows = [(i, "a", float(i)) for i in range(1, 11)] + [(99, "b", 1.0)]
+    df = spark.createDataFrame(rows, "i int, g string, s double")
+    # grouped: top 30% of 10 rows -> percent_rank (r-1)/9 <= 0.3 -> ranks 1..3
+    got = sorted(r["i"] for r in
+                 T.top_fraction(df, "s", 0.3, "i", group_col="g").collect())
+    # group a: scores 10,9,8 kept; group b: single row pr=0 always kept
+    assert got == [8, 9, 10, 99]
+    # global (no group): one total order over all 11 rows
+    got = sorted(r["i"] for r in T.top_fraction(df, "s", 0.2, "i").collect())
+    assert got == [8, 9, 10]
+    # ascending: keep the LOWEST scores
+    got = sorted(r["i"] for r in T.top_fraction(
+        df.where("g = 'a'"), "s", 0.3, "i", group_col="g",
+        descending=False).collect())
+    assert got == [1, 2, 3]
+
+
+def test_pack_shards(spark):
+    rows = [(i, 100) for i in range(10)]
+    df = spark.createDataFrame(rows, "i int, n int")
+    out = T.pack_shards(df, "i", "n", 250, n_buckets=1, salt="t").collect()
+    order = sorted(range(10), key=lambda i: (py_hash64(str(i), "#t"), i))
+    exp, run = {}, 0
+    for i in order:
+        exp[i] = run // 250
+        run += 100
+    assert {r["i"]: r["shard_seq"] for r in out} == exp
+    assert all(r["shard_bucket"] == 0 for r in out)
+    out2 = T.pack_shards(df, "i", "n", 250, n_buckets=4, salt="t").collect()
+    assert all(
+        r["shard_bucket"] == py_hash64(str(r["i"]), "#t") % 4 for r in out2
+    )
