@@ -54,6 +54,8 @@ HEADLINE = [
     "period_overlap_global",
     "text_quality_score",
     "doc_fingerprint",
+    "text_boilerplate",       # corpus boilerplate: 2-stage agg + broadcast rewrite
+    "dedup_incremental",      # anti-join vs seen-hash index + in-batch min-id
 ]
 
 

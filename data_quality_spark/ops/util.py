@@ -17,6 +17,15 @@ def spread_narrow(df: DataFrame, factor: int = 2) -> DataFrame:
     operator that routes the same frame through several UDF stages pays it
     once (the probe never executes a job — planning only)."""
     target = df.sparkSession.sparkContext.defaultParallelism
+    if num_partitions(df) < target:
+        return df.repartition(factor * target)
+    return df
+
+
+def num_partitions(df: DataFrame) -> int:
+    """df.rdd.getNumPartitions() memoized on the DataFrame object: the probe
+    never runs a job, but it does force a driver-side plan conversion —
+    callers that consult it repeatedly on the same frame pay once."""
     n = getattr(df, "_dqs_num_partitions", None)
     if n is None:
         n = df.rdd.getNumPartitions()
@@ -24,6 +33,4 @@ def spread_narrow(df: DataFrame, factor: int = 2) -> DataFrame:
             df._dqs_num_partitions = n
         except Exception:
             pass
-    if n < target:
-        return df.repartition(factor * target)
-    return df
+    return n

@@ -168,7 +168,9 @@ def annotate_pages(
         df = df.withColumn("src_file", F.input_file_name())
     if min_parallelism is not None and min_parallelism >= 0:
         target = min_parallelism or df.sparkSession.sparkContext.defaultParallelism
-        if df.rdd.getNumPartitions() < target:
+        from data_quality_spark.ops.util import num_partitions
+
+        if num_partitions(df) < target:
             # spread narrow inputs across the cluster; the url-hash also
             # breaks up pathological host clustering. When the input already
             # has >= cores splits this exchange is pure overhead (it would
