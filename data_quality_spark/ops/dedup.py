@@ -440,11 +440,15 @@ def drop_near_dups(
     one survivor per EDGE-dominated set, not per connected component.
 
     policy='cluster': exactly ONE survivor (the min id) per connected
-    component, via iterative min-label propagation over the pair graph.
-    Costs one small shuffle per hop up to the component diameter (bounded
-    by max_iter — an unconverged residual after max_iter hops leaves extra
-    survivors, never drops a whole cluster). The propagation runs on the
-    PAIR graph only (the candidate-dup set, ≪ corpus); the corpus-side
+    component, via iterative min-label propagation over the pair graph
+    with POINTER JUMPING: each round first takes the neighbor minimum,
+    then re-labels through the label table itself (label(v) <-
+    label(label(v))), so label information travels 2^r hops after r rounds
+    — O(log diameter) rounds instead of O(diameter) on chain-shaped
+    components (the worst case LSH actually produces: a-b, b-c, c-d ...
+    near-dup chains). Bounded by max_iter — an unconverged residual leaves
+    extra survivors, never drops a whole cluster. The propagation runs on
+    the PAIR graph only (the candidate-dup set, ≪ corpus); the corpus-side
     plan is the same single anti-join either way, so the wide frame never
     shuffles (AQE broadcasts the loser set)."""
     if policy == "keep_lowest":
@@ -469,13 +473,38 @@ def drop_near_dups(
             edges.join(labels, edges["dst"] == labels["id"])
             .select(edges["src"].alias("id"), F.col("label"))
         )
-        new = (
+        hopped = (
             labels.select("id", "label")
             .unionByName(nbr_min)
             .groupBy("id")
             .agg(F.min("label").alias("label"))
-            .persist()
         )
+        # pointer jump: label(v) <- label(label(v)). Every label value is
+        # itself a node id (initial labels are self-ids and mins of ids),
+        # so the self-join always hits; coalesce is belt-and-braces. Labels
+        # only decrease and stay >= the component min, so the fixpoint is
+        # unchanged — the jump only accelerates reaching it.
+        lab2 = hopped.select(
+            F.col("id").alias("__lid"), F.col("label").alias("__llabel")
+        )
+        # The jump self-joins the frame with itself, so the logical plan
+        # would DOUBLE every round (2^r nodes after r rounds — Catalyst
+        # driver OOM long before the data is big). Truncate lineage each
+        # round, exactly as GraphFrames' connected components does; the
+        # label table is the pair-graph node set (≪ corpus), so an eager
+        # local checkpoint of it is cheap. Reliable checkpoint is used
+        # when the session has a checkpoint dir (production path).
+        new = (
+            hopped.join(lab2, hopped["label"] == lab2["__lid"], "left")
+            .select(
+                "id",
+                F.coalesce(F.col("__llabel"), F.col("label")).alias("label"),
+            )
+        )
+        if df.sparkSession.sparkContext.getCheckpointDir() is not None:
+            new = new.checkpoint(eager=True)
+        else:
+            new = new.localCheckpoint(eager=True)
         changed = (
             new.join(labels.withColumnRenamed("label", "__old"), "id")
             .where(F.col("label") != F.col("__old"))

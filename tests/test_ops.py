@@ -945,3 +945,17 @@ def test_pack_shards(spark):
     assert all(
         r["shard_bucket"] == py_hash64(str(r["i"]), "#t") % 4 for r in out2
     )
+
+
+def test_drop_near_dups_cluster_pointer_jumping(spark):
+    # 64-node chain 0-1-2-...-63: plain neighbor-min needs ~63 hops; the
+    # pointer-jumped propagation must collapse it within ~log2(64)+margin
+    # rounds — max_iter=8 would leave stragglers without the jump.
+    n = 64
+    df = spark.createDataFrame([(i, f"t{i}") for i in range(n)],
+                               "doc_id long, text string")
+    pairs = spark.createDataFrame([(i, i + 1) for i in range(n - 1)],
+                                  "id_a long, id_b long")
+    kept = D.drop_near_dups(df, "doc_id", pairs, policy="cluster",
+                            max_iter=8)
+    assert sorted(r["doc_id"] for r in kept.collect()) == [0]
