@@ -1546,9 +1546,39 @@ SELECT event_id FROM doubled WHERE double_chk
 # registries
 # ---------------------------------------------------------------------------
 
+def q_dedup_dup_spans(spark, sf_dir):
+    """Cross-document repeated-span fraction (ops.dedup.dup_span_stats):
+    every 8-token window is hashed corpus-wide; a document's dup_frac is
+    the share of its windows whose exact token sequence occurs in >= 2
+    distinct documents — the exact-substring dedup signal (Lee et al.
+    2022) over the exact-dup-augmented corpus (full copies must come out
+    at dup_frac = 1.0; organic near-dups at partial fractions)."""
+    corpus = _exact_dup_corpus(spark, sf_dir)
+    return D.dup_span_stats(corpus, "doc_id", "text")
+
+
+def _sql_dedup_dup_spans() -> str:
+    w = D.DUP_SPAN_W
+    h = sql_hash64(f"array_to_string(ts[i:i+{w - 1}], ' ')")
+    return f"""
+WITH corpus AS ({SQL_EXACT_CORPUS}),
+t AS (SELECT doc_id, {SQL_TOKS} AS ts FROM corpus WHERE text IS NOT NULL),
+w AS (SELECT doc_id, {h} AS whash
+      FROM (SELECT doc_id, ts, UNNEST(generate_series(1, len(ts) - {w - 1})) AS i
+            FROM t WHERE len(ts) >= {w})),
+d AS (SELECT whash FROM (SELECT DISTINCT whash, doc_id FROM w)
+      GROUP BY whash HAVING count(*) >= {D.DUP_SPAN_MIN_DOCS})
+SELECT w.doc_id, count(*) AS n_windows, count(d.whash) AS n_dup,
+       count(d.whash)::DOUBLE / count(*) AS dup_frac
+FROM w LEFT JOIN d ON w.whash = d.whash
+GROUP BY w.doc_id
+"""
+
+
 OPS_QUERIES = {
     "dedup_exact": q_dedup_exact,
     "dedup_incremental": q_dedup_incremental,
+    "dedup_dup_spans": q_dedup_dup_spans,
     "dedup_exact_drop": q_dedup_exact_drop,
     "period_overlap_global": q_period_overlap_global,
     "dedup_minhash_lsh": q_dedup_minhash_lsh,
@@ -1591,6 +1621,7 @@ OPS_QUERIES = {
 OPS_ORACLES = {
     "dedup_exact": SQL_DEDUP_EXACT,
     "dedup_incremental": _sql_dedup_incremental(),
+    "dedup_dup_spans": _sql_dedup_dup_spans(),
     "dedup_exact_drop": SQL_DEDUP_EXACT_DROP,
     "period_overlap_global": SQL_PERIOD_OVERLAP_GLOBAL,
     "dedup_minhash_lsh": _sql_minhash_lsh(),

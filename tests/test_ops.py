@@ -898,6 +898,34 @@ def test_remove_boilerplate_broadcast_cap(spark):
         T.remove_boilerplate(df, "i", "t", 2, max_broadcast=1)
 
 
+def test_dup_span_stats(spark):
+    """Exact-substring dedup signal: full copies -> dup_frac 1.0, partial
+    overlap -> the exact shared-window fraction, unique docs -> 0.0,
+    NULL/short docs -> no row."""
+    out = {r["doc_id"]: r for r in
+           D.dup_span_stats(_docs(spark), "doc_id", "text").collect()}
+    # docs 1/2 are byte-identical (10 tokens, 3 8-token windows): all dup
+    assert out[1]["n_windows"] == 3 and out[1]["dup_frac"] == 1.0
+    assert out[2]["dup_frac"] == 1.0
+    # doc 3 shares its 10-token prefix with 1/2; its 4th window covers the
+    # appended token -> 3 of 4 windows duplicated
+    assert out[3]["n_windows"] == 4 and out[3]["n_dup"] == 3
+    assert out[3]["dup_frac"] == 0.75
+    # doc 4 is unique (exactly w tokens -> 1 window)
+    assert out[4]["n_windows"] == 1 and out[4]["dup_frac"] == 0.0
+    # NULL text yields no row
+    assert 5 not in out
+
+
+def test_dup_span_stats_stride(spark):
+    """stride>1 samples every k-th window start; a full copy is still
+    caught at dup_frac 1.0 with fewer windows."""
+    out = {r["doc_id"]: r for r in
+           D.dup_span_stats(_docs(spark), "doc_id", "text", stride=2).collect()}
+    # doc 1: starts 1,3 of [1..3] -> 2 windows, both duplicated
+    assert out[1]["n_windows"] == 2 and out[1]["dup_frac"] == 1.0
+
+
 def test_dedup_incremental(spark):
     seen = D.seen_hash_index(
         spark.createDataFrame([(1, "dup-old"), (2, None)], "i int, t string"),
