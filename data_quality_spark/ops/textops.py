@@ -644,3 +644,112 @@ def remove_boilerplate(
         )
 
     return df.withColumn(out_col, strip(F.col(text_col)))
+
+
+# ---------------------------------------------------------------------------
+# n-gram repetition metrics + corpus n-gram counts
+# ---------------------------------------------------------------------------
+
+NGRAM_REP_N = 2          # Gopher uses n=2..4 for top-frac, 5..10 for dup-frac
+CORPUS_NGRAM_N = 3
+CORPUS_NGRAM_K = 20
+
+
+def ngram_repetition(
+    df: DataFrame, id_col: str, text_col: str, n: int = NGRAM_REP_N
+) -> DataFrame:
+    """Gopher-style per-document n-gram repetition metrics (Rae et al. 2021
+    Table A1: "fraction of characters in the most common n-gram" /
+    "... in duplicate n-grams"), with a pinned deterministic formula:
+
+      doc_chars      = length of the single-space-joined token stream
+      for each distinct word n-gram g (joined by single spaces):
+        chars(g)     = occurrences(g) * (length(g))
+      top_ngram_frac = max_g chars(g) / doc_chars
+      dup_ngram_frac = least(1, sum_{g: occ>=2} chars(g) / doc_chars)
+
+    dup_ngram_frac counts every occurrence of a repeated n-gram
+    (overlapping windows can exceed the doc, hence the cap at 1.0).
+    Documents with < n tokens (or NULL text) produce no row. round(6)
+    pins the floats against the SQL oracle.
+
+    Scale shape (100 TB): one scan; the gram stream (id, gram) is the only
+    full-volume exchange and is collapsed map-side by the (id, gram)
+    partial aggregate BEFORE the wire — repeated grams (the thing being
+    measured) compress best. The per-doc rollup then shuffles one row per
+    (id, distinct gram). No joins, no windows, no Python.
+    """
+    toks = _toks(F.col(text_col))
+    base = (
+        df.where(F.col(text_col).isNotNull())
+        .select(
+            F.col(id_col).alias("id"),
+            toks.alias("__ts"),
+        )
+        .where(F.size("__ts") >= n)
+        .select(
+            "id",
+            F.col("__ts"),
+            F.length(F.concat_ws(" ", F.col("__ts"))).alias("doc_chars"),
+        )
+    )
+    starts = F.sequence(F.lit(1), F.size("__ts") - (n - 1))
+    grams = base.select(
+        "id", "doc_chars", F.explode(starts).alias("__i"), F.col("__ts")
+    ).select(
+        "id",
+        "doc_chars",
+        F.concat_ws(" ", F.slice(F.col("__ts"), F.col("__i"), n)).alias("gram"),
+    )
+    counts = grams.groupBy("id", "doc_chars", "gram").agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    chars = F.col("c") * F.length("gram")
+    return (
+        counts.groupBy("id", "doc_chars")
+        .agg(
+            F.sum("c").alias("n_grams"),
+            F.max(chars).alias("__top_chars"),
+            F.sum(F.when(F.col("c") >= 2, chars).otherwise(F.lit(0))).alias(
+                "__dup_chars"
+            ),
+        )
+        .select(
+            F.col("id").alias(id_col),
+            "n_grams",
+            F.round(
+                F.col("__top_chars").cast("double") / F.col("doc_chars"), 6
+            ).alias("top_ngram_frac"),
+            F.round(
+                F.least(
+                    F.col("__dup_chars").cast("double") / F.col("doc_chars"),
+                    F.lit(1.0),
+                ),
+                6,
+            ).alias("dup_ngram_frac"),
+        )
+    )
+
+
+def corpus_ngrams(
+    df: DataFrame, text_col: str, n: int = CORPUS_NGRAM_N, k: int = CORPUS_NGRAM_K
+) -> DataFrame:
+    """(gram, n) — the k most frequent word n-grams corpus-wide, ties
+    broken by gram ascending. This is the count-collection path for
+    training an n-gram LM (the KenLM-style perplexity scorer's model
+    build): run once per corpus snapshot, persist, feed the scorer.
+
+    Scale shape: identical to top_tokens — explode is map-only, the count
+    is a partial aggregate (Zipf head collapses map-side), top-k is
+    TakeOrderedAndProject (per-partition heap, no global sort). For a full
+    LM table (no top-k) drop the limit and write the aggregate out
+    partitioned by a gram-hash prefix.
+    """
+    toks = _toks(F.col(text_col))
+    base = df.select(toks.alias("__ts")).where(F.size("__ts") >= n)
+    starts = F.sequence(F.lit(1), F.size("__ts") - (n - 1))
+    grams = base.select(F.explode(starts).alias("__i"), F.col("__ts")).select(
+        F.concat_ws(" ", F.slice(F.col("__ts"), F.col("__i"), n)).alias("gram")
+    )
+    counted = grams.groupBy("gram").agg(F.count(F.lit(1)).alias("n"))
+    return counted.orderBy(F.col("n").desc(), F.col("gram")).limit(k)

@@ -982,6 +982,51 @@ SELECT token, count(*) AS n FROM (
 """
 
 
+def q_text_ngram_repetition(spark, sf_dir):
+    """Gopher-style per-doc n-gram repetition metrics (ops.textops
+    .ngram_repetition): top-2-gram char fraction + duplicated-2-gram char
+    fraction over the documents table."""
+    return T.ngram_repetition(_t(spark, sf_dir, "documents"), "doc_id", "text")
+
+
+def _sql_text_ngram_repetition() -> str:
+    n = T.NGRAM_REP_N
+    return f"""
+WITH t AS (SELECT doc_id, {SQL_TOKS} AS ts FROM documents WHERE text IS NOT NULL),
+b AS (SELECT doc_id, ts, length(array_to_string(ts, ' ')) AS doc_chars
+      FROM t WHERE len(ts) >= {n}),
+g AS (SELECT doc_id, doc_chars,
+             array_to_string(ts[i:i+{n - 1}], ' ') AS gram
+      FROM (SELECT doc_id, doc_chars, ts,
+                   unnest(generate_series(1, len(ts) - {n - 1})) AS i
+            FROM b)),
+c AS (SELECT doc_id, doc_chars, gram, count(*) AS c FROM g GROUP BY 1, 2, 3)
+SELECT doc_id, sum(c)::BIGINT AS n_grams,
+       round(max(c * length(gram))::DOUBLE / doc_chars, 6) AS top_ngram_frac,
+       round(least(sum(CASE WHEN c >= 2 THEN c * length(gram) ELSE 0 END)::DOUBLE
+                   / doc_chars, 1.0), 6) AS dup_ngram_frac
+FROM c GROUP BY doc_id, doc_chars
+"""
+
+
+def q_text_corpus_ngrams(spark, sf_dir):
+    """Top-k corpus word n-grams with counts (ops.textops.corpus_ngrams) —
+    the count-collection path for an n-gram LM build."""
+    return T.corpus_ngrams(_t(spark, sf_dir, "documents"), "text")
+
+
+def _sql_text_corpus_ngrams() -> str:
+    n, k = T.CORPUS_NGRAM_N, T.CORPUS_NGRAM_K
+    return f"""
+WITH t AS (SELECT {SQL_TOKS} AS ts FROM documents),
+g AS (SELECT array_to_string(ts[i:i+{n - 1}], ' ') AS gram
+      FROM (SELECT ts, unnest(generate_series(1, len(ts) - {n - 1})) AS i
+            FROM t WHERE len(ts) >= {n}))
+SELECT gram, count(*) AS n FROM g
+GROUP BY 1 ORDER BY n DESC, gram LIMIT {k}
+"""
+
+
 def q_text_group_stats(spark, sf_dir):
     return T.group_doc_stats(_t(spark, sf_dir, "documents"), "source", "text")
 
@@ -1601,6 +1646,8 @@ OPS_QUERIES = {
     "text_shard_pack": q_text_shard_pack,
     "text_token_counts": q_text_token_counts,
     "text_top_tokens": q_text_top_tokens,
+    "text_ngram_repetition": q_text_ngram_repetition,
+    "text_corpus_ngrams": q_text_corpus_ngrams,
     "text_group_stats": q_text_group_stats,
     "text_contamination": q_text_contamination,
     "text_normalize": q_text_normalize,
@@ -1644,6 +1691,8 @@ OPS_ORACLES = {
     "text_shard_pack": _sql_shard_pack(),
     "text_token_counts": SQL_TOKEN_COUNTS,
     "text_top_tokens": SQL_TEXT_TOP_TOKENS,
+    "text_ngram_repetition": _sql_text_ngram_repetition(),
+    "text_corpus_ngrams": _sql_text_corpus_ngrams(),
     "text_group_stats": SQL_TEXT_GROUP_STATS,
     "text_contamination": _sql_contamination(),
     "text_normalize": SQL_TEXT_NORMALIZE,

@@ -213,6 +213,43 @@ def test_top_tokens(spark):
     assert out == [("a", 3), ("c", 2), ("b", 1)]
 
 
+def test_ngram_repetition(spark):
+    df = spark.createDataFrame(
+        [(1, "a b a b c"), (2, "x y z"), (3, "w"), (4, None)],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r for r in
+           T.ngram_repetition(df, "doc_id", "text", n=2).collect()}
+    # doc 1: bigrams "a b"x2, "b a", "b c"; doc_chars=9;
+    # top = dup = 2*len("a b")/9 = 6/9
+    assert out[1]["n_grams"] == 4
+    assert out[1]["top_ngram_frac"] == round(6 / 9, 6)
+    assert out[1]["dup_ngram_frac"] == round(6 / 9, 6)
+    # doc 2: no repeats -> dup 0, top = one bigram's 3 chars / 5
+    assert out[2]["dup_ngram_frac"] == 0.0
+    assert out[2]["top_ngram_frac"] == 0.6
+    # < n tokens or NULL -> no row
+    assert 3 not in out and 4 not in out
+
+
+def test_ngram_repetition_dup_cap(spark):
+    # overlapping repeats can exceed doc_chars; dup_frac caps at 1.0
+    df = spark.createDataFrame([(1, "a a a a a a")], "doc_id long, text string")
+    r = T.ngram_repetition(df, "doc_id", "text", n=2).collect()[0]
+    # 5 occurrences of "a a" (3 chars) = 15 > 11 doc chars
+    assert r["dup_ngram_frac"] == 1.0
+
+
+def test_corpus_ngrams(spark):
+    df = spark.createDataFrame(
+        [(1, "a b c d"), (2, "a b c"), (3, "z"), (4, None)],
+        "doc_id long, text string",
+    )
+    out = [(r["gram"], r["n"]) for r in
+           T.corpus_ngrams(df, "text", n=3, k=2).collect()]
+    assert out == [("a b c", 2), ("b c d", 1)]
+
+
 def test_group_doc_stats(spark):
     df = spark.createDataFrame(
         [(1, "a b c", "en", "s1"), (2, "d e", "de", "s1"), (3, "f", "en", "s2")],
