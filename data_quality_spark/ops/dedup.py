@@ -714,13 +714,18 @@ def dup_span_stats(
     Reference ancestor: values_duplicate.py (exact row dups); this is the
     substring-level extension for web text.
     """
+    # Short/empty docs are dropped by exploding an EMPTY start array rather
+    # than a `size(__ts) >= w` row filter: predicate pushdown would inline
+    # the (interpreted-HOF) tokenize expression into the Filter condition
+    # and every row would tokenize TWICE (NOTES.md CaseWhen/CSE lesson).
     toks = F.filter(F.split(F.col(text_col), r"\s+"), lambda x: x != "")
-    base = (
-        df.where(F.col(text_col).isNotNull())
-        .select(F.col(id_col).alias("id"), toks.alias("__ts"))
-        .where(F.size("__ts") >= w)
+    base = df.where(F.col(text_col).isNotNull()).select(
+        F.col(id_col).alias("id"), toks.alias("__ts")
     )
-    starts = F.sequence(F.lit(1), F.size("__ts") - (w - 1), F.lit(stride))
+    starts = F.when(
+        F.size("__ts") >= w,
+        F.sequence(F.lit(1), F.size("__ts") - (w - 1), F.lit(stride)),
+    ).otherwise(F.array().cast("array<int>"))
     pos = base.select(
         "id", F.explode(starts).alias("__i"), F.col("__ts")
     ).select(

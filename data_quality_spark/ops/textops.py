@@ -679,21 +679,24 @@ def ngram_repetition(
     measured) compress best. The per-doc rollup then shuffles one row per
     (id, distinct gram). No joins, no windows, no Python.
     """
+    # No `size(__ts) >= n` row filter: pushdown would inline the tokenize
+    # HOF into the Filter and re-evaluate it per row (NOTES.md lesson) —
+    # short docs instead explode an empty start array and vanish.
     toks = _toks(F.col(text_col))
     base = (
         df.where(F.col(text_col).isNotNull())
-        .select(
-            F.col(id_col).alias("id"),
-            toks.alias("__ts"),
-        )
-        .where(F.size("__ts") >= n)
+        .select(F.col(id_col).alias("id"), toks.alias("__ts"))
+        # separate projection: __ts is multi-referenced and non-cheap, so
+        # CollapseProject keeps it materialized (tokenize runs once)
         .select(
             "id",
             F.col("__ts"),
             F.length(F.concat_ws(" ", F.col("__ts"))).alias("doc_chars"),
         )
     )
-    starts = F.sequence(F.lit(1), F.size("__ts") - (n - 1))
+    starts = F.when(
+        F.size("__ts") >= n, F.sequence(F.lit(1), F.size("__ts") - (n - 1))
+    ).otherwise(F.array().cast("array<int>"))
     grams = base.select(
         "id", "doc_chars", F.explode(starts).alias("__i"), F.col("__ts")
     ).select(
@@ -745,9 +748,13 @@ def corpus_ngrams(
     LM table (no top-k) drop the limit and write the aggregate out
     partitioned by a gram-hash prefix.
     """
+    # same no-row-filter shape as ngram_repetition: short docs explode an
+    # empty start array instead of a pushed-down (tokenize-duplicating) filter
     toks = _toks(F.col(text_col))
-    base = df.select(toks.alias("__ts")).where(F.size("__ts") >= n)
-    starts = F.sequence(F.lit(1), F.size("__ts") - (n - 1))
+    base = df.select(toks.alias("__ts"))
+    starts = F.when(
+        F.size("__ts") >= n, F.sequence(F.lit(1), F.size("__ts") - (n - 1))
+    ).otherwise(F.array().cast("array<int>"))
     grams = base.select(F.explode(starts).alias("__i"), F.col("__ts")).select(
         F.concat_ws(" ", F.slice(F.col("__ts"), F.col("__i"), n)).alias("gram")
     )
