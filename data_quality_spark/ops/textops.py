@@ -760,3 +760,63 @@ def corpus_ngrams(
     )
     counted = grams.groupBy("gram").agg(F.count(F.lit(1)).alias("n"))
     return counted.orderBy(F.col("n").desc(), F.col("gram")).limit(k)
+
+
+# ---------------------------------------------------------------------------
+# encoding-noise detection (mojibake / replacement chars / control chars)
+# ---------------------------------------------------------------------------
+
+# classic UTF-8-decoded-as-Latin-1 artifact prefixes: 'Ã'/'Â' lead bytes,
+# 'â€' (mangled smart punctuation). Literal counts, shared with the oracle.
+MOJIBAKE_LITS = ["Ã", "Â", "â€"]
+REPLACEMENT_CHAR = "�"
+# C0 controls except \t \n \r — identical in Java and RE2 regex
+CTRL_CLASS = r"[\x00-\x08\x0B\x0C\x0E-\x1F]"
+ENC_MOJI_MAX = 0.01   # enc_ok thresholds (fraction of chars)
+ENC_CTRL_MAX = 0.01
+
+
+def _lit_count(text: Column, lit: str) -> Column:
+    return (
+        (F.length(text) - F.length(F.replace(text, F.lit(lit), F.lit(""))))
+        / len(lit)
+    ).cast("long")
+
+
+def encoding_flags(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Per-document encoding-noise signals for web-crawl text (the ftfy-ish
+    heuristic tier): (id, n_chars, n_replacement, moji_frac, ctrl_frac,
+    enc_ok).
+
+      n_replacement = count of U+FFFD replacement chars (decoder damage)
+      moji_frac     = (count of 'Ã' + 'Â' + 'â€' artifacts) / n_chars
+      ctrl_frac     = C0 control chars (minus \\t\\n\\r) / n_chars
+      enc_ok        = no replacement chars AND moji_frac < 0.01
+                      AND ctrl_frac < 0.01
+
+    NULL text → NULL metrics, enc_ok false. All pure codegen string ops
+    (literal replace-counts + one regexp_replace) — map-only, no shuffle,
+    no Python; at 100 TB this rides the same scan as the other heuristic
+    features. round(6) pins floats against the SQL oracle.
+    """
+    text = F.col(text_col)
+    n_chars = F.length(text)
+    denom = F.greatest(n_chars, F.lit(1)).cast("double")
+    n_repl = _lit_count(text, REPLACEMENT_CHAR)
+    n_moji = sum(_lit_count(text, m) for m in MOJIBAKE_LITS)
+    n_ctrl = n_chars - F.length(F.regexp_replace(text, CTRL_CLASS, ""))
+    moji_frac = F.round(n_moji.cast("double") / denom, 6)
+    ctrl_frac = F.round(n_ctrl.cast("double") / denom, 6)
+    return df.select(
+        F.col(id_col),
+        n_chars.alias("n_chars"),
+        n_repl.alias("n_replacement"),
+        moji_frac.alias("moji_frac"),
+        ctrl_frac.alias("ctrl_frac"),
+        F.coalesce(
+            (n_repl == 0)
+            & (moji_frac < ENC_MOJI_MAX)
+            & (ctrl_frac < ENC_CTRL_MAX),
+            F.lit(False),
+        ).alias("enc_ok"),
+    )

@@ -1027,6 +1027,36 @@ GROUP BY 1 ORDER BY n DESC, gram LIMIT {k}
 """
 
 
+def q_text_encoding_flags(spark, sf_dir):
+    """Encoding-noise signals (ops.textops.encoding_flags): replacement
+    chars, mojibake artifact fraction, control-char fraction, enc_ok gate —
+    the ftfy-ish heuristic tier, pure codegen over the documents table."""
+    return T.encoding_flags(_t(spark, sf_dir, "documents"), "doc_id", "text")
+
+
+def _sql_text_encoding_flags() -> str:
+    lit_counts = " + ".join(
+        f"(length(text) - length(replace(text, '{m}', ''))) / {len(m)}"
+        for m in T.MOJIBAKE_LITS
+    )
+    return f"""
+WITH m AS (
+  SELECT doc_id, length(text) AS n_chars,
+         (length(text) - length(replace(text, chr(65533), '')))::BIGINT
+           AS n_replacement,
+         round(({lit_counts})::DOUBLE
+               / greatest(length(text), 1), 6) AS moji_frac,
+         round((length(text) - length(regexp_replace(text,
+                 '{T.CTRL_CLASS}', '', 'g')))::DOUBLE
+               / greatest(length(text), 1), 6) AS ctrl_frac
+  FROM documents
+)
+SELECT *, coalesce(n_replacement = 0 AND moji_frac < {T.ENC_MOJI_MAX}
+                   AND ctrl_frac < {T.ENC_CTRL_MAX}, false) AS enc_ok
+FROM m
+"""
+
+
 def q_text_group_stats(spark, sf_dir):
     return T.group_doc_stats(_t(spark, sf_dir, "documents"), "source", "text")
 
@@ -1648,6 +1678,7 @@ OPS_QUERIES = {
     "text_top_tokens": q_text_top_tokens,
     "text_ngram_repetition": q_text_ngram_repetition,
     "text_corpus_ngrams": q_text_corpus_ngrams,
+    "text_encoding_flags": q_text_encoding_flags,
     "text_group_stats": q_text_group_stats,
     "text_contamination": q_text_contamination,
     "text_normalize": q_text_normalize,
@@ -1693,6 +1724,7 @@ OPS_ORACLES = {
     "text_top_tokens": SQL_TEXT_TOP_TOKENS,
     "text_ngram_repetition": _sql_text_ngram_repetition(),
     "text_corpus_ngrams": _sql_text_corpus_ngrams(),
+    "text_encoding_flags": _sql_text_encoding_flags(),
     "text_group_stats": SQL_TEXT_GROUP_STATS,
     "text_contamination": _sql_contamination(),
     "text_normalize": SQL_TEXT_NORMALIZE,

@@ -250,6 +250,29 @@ def test_corpus_ngrams(spark):
     assert out == [("a b c", 2), ("b c d", 1)]
 
 
+def test_encoding_flags(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "clean ascii text here"),
+            (2, "damaged � bytes �"),          # replacement chars
+            (3, "cafÃ© naÃ¯ve"),     # 'Ã©'/'Ã¯' mojibake
+            (4, "ctl\x01\x02chars"),                      # C0 controls
+            (5, "tab\tand\nnewline ok"),                  # \t \n are fine
+            (6, None),
+        ],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r for r in
+           T.encoding_flags(df, "doc_id", "text").collect()}
+    assert out[1]["enc_ok"] and out[1]["n_replacement"] == 0
+    assert out[2]["n_replacement"] == 2 and not out[2]["enc_ok"]
+    assert out[3]["moji_frac"] > 0.01 and not out[3]["enc_ok"]
+    assert out[4]["ctrl_frac"] > 0.01 and not out[4]["enc_ok"]
+    assert out[5]["enc_ok"] and out[5]["ctrl_frac"] == 0.0
+    # NULL text: NULL metrics, enc_ok coalesced to False
+    assert out[6]["n_chars"] is None and out[6]["enc_ok"] is False
+
+
 def test_group_doc_stats(spark):
     df = spark.createDataFrame(
         [(1, "a b c", "en", "s1"), (2, "d e", "de", "s1"), (3, "f", "en", "s2")],
