@@ -820,3 +820,64 @@ def encoding_flags(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
             F.lit(False),
         ).alias("enc_ok"),
     )
+
+
+# ---------------------------------------------------------------------------
+# document chunking into fixed-token training sequences
+# ---------------------------------------------------------------------------
+
+CHUNK_MAX_TOKENS = 32
+CHUNK_OVERLAP = 8
+
+
+def chunk_documents(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    max_tokens: int = CHUNK_MAX_TOKENS,
+    overlap: int = CHUNK_OVERLAP,
+) -> DataFrame:
+    """Split each document's whitespace-token stream into training chunks of
+    at most `max_tokens` tokens with `overlap` tokens of context carried
+    between consecutive chunks — the sequence-preparation step between
+    quality filtering and shard packing (pack_shards sizes SHARDS from
+    docs; this sizes SEQUENCES from long docs).
+
+    Chunk starts are 1, 1+stride, ... (stride = max_tokens - overlap)
+    while start <= greatest(n_tokens - overlap, 1), so every token lands
+    in at least one chunk, the final chunk may be short, and a chunk is
+    never pure overlap. Returns (id, chunk_id, n_tokens, chunk_text) with
+    chunk_id 0-based per document. Empty/NULL docs produce no row.
+
+    Scale shape: map-only — tokenize once, explode the start sequence,
+    slice per chunk. No shuffle at all; output order is input order. The
+    1→N fan-out multiplies bytes ~(1 + overlap/max_tokens); writing
+    `partitionBy(shard)` downstream is where the exchange belongs.
+    """
+    if overlap >= max_tokens:
+        raise ValueError("overlap must be < max_tokens")
+    stride = max_tokens - overlap
+    toks = _toks(F.col(text_col))
+    base = (
+        df.where(F.col(text_col).isNotNull())
+        .select(F.col(id_col).alias("id"), toks.alias("__ts"))
+    )
+    n = F.size("__ts")
+    starts = F.when(
+        n >= 1,
+        F.sequence(
+            F.lit(1), F.greatest(n - overlap, F.lit(1)), F.lit(stride)
+        ),
+    ).otherwise(F.array().cast("array<int>"))
+    return base.select(
+        "id", F.explode(starts).alias("__s"), F.col("__ts")
+    ).select(
+        F.col("id").alias(id_col),
+        ((F.col("__s") - 1) / stride).cast("long").alias("chunk_id"),
+        F.least(
+            F.size("__ts") - F.col("__s") + 1, F.lit(max_tokens)
+        ).alias("n_tokens"),
+        F.concat_ws(" ", F.slice(F.col("__ts"), F.col("__s"), max_tokens)).alias(
+            "chunk_text"
+        ),
+    )

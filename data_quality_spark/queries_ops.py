@@ -1057,6 +1057,28 @@ FROM m
 """
 
 
+def q_text_chunk(spark, sf_dir):
+    """Fixed-token training-sequence chunking with overlap
+    (ops.textops.chunk_documents) over the documents table."""
+    return T.chunk_documents(_t(spark, sf_dir, "documents"), "doc_id", "text")
+
+
+def _sql_text_chunk() -> str:
+    mx, ov = T.CHUNK_MAX_TOKENS, T.CHUNK_OVERLAP
+    stride = mx - ov
+    return f"""
+WITH t AS (SELECT doc_id, {SQL_TOKS} AS ts FROM documents WHERE text IS NOT NULL),
+s AS (SELECT doc_id, ts,
+             unnest(generate_series(1, greatest(len(ts) - {ov}, 1), {stride}))
+               AS st
+      FROM t WHERE len(ts) >= 1)
+SELECT doc_id, ((st - 1) / {stride})::BIGINT AS chunk_id,
+       least(len(ts) - st + 1, {mx})::INT AS n_tokens,
+       array_to_string(ts[st:st+{mx - 1}], ' ') AS chunk_text
+FROM s
+"""
+
+
 def q_text_group_stats(spark, sf_dir):
     return T.group_doc_stats(_t(spark, sf_dir, "documents"), "source", "text")
 
@@ -1679,6 +1701,7 @@ OPS_QUERIES = {
     "text_ngram_repetition": q_text_ngram_repetition,
     "text_corpus_ngrams": q_text_corpus_ngrams,
     "text_encoding_flags": q_text_encoding_flags,
+    "text_chunk": q_text_chunk,
     "text_group_stats": q_text_group_stats,
     "text_contamination": q_text_contamination,
     "text_normalize": q_text_normalize,
@@ -1725,6 +1748,7 @@ OPS_ORACLES = {
     "text_ngram_repetition": _sql_text_ngram_repetition(),
     "text_corpus_ngrams": _sql_text_corpus_ngrams(),
     "text_encoding_flags": _sql_text_encoding_flags(),
+    "text_chunk": _sql_text_chunk(),
     "text_group_stats": SQL_TEXT_GROUP_STATS,
     "text_contamination": _sql_contamination(),
     "text_normalize": SQL_TEXT_NORMALIZE,

@@ -273,6 +273,28 @@ def test_encoding_flags(spark):
     assert out[6]["n_chars"] is None and out[6]["enc_ok"] is False
 
 
+def test_chunk_documents(spark):
+    df = spark.createDataFrame(
+        [(1, "t1 t2 t3 t4 t5 t6 t7 t8 t9 t10"), (2, "a b"), (3, ""), (4, None)],
+        "doc_id long, text string",
+    )
+    out = T.chunk_documents(df, "doc_id", "text", max_tokens=4, overlap=1)
+    rows = sorted(
+        ((r["doc_id"], r["chunk_id"], r["n_tokens"], r["chunk_text"])
+         for r in out.collect())
+    )
+    # doc 1: stride 3 -> starts 1,4,7; every token covered, 1-token overlap
+    assert rows == [
+        (1, 0, 4, "t1 t2 t3 t4"),
+        (1, 1, 4, "t4 t5 t6 t7"),
+        (1, 2, 4, "t7 t8 t9 t10"),
+        (2, 0, 2, "a b"),          # short doc: one short chunk
+    ]                               # empty/NULL docs: no rows
+    import pytest as _pytest
+    with _pytest.raises(ValueError, match="overlap"):
+        T.chunk_documents(df, "doc_id", "text", max_tokens=4, overlap=4)
+
+
 def test_group_doc_stats(spark):
     df = spark.createDataFrame(
         [(1, "a b c", "en", "s1"), (2, "d e", "de", "s1"), (3, "f", "en", "s2")],
