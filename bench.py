@@ -58,6 +58,7 @@ HEADLINE = [
     "dedup_incremental",      # anti-join vs seen-hash index + in-batch min-id
     "dedup_dup_spans",        # exact-substring signal: window-hash agg + whash window
     "text_ngram_repetition",  # Gopher repetition metrics: gram explode + 2-level agg
+    "dedup_semantic",         # SemDeDup: k-means cell assign + within-cell cosine
 ]
 
 

@@ -556,3 +556,60 @@ def ann_lsh_topk(
     return scored.select(id_col, "cos_sim").orderBy(
         F.col("cos_sim").desc(), F.col(id_col)
     ).limit(k)
+
+
+# ---------------------------------------------------------------------------
+# SemDeDup-style semantic dedup: trained cells bound the pairwise scan
+# ---------------------------------------------------------------------------
+
+
+def semantic_dedup_pairs(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    centroids: list[list[float]],
+    threshold: float = 0.99,
+) -> DataFrame:
+    """Embedding-space near-duplicate pairs, SemDeDup-style (Abbas et al.
+    2023, "SemDeDup: Data-efficient learning at web-scale through semantic
+    deduplication"): assign every vector to its nearest k-means cell
+    (trained coarse quantizer — train_kmeans_cells / load_centroids), then
+    compare cosine ONLY within a cell. Cross-cell pairs are never compared
+    — the deliberate recall trade that turns an O(n²) corpus scan into
+    Σ|cell|², bounded by the largest cell. At 10^12-vector scale the
+    quantizer is trained on a sample with k large enough (SemDeDup uses
+    ~10^5 clusters) that cells stay small; here k comes from the caller's
+    persisted quantizer so repeated runs issue no training job.
+
+    Plan shape: one Arrow-batched matmul pass assigns cells (no shuffle),
+    then the self-join shuffles (id, vec, cell) once on the cell key —
+    exactly the partitioning a cell-bucketed embedding table would already
+    have, making the shuffle free on a pre-partitioned lakehouse layout.
+    Returns (id_a, id_b, cos_sim) with id_a < id_b, cosine rounded 6dp
+    (cross-engine float parity — same scheme as cosine_pairs)."""
+    v = _as_double(F.col(vec_col))
+    assigned = df.select(
+        F.col(id_col),
+        v.alias("__v"),
+        assign_cells(v, centroids).alias("__cell"),
+    )
+    return cosine_pairs(assigned, id_col, "__v", ["__cell"], threshold)
+
+
+def semantic_dedup_drop(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    centroids: list[list[float]],
+    threshold: float = 0.99,
+    policy: str = "keep_lowest",
+) -> DataFrame:
+    """Survivor set after semantic dedup: rows of `df` minus the losers of
+    semantic_dedup_pairs under the given survivor policy (keep_lowest /
+    cluster — see ops.dedup.drop_near_dups). The corpus-side plan is a
+    single anti-join against the (small) loser set; the wide frame never
+    shuffles."""
+    from data_quality_spark.ops.dedup import drop_near_dups
+
+    pairs = semantic_dedup_pairs(df, id_col, vec_col, centroids, threshold)
+    return drop_near_dups(df, id_col, pairs, policy=policy)

@@ -791,6 +791,89 @@ SELECT vec_id, cos_sim FROM scored ORDER BY cos_sim DESC, vec_id LIMIT {TOPK}
 
 
 # ---------------------------------------------------------------------------
+# similarity 6 — SemDeDup semantic dedup over the trained k-means cells
+# ---------------------------------------------------------------------------
+
+SEMANTIC_THRESHOLD = 0.99
+
+
+def q_dedup_semantic(spark, sf_dir):
+    """SemDeDup-style semantic near-dup pairs
+    (similarity.semantic_dedup_pairs): every embedding is assigned to its
+    nearest trained-k-means cell and cosine is compared within cells only,
+    over the perturbed near-dup corpus (deterministic positives — the same
+    corpus sim_lsh_pairs uses)."""
+    cents = _train_and_persist_kmeans(spark, sf_dir)
+    emb = _emb_with_near_dups(spark, sf_dir)
+    return S.semantic_dedup_pairs(emb, "vec_id", "v", cents, SEMANTIC_THRESHOLD)
+
+
+def _sql_dedup_semantic() -> str:
+    # nearest-cell assignment (same CTE shape the sim_ivf_kmeans_topk
+    # oracle uses: 6dp-rounded cosine, ties to the lowest cell id), then
+    # within-cell pairs with 6dp-rounded cosine >= threshold
+    cos_cv = """
+      round(CASE WHEN sqrt(list_sum([c[i]*c[i] for i in range(1, len(c)+1)])) > 0
+                  AND sqrt(list_sum([v[i]*v[i] for i in range(1, len(v)+1)])) > 0
+                 THEN list_sum([c[i]*v[i] for i in range(1, len(c)+1)])
+                      / (sqrt(list_sum([c[i]*c[i] for i in range(1, len(c)+1)]))
+                         * sqrt(list_sum([v[i]*v[i] for i in range(1, len(v)+1)])))
+                 ELSE 0.0 END, 6)
+    """
+    return f"""
+WITH cent AS (
+  SELECT cell, list(val ORDER BY pos) AS c
+  FROM read_parquet('{_kmeans_path()}') GROUP BY 1
+),
+e AS ({SQL_EMB_NEAR_CORPUS}),
+assign AS (
+  SELECT vec_id, cell FROM (
+    SELECT e.vec_id, cent.cell,
+           row_number() OVER (
+             PARTITION BY e.vec_id ORDER BY {cos_cv} DESC, cent.cell
+           ) AS rn
+    FROM e, cent
+  ) WHERE rn = 1
+),
+a AS (SELECT e.vec_id, e.v, assign.cell FROM e JOIN assign USING (vec_id)),
+cand AS (
+  SELECT l.vec_id AS id_a, r.vec_id AS id_b, l.v AS va, r.v AS vb
+  FROM a l JOIN a r USING (cell)
+  WHERE l.vec_id < r.vec_id
+),
+scored AS (
+  SELECT id_a, id_b,
+         round(CASE WHEN sqrt(list_sum([va[i]*va[i] for i in range(1, len(va)+1)])) > 0
+                     AND sqrt(list_sum([vb[i]*vb[i] for i in range(1, len(vb)+1)])) > 0
+                    THEN list_sum([va[i]*vb[i] for i in range(1, len(va)+1)])
+                         / (sqrt(list_sum([va[i]*va[i] for i in range(1, len(va)+1)]))
+                            * sqrt(list_sum([vb[i]*vb[i] for i in range(1, len(vb)+1)])))
+                    ELSE 0.0 END, 6) AS cos_sim
+  FROM cand
+)
+SELECT id_a, id_b, cos_sim FROM scored WHERE cos_sim >= {SEMANTIC_THRESHOLD}
+"""
+
+
+def q_dedup_semantic_drop(spark, sf_dir):
+    """Semantic-dedup survivor set (keep-lowest within each verified pair)
+    — the SemDeDup end-to-end shape: quantize, compare within cells, drop
+    losers by anti-join."""
+    cents = _train_and_persist_kmeans(spark, sf_dir)
+    emb = _emb_with_near_dups(spark, sf_dir)
+    return S.semantic_dedup_drop(
+        emb, "vec_id", "v", cents, SEMANTIC_THRESHOLD
+    ).select("vec_id")
+
+
+def _sql_dedup_semantic_drop() -> str:
+    return f"""
+SELECT vec_id FROM ({SQL_EMB_NEAR_CORPUS})
+WHERE vec_id NOT IN (SELECT id_b FROM ({_sql_dedup_semantic()}))
+"""
+
+
+# ---------------------------------------------------------------------------
 # text 1 — heuristic language-ID
 # ---------------------------------------------------------------------------
 
@@ -1692,6 +1775,8 @@ OPS_QUERIES = {
     "sim_ivf_topk": q_sim_ivf_topk,
     "sim_kmeans_centroids": q_sim_kmeans_centroids,
     "sim_ivf_kmeans_topk": q_sim_ivf_kmeans_topk,
+    "dedup_semantic": q_dedup_semantic,
+    "dedup_semantic_drop": q_dedup_semantic_drop,
     "text_langid_heur": q_text_langid_heur,
     "text_quality_score": q_text_quality_score,
     "text_quality_topfrac": q_text_quality_topfrac,
@@ -1739,6 +1824,8 @@ OPS_ORACLES = {
     "sim_ivf_topk": SQL_SIM_IVF_TOPK,
     "sim_kmeans_centroids": _sql_kmeans_centroids(),
     "sim_ivf_kmeans_topk": _sql_ivf_kmeans_topk(),
+    "dedup_semantic": _sql_dedup_semantic(),
+    "dedup_semantic_drop": _sql_dedup_semantic_drop(),
     "text_langid_heur": _sql_langid_heur(),
     "text_quality_score": _sql_quality_score(),
     "text_quality_topfrac": _sql_quality_topfrac(),

@@ -1069,3 +1069,26 @@ def test_drop_near_dups_cluster_pointer_jumping(spark):
     kept = D.drop_near_dups(df, "doc_id", pairs, policy="cluster",
                             max_iter=8)
     assert sorted(r["doc_id"] for r in kept.collect()) == [0]
+
+
+def test_semantic_dedup_pairs_cell_bounded(spark):
+    import math
+
+    def vec(deg):
+        return [math.cos(math.radians(deg)), math.sin(math.radians(deg))]
+
+    # trained quantizer: two cells at 0° and 20° (decision boundary 10°)
+    cents = [vec(0.0), vec(20.0)]
+    df = spark.createDataFrame(
+        [(1, vec(1.0)), (2, vec(2.0)), (3, vec(9.5)), (4, vec(10.5)),
+         (5, vec(19.0))],
+        "vec_id int, v array<double>",
+    )
+    out = S.semantic_dedup_pairs(df, "vec_id", "v", cents, 0.995).collect()
+    # (1,2): same cell, cos(1°)≈0.99985 — reported.
+    # (3,4): cos(1°) too, but straddles the cell boundary → cross-cell,
+    # never compared (the SemDeDup recall trade).
+    # (4,5): same cell 1, cos(8.5°)≈0.989 < 0.995 — below threshold.
+    assert {(r["id_a"], r["id_b"]) for r in out} == {(1, 2)}
+    survivors = S.semantic_dedup_drop(df, "vec_id", "v", cents, 0.995)
+    assert sorted(r["vec_id"] for r in survivors.collect()) == [1, 3, 4, 5]
