@@ -881,3 +881,81 @@ def chunk_documents(
             "chunk_text"
         ),
     )
+
+
+# ---------------------------------------------------------------------------
+# DSIR importance weights (data selection for LM training)
+# ---------------------------------------------------------------------------
+
+DSIR_BUCKETS = 256
+
+
+def dsir_weights(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    target: Column,
+    buckets: int = DSIR_BUCKETS,
+) -> DataFrame:
+    """DSIR-style per-document importance weights (Xie et al. 2023, "Data
+    Selection for Language Models via Importance Resampling"): documents are
+    featurized as hashed token counts over `buckets` buckets; a target
+    (in-domain) unigram distribution and the raw-corpus distribution are
+    estimated with add-one smoothing; each document scores the
+    log-likelihood ratio
+
+        dsir_logw = Σ_b cnt(doc, b) · ( ln p_target(b) − ln p_raw(b) )
+
+    Select the top weights (compose with top_fraction, or gumbel-resample
+    downstream) to shift the corpus toward the target domain. `target` is
+    any boolean Column over df's rows marking the in-domain exemplars.
+
+    Scale shape (100 TB): tokenize once; the (id, bucket) token stream is
+    collapsed map-side by a partial aggregate BEFORE the wire — one
+    full-volume shuffle at (id, bucket) grain. Both distributions derive
+    from that SAME aggregate (no second corpus scan), reduce to ≤`buckets`
+    rows, and join back as a broadcast. Per-bucket weights and the final
+    sum round 6dp (cross-engine float parity). Documents with NULL text or
+    zero tokens produce no row.
+
+    Returns (id_col, n_toks, dsir_logw)."""
+    toks = _toks(F.col(text_col))
+    grams = (
+        df.where(F.col(text_col).isNotNull())
+        .select(
+            F.col(id_col).alias("id"),
+            target.alias("__tgt"),
+            F.explode(toks).alias("__tok"),
+        )
+        .select(
+            "id", "__tgt", (portable_hash64(F.col("__tok")) % buckets).alias("b")
+        )
+    )
+    g = grams.groupBy("id", "__tgt", "b").agg(F.count(F.lit(1)).alias("cnt"))
+    raw = g.groupBy("b").agg(F.sum("cnt").alias("r"))
+    tgt = g.where(F.col("__tgt")).groupBy("b").agg(F.sum("cnt").alias("t"))
+    totals = raw.agg(F.sum("r").alias("rtot")).crossJoin(
+        tgt.agg(F.coalesce(F.sum("t"), F.lit(0)).alias("ttot"))
+    )
+    w = (
+        raw.join(tgt, "b", "left")
+        .crossJoin(F.broadcast(totals))
+        .select(
+            "b",
+            F.round(
+                F.log((F.coalesce(F.col("t"), F.lit(0)) + 1)
+                      / (F.col("ttot") + buckets))
+                - F.log((F.col("r") + 1) / (F.col("rtot") + buckets)),
+                6,
+            ).alias("w"),
+        )
+    )
+    return (
+        g.join(F.broadcast(w), "b")
+        .groupBy("id")
+        .agg(
+            F.sum("cnt").alias("n_toks"),
+            F.round(F.sum(F.col("cnt") * F.col("w")), 6).alias("dsir_logw"),
+        )
+        .select(F.col("id").alias(id_col), "n_toks", "dsir_logw")
+    )

@@ -874,6 +874,50 @@ WHERE vec_id NOT IN (SELECT id_b FROM ({_sql_dedup_semantic()}))
 
 
 # ---------------------------------------------------------------------------
+# text 0 — DSIR importance weights (target = one source stratum)
+# ---------------------------------------------------------------------------
+
+DSIR_TARGET_SOURCE = "src14"
+
+
+def q_text_dsir_weights(spark, sf_dir):
+    """DSIR-style importance weights (textops.dsir_weights): hashed-unigram
+    target-vs-raw log-likelihood ratio per document, with the 'src14'
+    stratum (the English one in the fixture) as the in-domain target."""
+    docs = _t(spark, sf_dir, "documents")
+    return T.dsir_weights(
+        docs, "doc_id", "text", F.col("source") == DSIR_TARGET_SOURCE
+    )
+
+
+def _sql_text_dsir_weights() -> str:
+    nb = T.DSIR_BUCKETS
+    h = sql_hash64("tok")
+    return f"""
+WITH tk AS (
+  SELECT doc_id, source = '{DSIR_TARGET_SOURCE}' AS tgt,
+         unnest({SQL_TOKS}) AS tok
+  FROM documents WHERE text IS NOT NULL
+),
+g AS (
+  SELECT doc_id, tgt, ({h}) % {nb} AS b, count(*) AS cnt FROM tk GROUP BY 1, 2, 3
+),
+raw AS (SELECT b, sum(cnt)::BIGINT AS r FROM g GROUP BY 1),
+tg AS (SELECT b, sum(cnt)::BIGINT AS t FROM g WHERE tgt GROUP BY 1),
+tot AS (SELECT (SELECT sum(r)::BIGINT FROM raw) AS rtot,
+               (SELECT coalesce(sum(t), 0)::BIGINT FROM tg) AS ttot),
+w AS (
+  SELECT b, round(ln((coalesce(t, 0) + 1)::DOUBLE / (ttot + {nb}))
+               - ln((r + 1)::DOUBLE / (rtot + {nb})), 6) AS w
+  FROM raw LEFT JOIN tg USING (b), tot
+)
+SELECT doc_id, sum(cnt)::BIGINT AS n_toks, round(sum(cnt * w), 6) AS dsir_logw
+FROM g JOIN w USING (b)
+GROUP BY 1
+"""
+
+
+# ---------------------------------------------------------------------------
 # text 1 — heuristic language-ID
 # ---------------------------------------------------------------------------
 
@@ -1777,6 +1821,7 @@ OPS_QUERIES = {
     "sim_ivf_kmeans_topk": q_sim_ivf_kmeans_topk,
     "dedup_semantic": q_dedup_semantic,
     "dedup_semantic_drop": q_dedup_semantic_drop,
+    "text_dsir_weights": q_text_dsir_weights,
     "text_langid_heur": q_text_langid_heur,
     "text_quality_score": q_text_quality_score,
     "text_quality_topfrac": q_text_quality_topfrac,
@@ -1826,6 +1871,7 @@ OPS_ORACLES = {
     "sim_ivf_kmeans_topk": _sql_ivf_kmeans_topk(),
     "dedup_semantic": _sql_dedup_semantic(),
     "dedup_semantic_drop": _sql_dedup_semantic_drop(),
+    "text_dsir_weights": _sql_text_dsir_weights(),
     "text_langid_heur": _sql_langid_heur(),
     "text_quality_score": _sql_quality_score(),
     "text_quality_topfrac": _sql_quality_topfrac(),

@@ -1092,3 +1092,36 @@ def test_semantic_dedup_pairs_cell_bounded(spark):
     assert {(r["id_a"], r["id_b"]) for r in out} == {(1, 2)}
     survivors = S.semantic_dedup_drop(df, "vec_id", "v", cents, 0.995)
     assert sorted(r["vec_id"] for r in survivors.collect()) == [1, 3, 4, 5]
+
+
+def test_dsir_weights_shift_toward_target(spark):
+    df = spark.createDataFrame(
+        [(1, "alpha alpha beta", True), (2, "alpha beta", True),
+         (3, "gamma delta gamma", False), (4, "alpha gamma", False),
+         (5, None, False)],
+        "doc_id int, text string, tgt boolean",
+    )
+    out = {r["doc_id"]: r for r in
+           T.dsir_weights(df, "doc_id", "text", F.col("tgt")).collect()}
+    assert 5 not in out                       # NULL text → no row
+    assert out[1]["n_toks"] == 3
+    # docs made of target-corpus tokens outscore off-target docs
+    assert out[1]["dsir_logw"] > out[3]["dsir_logw"]
+    assert out[2]["dsir_logw"] > out[3]["dsir_logw"]
+    # mixed doc sits between
+    assert out[3]["dsir_logw"] < out[4]["dsir_logw"] < out[1]["dsir_logw"]
+
+
+def test_cosine_pairs_udf_matches_native(spark):
+    import random
+
+    rng = random.Random(7)
+    rows = [
+        (i, i % 3, [rng.uniform(-1, 1) for _ in range(16)]) for i in range(40)
+    ] + [(100, 0, None)]
+    df = spark.createDataFrame(rows, "vec_id int, blk int, v array<double>")
+    a = S.cosine_pairs(df, "vec_id", "v", ["blk"], -1.0, strategy="udf")
+    b = S.cosine_pairs(df, "vec_id", "v", ["blk"], -1.0, strategy="native")
+    ra = {(r["id_a"], r["id_b"]): r["cos_sim"] for r in a.collect()}
+    rb = {(r["id_a"], r["id_b"]): r["cos_sim"] for r in b.collect()}
+    assert ra == rb and len(ra) > 100
