@@ -959,3 +959,62 @@ def dsir_weights(
         )
         .select(F.col("id").alias(id_col), "n_toks", "dsir_logw")
     )
+
+
+# ---------------------------------------------------------------------------
+# URL / host blocklist filtering (RefinedWeb-style URL filtering stage)
+# ---------------------------------------------------------------------------
+
+HOST_RE = r"^[a-zA-Z][a-zA-Z0-9+.-]*://(?:[^/@]*@)?([^/:?#]+)"
+
+
+def host_of(url: Column) -> Column:
+    """Lowercased registrable host of a URL (credentials and port stripped).
+    One regexp_extract — Java and RE2 agree on this pattern (no backrefs)."""
+    return F.lower(F.regexp_extract(url, HOST_RE, 1))
+
+
+def _host_suffixes(host: Column) -> Column:
+    """All dot-suffixes of a host: a.b.example.com →
+    [a.b.example.com, b.example.com, example.com, com]. Bounded by label
+    count (≤ ~10) — turns subdomain blocklist matching into set overlap /
+    equi-join instead of a per-row LIKE scan over the blocklist."""
+    labels = F.split(host, r"\.")
+    return F.transform(
+        F.sequence(F.lit(1), F.size(labels)),
+        lambda i: F.array_join(F.slice(labels, i, F.size(labels)), "."),
+    )
+
+
+def url_blocklist_filter(
+    df: DataFrame,
+    url_col: str,
+    blocked_hosts,
+    include_subdomains: bool = True,
+) -> DataFrame:
+    """RefinedWeb-style URL filtering: drop documents whose host (or any
+    parent domain, with include_subdomains) is on a blocklist.
+
+    `blocked_hosts` as a list[str] (the usual curated blocklist — fits the
+    driver) compiles to a MAP-ONLY arrays_overlap against a literal array:
+    no join, no shuffle, fully codegen. A DataFrame blocklist (column
+    `host`) instead suffix-explodes the fact side and anti-joins — AQE
+    broadcasts the blocklist; the fact table never shuffles. Returns the
+    KEPT rows of df with a `host` column appended."""
+    h = host_of(F.col(url_col))
+    keys = _host_suffixes(h) if include_subdomains else F.array(h)
+    out = df.withColumn("host", h)
+    if isinstance(blocked_hosts, (list, tuple, set)):
+        blocked = F.array(*[F.lit(b.lower()) for b in sorted(blocked_hosts)])
+        return out.where(~F.arrays_overlap(_host_suffixes(F.col("host"))
+                                           if include_subdomains
+                                           else F.array(F.col("host")),
+                                           blocked))
+    bl = blocked_hosts.select(F.lower(F.col("host")).alias("__bh")).distinct()
+    hit = (
+        out.select(F.col(url_col).alias("__u"), F.explode(keys).alias("__bh"))
+        .join(bl, "__bh", "left_semi")
+        .select(F.col("__u"))
+        .distinct()
+    )
+    return out.join(hit, out[url_col] == hit["__u"], "left_anti")

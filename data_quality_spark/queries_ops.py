@@ -874,6 +874,69 @@ WHERE vec_id NOT IN (SELECT id_b FROM ({_sql_dedup_semantic()}))
 
 
 # ---------------------------------------------------------------------------
+# text 00 — URL/host blocklist filtering (RefinedWeb-style URL stage)
+# ---------------------------------------------------------------------------
+
+URL_BLOCKLIST = ["bad.example", "ads.example"]
+
+
+def _synthetic_urls():
+    """Deterministic per-doc url over 5 host shapes (subdomain of a blocked
+    host, blocked apex, clean, blocked with port, clean with credentials) —
+    both engines construct the same url per doc_id."""
+    i = F.col("doc_id").cast("string")
+    return (
+        F.when(F.col("doc_id") % 5 == 0,
+               F.concat(F.lit("https://spam.bad.example/p/"), i))
+        .when(F.col("doc_id") % 5 == 1,
+              F.concat(F.lit("http://bad.example/p/"), i))
+        .when(F.col("doc_id") % 5 == 2,
+              F.concat(F.lit("https://ok.example/p/"), i))
+        .when(F.col("doc_id") % 5 == 3,
+              F.concat(F.lit("https://ads.example:8080/t?x="), i))
+        .otherwise(F.concat(F.lit("https://user:pw@sub.ok.example/p/"), i))
+    )
+
+
+SQL_SYNTH_URL = """
+  CASE doc_id % 5
+    WHEN 0 THEN 'https://spam.bad.example/p/' || doc_id
+    WHEN 1 THEN 'http://bad.example/p/' || doc_id
+    WHEN 2 THEN 'https://ok.example/p/' || doc_id
+    WHEN 3 THEN 'https://ads.example:8080/t?x=' || doc_id
+    ELSE 'https://user:pw@sub.ok.example/p/' || doc_id
+  END
+"""
+
+
+def q_text_url_blocklist(spark, sf_dir):
+    """Kept rows after the host blocklist stage (textops
+    .url_blocklist_filter, literal-blocklist map-only path): a doc drops
+    when its host or any parent domain is blocklisted."""
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id", _synthetic_urls().alias("url")
+    )
+    return T.url_blocklist_filter(docs, "url", URL_BLOCKLIST)
+
+
+def _sql_text_url_blocklist() -> str:
+    bl = ", ".join(f"'{b}'" for b in URL_BLOCKLIST)
+    return f"""
+WITH u AS (SELECT doc_id, {SQL_SYNTH_URL} AS url FROM documents),
+h AS (
+  SELECT doc_id, url,
+         lower(regexp_extract(url, '{T.HOST_RE}', 1)) AS host
+  FROM u
+)
+SELECT doc_id, url, host FROM h
+WHERE NOT list_has_any(
+  [array_to_string((string_split(host, '.'))[i:], '.')
+   for i in range(1, len(string_split(host, '.')) + 1)],
+  [{bl}])
+"""
+
+
+# ---------------------------------------------------------------------------
 # text 0 — DSIR importance weights (target = one source stratum)
 # ---------------------------------------------------------------------------
 
@@ -1821,6 +1884,7 @@ OPS_QUERIES = {
     "sim_ivf_kmeans_topk": q_sim_ivf_kmeans_topk,
     "dedup_semantic": q_dedup_semantic,
     "dedup_semantic_drop": q_dedup_semantic_drop,
+    "text_url_blocklist": q_text_url_blocklist,
     "text_dsir_weights": q_text_dsir_weights,
     "text_langid_heur": q_text_langid_heur,
     "text_quality_score": q_text_quality_score,
@@ -1871,6 +1935,7 @@ OPS_ORACLES = {
     "sim_ivf_kmeans_topk": _sql_ivf_kmeans_topk(),
     "dedup_semantic": _sql_dedup_semantic(),
     "dedup_semantic_drop": _sql_dedup_semantic_drop(),
+    "text_url_blocklist": _sql_text_url_blocklist(),
     "text_dsir_weights": _sql_text_dsir_weights(),
     "text_langid_heur": _sql_langid_heur(),
     "text_quality_score": _sql_quality_score(),

@@ -1125,3 +1125,28 @@ def test_cosine_pairs_udf_matches_native(spark):
     ra = {(r["id_a"], r["id_b"]): r["cos_sim"] for r in a.collect()}
     rb = {(r["id_a"], r["id_b"]): r["cos_sim"] for r in b.collect()}
     assert ra == rb and len(ra) > 100
+
+
+def test_url_blocklist_filter_literal_and_df(spark):
+    rows = [
+        (1, "https://spam.bad.example/p/1"),
+        (2, "http://bad.example/p/2"),
+        (3, "https://ok.example/p/3"),
+        (4, "https://ads.example:8080/t?x=4"),
+        (5, "https://user:pw@sub.ok.example/p/5"),
+        (6, "https://notbad.example/p/6"),   # 'notbad.example' != 'bad.example'
+    ]
+    df = spark.createDataFrame(rows, "doc_id int, url string")
+    kept = T.url_blocklist_filter(df, "url", ["bad.example", "ads.example"])
+    assert sorted(r["doc_id"] for r in kept.collect()) == [3, 5, 6]
+    hosts = {r["doc_id"]: r["host"] for r in kept.collect()}
+    assert hosts[5] == "sub.ok.example"      # credentials stripped
+    # DataFrame blocklist path (anti-join) agrees
+    bl = spark.createDataFrame([("bad.example",), ("ads.example",)],
+                               "host string")
+    kept2 = T.url_blocklist_filter(df, "url", bl)
+    assert sorted(r["doc_id"] for r in kept2.collect()) == [3, 5, 6]
+    # exact-host mode: subdomain of a blocked host survives
+    kept3 = T.url_blocklist_filter(df, "url", ["bad.example"],
+                                   include_subdomains=False)
+    assert 1 in {r["doc_id"] for r in kept3.collect()}
