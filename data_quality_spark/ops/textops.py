@@ -1018,3 +1018,11 @@ def url_blocklist_filter(
         .distinct()
     )
     return out.join(hit, out[url_col] == hit["__u"], "left_anti")
+
+
+def py_host_of(url: str) -> str:
+    """Python twin of host_of (pipeline pandas oracle parity)."""
+    import re
+
+    m = re.match(HOST_RE, url)
+    return m.group(1).lower() if m else ""

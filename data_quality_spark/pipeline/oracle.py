@@ -16,6 +16,7 @@ from collections import Counter
 import pandas as pd
 
 from data_quality_spark.functions import langid, perplexity, scrub, textstats
+from data_quality_spark.ops.textops import py_host_of
 from data_quality_spark.pipeline import extract
 from data_quality_spark.pipeline.quality_filter import DEFAULT_CONFIG, QFConfig
 
@@ -50,6 +51,7 @@ def annotate_pandas(pdf: pd.DataFrame, cfg: QFConfig = DEFAULT_CONFIG) -> pd.Dat
     ]
 
     url_counts = Counter(str(u) for u in out["url"] if not _is_empty(u))
+    blocked_set = {b.lower() for b in (cfg.blocked_hosts or ())}
 
     fired_col, keep_col = [], []
     for _, row in out.iterrows():
@@ -82,6 +84,11 @@ def annotate_pandas(pdf: pd.DataFrame, cfg: QFConfig = DEFAULT_CONFIG) -> pd.Dat
             fired.append("lang_low_confidence")
         if not _is_empty(row["url"]) and url_counts[str(row["url"])] > 1:
             fired.append("duplicate_url")
+        # mirrors quality_rules order: host_blocklisted is appended last
+        if cfg.blocked_hosts and not _is_empty(row["url"]):
+            h = py_host_of(str(row["url"]))
+            if h and any(h == b or h.endswith("." + b) for b in blocked_set):
+                fired.append("host_blocklisted")
         warn_only = {"pii_found", "lang_low_confidence"} | (
             {"lang_mismatch"} if not cfg.drop_lang_mismatch else set()
         )

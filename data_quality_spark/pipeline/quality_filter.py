@@ -66,6 +66,11 @@ class QFConfig:
     # (~kB/row × every projection's row materialization). Dropped by
     # default; set True to carry it through to the annotated output.
     keep_source_text: bool = False
+    # RefinedWeb-style URL filtering: drop rows whose host (or any parent
+    # domain) is on this list. None = stage off (default rule set stable).
+    # Map-only arrays_overlap against a literal array — no join, no model
+    # or extraction cost spent on rows it fires for.
+    blocked_hosts: tuple[str, ...] | None = None
 
 
 DEFAULT_CONFIG = QFConfig()
@@ -136,6 +141,20 @@ def quality_rules(
         Rule("duplicate_url", "duplicated url",
              not_empty("url") & F.coalesce(F.col("__aux_dup_url"), F.lit(False))),
     ]
+    if cfg.blocked_hosts:
+        from data_quality_spark.ops.textops import _host_suffixes, host_of
+
+        blocked = F.array(
+            *[F.lit(b.lower()) for b in sorted(cfg.blocked_hosts)]
+        )
+        R.append(
+            Rule("host_blocklisted",
+                 "url host or parent domain is blocklisted",
+                 not_empty("url") & F.coalesce(
+                     F.arrays_overlap(
+                         _host_suffixes(host_of(F.col("url"))), blocked
+                     ),
+                     F.lit(False))))
     # precondition: content rules only apply when text is non-empty
     content = {"word_count", "mean_word_len", "symbol_ratio", "repeated_lines",
                "stopword_density", "perplexity", "lang_mismatch",

@@ -373,3 +373,30 @@ def test_pipeline_pii_detector_evaluated_once(spark, fixture_path):
     # and each pattern: alternation + one replace = exactly 2
     email_pat = SCRUB_PATTERNS[0][1]
     assert plan.count(email_pat) == 2
+
+
+def test_host_blocklist_rule(spark, fixture_path):
+    """Optional RefinedWeb-style URL stage: blocklisting a generated host
+    fires a FAIL rule on exactly its rows, engine and pandas oracle
+    agreeing; default config (stage off) is unchanged."""
+    import pyarrow.parquet as pq
+
+    from data_quality_spark.pipeline.quality_filter import QFConfig
+
+    cfg = QFConfig(blocked_hosts=("big-portal.example",))
+    df = spark.read.parquet(fixture_path).limit(300)
+    rows = annotate_pages(df, cfg).select("url", "fired_rules", "keep").collect()
+    hit = [r for r in rows if "host_blocklisted" in r["fired_rules"]]
+    assert hit and all("//big-portal.example/" in r["url"] for r in hit)
+    assert all(not r["keep"] for r in hit)  # severity fail drops the row
+    clean = [r for r in rows if "//big-portal.example/" not in r["url"]]
+    assert all("host_blocklisted" not in r["fired_rules"] for r in clean)
+    pdf = pq.read_table(fixture_path).to_pandas().head(300)
+    ora = O.annotate_pandas(pdf, cfg)
+    multi = set(ora["url"][ora["url"].duplicated(keep=False)])
+    exp = {u: list(f) for u, f in zip(ora["url"], ora["fired_rules"])}
+    mism = sum(
+        1 for r in rows
+        if r["url"] not in multi and list(r["fired_rules"]) != exp[r["url"]]
+    )
+    assert mism <= 2  # same tolerance as the full-corpus fired-rules test
