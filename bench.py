@@ -59,6 +59,8 @@ HEADLINE = [
     "dedup_dup_spans",        # exact-substring signal: window-hash agg + whash window
     "text_ngram_repetition",  # Gopher repetition metrics: gram explode + 2-level agg
     "dedup_semantic",         # SemDeDup: k-means cell assign + within-cell cosine
+    "text_dsir_weights",      # DSIR: hashed-gram LLR, one shuffle + broadcasts
+    "text_url_blocklist",     # map-only host-suffix blocklist filter
 ]
 
 
