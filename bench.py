@@ -61,6 +61,7 @@ HEADLINE = [
     "dedup_semantic",         # SemDeDup: k-means cell assign + within-cell cosine
     "text_dsir_weights",      # DSIR: hashed-gram LLR, one shuffle + broadcasts
     "text_url_blocklist",     # map-only host-suffix blocklist filter
+    "text_pii_counts",        # per-type PII audit counts (map-only regex)
 ]
 
 

@@ -1026,3 +1026,31 @@ def py_host_of(url: str) -> str:
 
     m = re.match(HOST_RE, url)
     return m.group(1).lower() if m else ""
+
+
+# ---------------------------------------------------------------------------
+# PII audit counts (the reporting twin of the scrub stage)
+# ---------------------------------------------------------------------------
+
+
+def pii_counts(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Per-type PII match counts per document — the audit/metrics twin of
+    the scrub stage (what would be redacted, how much, of which type;
+    corpora report these before release). One non-overlapping
+    regexp_extract_all count per SCRUB_PATTERNS entry, evaluated on the
+    RAW text independently per type (the scrub chain replaces in order;
+    an audit wants per-type totals, not post-replacement leftovers).
+    Map-only, pure codegen, no Python. NULL-text docs produce no row."""
+    from data_quality_spark.functions.scrub import SCRUB_PATTERNS
+
+    text = F.col(text_col)
+    cols = [
+        F.size(F.regexp_extract_all(text, F.lit(pat), 0)).alias(f"n_{name}")
+        for name, pat, _ in SCRUB_PATTERNS
+    ]
+    out = df.where(text.isNotNull()).select(F.col(id_col), *cols)
+    total = None
+    for name, _, _ in SCRUB_PATTERNS:
+        c = F.col(f"n_{name}")
+        total = c if total is None else total + c
+    return out.withColumn("n_pii_total", total)

@@ -937,6 +937,52 @@ WHERE NOT list_has_any(
 
 
 # ---------------------------------------------------------------------------
+# text 0a — PII audit counts (scrub stage's reporting twin)
+# ---------------------------------------------------------------------------
+
+
+def q_text_pii_counts(spark, sf_dir):
+    """Per-type PII counts (textops.pii_counts) over PII-seeded text: both
+    engines append the same deterministic snippets per doc_id, so counts
+    must hash-match (fixture docs carry no organic PII)."""
+    docs = _t(spark, sf_dir, "documents")
+    extra = (
+        F.when(F.col("doc_id") % 4 == 0,
+               F.lit(" contact alice@mail.example or bob@mail.example"))
+        .when(F.col("doc_id") % 4 == 1, F.lit(" call +39 123 456 789"))
+        .when(F.col("doc_id") % 4 == 2,
+              F.lit(" ip 10.0.0.1 card 1234 5678 9012 3456"))
+        .otherwise(F.lit(""))
+    )
+    seeded = docs.select(
+        "doc_id", F.concat(F.col("text"), extra).alias("text")
+    )
+    return T.pii_counts(seeded, "doc_id", "text")
+
+
+def _sql_text_pii_counts() -> str:
+    from data_quality_spark.functions.scrub import SCRUB_PATTERNS
+
+    count_cols = ",\n  ".join(
+        f"len(regexp_extract_all(text, '{pat}'))::INT AS n_{name}"
+        for name, pat, _ in SCRUB_PATTERNS
+    )
+    total = " + ".join(f"n_{name}" for name, _, _ in SCRUB_PATTERNS)
+    return f"""
+WITH seeded AS (
+  SELECT doc_id,
+         text || CASE doc_id % 4
+           WHEN 0 THEN ' contact alice@mail.example or bob@mail.example'
+           WHEN 1 THEN ' call +39 123 456 789'
+           WHEN 2 THEN ' ip 10.0.0.1 card 1234 5678 9012 3456'
+           ELSE '' END AS text
+  FROM documents WHERE text IS NOT NULL
+)
+SELECT doc_id, {count_cols}, ({total})::INT AS n_pii_total FROM seeded
+"""
+
+
+# ---------------------------------------------------------------------------
 # text 0 — DSIR importance weights (target = one source stratum)
 # ---------------------------------------------------------------------------
 
@@ -1885,6 +1931,7 @@ OPS_QUERIES = {
     "dedup_semantic": q_dedup_semantic,
     "dedup_semantic_drop": q_dedup_semantic_drop,
     "text_url_blocklist": q_text_url_blocklist,
+    "text_pii_counts": q_text_pii_counts,
     "text_dsir_weights": q_text_dsir_weights,
     "text_langid_heur": q_text_langid_heur,
     "text_quality_score": q_text_quality_score,
@@ -1936,6 +1983,7 @@ OPS_ORACLES = {
     "dedup_semantic": _sql_dedup_semantic(),
     "dedup_semantic_drop": _sql_dedup_semantic_drop(),
     "text_url_blocklist": _sql_text_url_blocklist(),
+    "text_pii_counts": _sql_text_pii_counts(),
     "text_dsir_weights": _sql_text_dsir_weights(),
     "text_langid_heur": _sql_langid_heur(),
     "text_quality_score": _sql_quality_score(),

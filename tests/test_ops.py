@@ -1150,3 +1150,16 @@ def test_url_blocklist_filter_literal_and_df(spark):
     kept3 = T.url_blocklist_filter(df, "url", ["bad.example"],
                                    include_subdomains=False)
     assert 1 in {r["doc_id"] for r in kept3.collect()}
+
+
+def test_pii_counts(spark):
+    df = spark.createDataFrame(
+        [(1, "write a@b.example and c@d.example or +39 123 456 789"),
+         (2, "clean text"), (3, None)],
+        "doc_id int, text string",
+    )
+    out = {r["doc_id"]: r for r in T.pii_counts(df, "doc_id", "text").collect()}
+    assert 3 not in out
+    assert out[1]["n_email"] == 2 and out[1]["n_phone"] == 1
+    assert out[1]["n_pii_total"] == 3
+    assert out[2]["n_pii_total"] == 0
