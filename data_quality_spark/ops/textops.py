@@ -1054,3 +1054,184 @@ def pii_counts(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
         c = F.col(f"n_{name}")
         total = c if total is None else total + c
     return out.withColumn("n_pii_total", total)
+
+
+# ---------------------------------------------------------------------------
+# hashed linear quality classifier (fastText-style train + score-and-filter)
+# ---------------------------------------------------------------------------
+
+CLF_BUCKETS = 1024
+CLF_BIAS_BUCKET = -1  # weights-table row carrying the document-prior bias
+CLF_THRESHOLD = 0.5
+
+
+def train_nb_classifier(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    label: Column,
+    buckets: int = CLF_BUCKETS,
+) -> DataFrame:
+    """Train a multinomial-Naive-Bayes linear classifier over hashed unigram
+    counts — the model family behind fastText-style quality classifiers
+    (fineweb-edu / DCLM filter stage): a supervised twin of dsir_weights.
+    `label` is any boolean Column over df's rows marking the positive
+    (high-quality exemplar) class.
+
+    Returns a small weights table DataFrame(b:int, w:double) with ONE row
+    per bucket 0..buckets-1 (so scoring joins are complete — no unseen-
+    bucket special case) plus a bias row at b = CLF_BIAS_BUCKET carrying the
+    document-count class prior. Persist it like a model artifact and feed
+    classifier_score repeatedly.
+
+        w_b  = round( ln((pos_b+1)/(ptot+B)) − ln((neg_b+1)/(ntot+B)), 6 )
+        bias = round( ln((n_pos_docs+1)/(n_neg_docs+1)), 6 )
+
+    Scale shape (100 TB): tokenize once; one full-volume shuffle at
+    (id, label, bucket) grain with map-side partial agg; class token totals
+    AND the doc-count prior both derive from that same aggregate (no second
+    corpus scan); everything after reduces to ≤ buckets+1 rows. Weights
+    round 6dp (cross-engine float parity). Zero-token docs contribute to
+    neither weights nor prior (documented: the prior is over tokenizable
+    docs)."""
+    toks = _toks(F.col(text_col))
+    g = (
+        df.where(F.col(text_col).isNotNull())
+        .select(
+            F.col(id_col).alias("id"),
+            label.alias("__pos"),
+            F.explode(toks).alias("__tok"),
+        )
+        .select(
+            "id", "__pos", (portable_hash64(F.col("__tok")) % buckets).alias("b")
+        )
+        .groupBy("id", "__pos", "b")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    cls = g.groupBy("__pos", "b").agg(F.sum("cnt").alias("cnt"))
+    pos = cls.where(F.col("__pos")).select("b", F.col("cnt").alias("p"))
+    neg = cls.where(~F.col("__pos")).select("b", F.col("cnt").alias("n"))
+    docs = g.select("id", "__pos").distinct()
+    prior = docs.groupBy().agg(
+        F.sum(F.col("__pos").cast("long")).alias("npos"),
+        F.sum((~F.col("__pos")).cast("long")).alias("nneg"),
+    )
+    totals = (
+        cls.groupBy()
+        .agg(
+            F.coalesce(
+                F.sum(F.when(F.col("__pos"), F.col("cnt"))), F.lit(0)
+            ).alias("ptot"),
+            F.coalesce(
+                F.sum(F.when(~F.col("__pos"), F.col("cnt"))), F.lit(0)
+            ).alias("ntot"),
+        )
+        .crossJoin(F.broadcast(prior))
+    )
+    spine = (
+        df.sparkSession.range(buckets).select(F.col("id").cast("int").alias("b"))
+    )
+    w = (
+        spine.join(pos, "b", "left")
+        .join(neg, "b", "left")
+        .crossJoin(F.broadcast(totals))
+        .select(
+            "b",
+            F.round(
+                F.log((F.coalesce(F.col("p"), F.lit(0)) + 1)
+                      / (F.col("ptot") + buckets))
+                - F.log((F.coalesce(F.col("n"), F.lit(0)) + 1)
+                        / (F.col("ntot") + buckets)),
+                6,
+            ).alias("w"),
+        )
+    )
+    bias = totals.select(
+        F.lit(CLF_BIAS_BUCKET).cast("int").alias("b"),
+        F.round(F.log((F.col("npos") + 1) / (F.col("nneg") + 1)), 6).alias("w"),
+    )
+    return w.unionByName(bias)
+
+
+def classifier_score(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    weights: DataFrame,
+    threshold: float = CLF_THRESHOLD,
+    buckets: int = CLF_BUCKETS,
+) -> DataFrame:
+    """Score documents with a trained hashed-linear classifier (weights table
+    from train_nb_classifier, or any persisted (b, w) model) and decide
+    keep/drop at `threshold` — the fineweb-edu / DCLM classifier-filter
+    stage.
+
+        clf_logit = round( bias + Σ_b cnt(doc,b)·w_b / n_toks, 6 )   (mean pooling)
+        clf_score = round( sigmoid(clf_logit), 6 );  clf_keep = score ≥ threshold
+
+    Scale shape: the weights table is ≤ buckets+1 rows — broadcast by
+    construction (explicit hint; it is a model artifact, size known at plan
+    time, so the ADVICE concern about unbounded broadcast hints does not
+    apply). One (id, bucket) shuffle with map-side combine; the corpus
+    never joins anything non-broadcast. Zero-token / NULL-text docs yield
+    no row (they carry no evidence; route them to the heuristic tier).
+
+    Returns (id_col, n_toks, clf_logit, clf_score, clf_keep)."""
+    toks = _toks(F.col(text_col))
+    g = (
+        df.where(F.col(text_col).isNotNull())
+        .select(F.col(id_col).alias("id"), F.explode(toks).alias("__tok"))
+        .select("id", (portable_hash64(F.col("__tok")) % buckets).alias("b"))
+        .groupBy("id", "b")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    bias = weights.where(F.col("b") == CLF_BIAS_BUCKET).select(
+        F.col("w").alias("__bias")
+    )
+    # weights are 6dp-rounded: scale to integers so the per-doc dot product
+    # sums EXACTLY (order-independent — float accumulation order differs
+    # between engines/partitionings and can flip the 6dp logit rounding)
+    w6 = F.round(F.col("w") * 1e6, 0).cast("bigint")
+    dots = (
+        g.join(F.broadcast(weights.where(F.col("b") >= 0)), "b")
+        .groupBy("id")
+        .agg(
+            F.sum("cnt").alias("n_toks"),
+            F.sum(F.col("cnt") * w6).alias("__dot6"),
+        )
+    )
+    # exact 6dp logit: logit = bias + dot6/(1e6·n) is a rational of integers
+    # (bias6·n + dot6) / (1e6·n) — round it HALF-AWAY-FROM-ZERO in integer
+    # arithmetic. Float round() here is engine-divergent at half boundaries
+    # (Spark rounds the shortest decimal repr, DuckDB the binary value),
+    # and mean-pooled logits DO land exactly on x.xxxxxx5.
+    scored = (
+        dots.crossJoin(F.broadcast(bias))
+        .select(
+            F.col("id").alias(id_col),
+            "n_toks",
+            (
+                F.round(F.col("__bias") * 1e6, 0).cast("bigint")
+                * F.col("n_toks")
+                + F.col("__dot6")
+            ).alias("__num"),
+            F.col("n_toks").alias("__den"),
+        )
+        .select(
+            id_col,
+            "n_toks",
+            (
+                F.when(
+                    F.col("__num") >= 0,
+                    F.expr("(2 * __num + __den) div (2 * __den)"),
+                )
+                .otherwise(-F.expr("(2 * -__num + __den) div (2 * __den)"))
+                .cast("double")
+                / F.lit(1e6)
+            ).alias("clf_logit"),
+        )
+    )
+    score = F.round(F.lit(1.0) / (F.lit(1.0) + F.exp(-F.col("clf_logit"))), 6)
+    return scored.withColumn("clf_score", score).withColumn(
+        "clf_keep", F.col("clf_score") >= F.lit(threshold)
+    )

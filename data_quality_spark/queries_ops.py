@@ -1027,6 +1027,77 @@ GROUP BY 1
 
 
 # ---------------------------------------------------------------------------
+# text 0b — hashed linear quality classifier (train + score-and-filter)
+# ---------------------------------------------------------------------------
+
+CLF_LABEL_LANG = "en"
+
+
+def q_text_clf_score(spark, sf_dir):
+    """fastText-style hashed-linear classifier filter stage
+    (textops.train_nb_classifier + classifier_score): train a multinomial-NB
+    model with the English documents as the positive class, then score and
+    keep/drop the whole corpus at the 0.5 sigmoid threshold — the
+    fineweb-edu / DCLM classifier-filter shape."""
+    docs = _t(spark, sf_dir, "documents")
+    weights = T.train_nb_classifier(
+        docs, "doc_id", "text", F.col("lang") == CLF_LABEL_LANG
+    )
+    return T.classifier_score(docs, "doc_id", "text", weights)
+
+
+def _sql_text_clf_score() -> str:
+    nb = T.CLF_BUCKETS
+    thr = T.CLF_THRESHOLD
+    h = sql_hash64("tok")
+    return f"""
+WITH tk AS (
+  SELECT doc_id, lang = '{CLF_LABEL_LANG}' AS pos, unnest({SQL_TOKS}) AS tok
+  FROM documents WHERE text IS NOT NULL
+),
+g AS (
+  SELECT doc_id, pos, ({h}) % {nb} AS b, count(*) AS cnt FROM tk GROUP BY 1, 2, 3
+),
+cls AS (SELECT pos, b, sum(cnt)::BIGINT AS cnt FROM g GROUP BY 1, 2),
+tot AS (SELECT
+  (SELECT coalesce(sum(cnt), 0)::BIGINT FROM cls WHERE pos) AS ptot,
+  (SELECT coalesce(sum(cnt), 0)::BIGINT FROM cls WHERE NOT pos) AS ntot,
+  (SELECT count(DISTINCT doc_id) FROM g WHERE pos) AS npos,
+  (SELECT count(DISTINCT doc_id) FROM g WHERE NOT pos) AS nneg),
+spine AS (SELECT range::INT AS b FROM range({nb})),
+w AS (
+  SELECT b, round(ln((coalesce(p.cnt, 0) + 1)::DOUBLE / (ptot + {nb}))
+              - ln((coalesce(n.cnt, 0) + 1)::DOUBLE / (ntot + {nb})), 6) AS w
+  FROM spine LEFT JOIN (SELECT b, cnt FROM cls WHERE pos) p USING (b)
+             LEFT JOIN (SELECT b, cnt FROM cls WHERE NOT pos) n USING (b), tot
+),
+bias AS (SELECT round(ln((npos + 1)::DOUBLE / (nneg + 1)), 6) AS bias FROM tot),
+sc AS (
+  SELECT doc_id, sum(cnt)::BIGINT AS n_toks,
+         sum(cnt * (round(w * 1000000))::BIGINT)::BIGINT AS dot6
+  FROM (SELECT doc_id, b, sum(cnt) AS cnt FROM g GROUP BY 1, 2) gg
+  JOIN w USING (b)
+  GROUP BY 1
+),
+lg AS (
+  -- exact integer half-away-from-zero rounding of the rational logit
+  -- (mirrors the Spark side; float round() diverges at half boundaries)
+  SELECT doc_id, n_toks,
+         (CASE WHEN num >= 0 THEN (2 * num + n_toks) // (2 * n_toks)
+               ELSE -((2 * (-num) + n_toks) // (2 * n_toks)) END)
+         / 1000000.0 AS clf_logit
+  FROM (SELECT doc_id, n_toks,
+               (round(bias * 1000000))::BIGINT * n_toks + dot6 AS num
+        FROM sc, bias)
+)
+SELECT doc_id, n_toks, clf_logit,
+       round(1 / (1 + exp(-clf_logit)), 6) AS clf_score,
+       round(1 / (1 + exp(-clf_logit)), 6) >= {thr} AS clf_keep
+FROM lg
+"""
+
+
+# ---------------------------------------------------------------------------
 # text 1 — heuristic language-ID
 # ---------------------------------------------------------------------------
 
@@ -1933,6 +2004,7 @@ OPS_QUERIES = {
     "text_url_blocklist": q_text_url_blocklist,
     "text_pii_counts": q_text_pii_counts,
     "text_dsir_weights": q_text_dsir_weights,
+    "text_clf_score": q_text_clf_score,
     "text_langid_heur": q_text_langid_heur,
     "text_quality_score": q_text_quality_score,
     "text_quality_topfrac": q_text_quality_topfrac,
@@ -1985,6 +2057,7 @@ OPS_ORACLES = {
     "text_url_blocklist": _sql_text_url_blocklist(),
     "text_pii_counts": _sql_text_pii_counts(),
     "text_dsir_weights": _sql_text_dsir_weights(),
+    "text_clf_score": _sql_text_clf_score(),
     "text_langid_heur": _sql_langid_heur(),
     "text_quality_score": _sql_quality_score(),
     "text_quality_topfrac": _sql_quality_topfrac(),

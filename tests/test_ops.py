@@ -1163,3 +1163,37 @@ def test_pii_counts(spark):
     assert out[1]["n_email"] == 2 and out[1]["n_phone"] == 1
     assert out[1]["n_pii_total"] == 3
     assert out[2]["n_pii_total"] == 0
+
+
+def test_nb_classifier_separates_and_filters(spark):
+    df = spark.createDataFrame(
+        [(1, "good clean prose here", True),
+         (2, "good clean words again", True),
+         (3, "spam junk noise blob", False),
+         (4, "junk noise spam spam", False),
+         (5, "good clean junk noise", True),
+         (6, None, False)],
+        "doc_id int, text string, hi boolean",
+    )
+    w = T.train_nb_classifier(df, "doc_id", "text", F.col("hi"))
+    wrows = w.collect()
+    # complete bucket spine + one bias row
+    assert len(wrows) == T.CLF_BUCKETS + 1
+    assert sum(1 for r in wrows if r["b"] == T.CLF_BIAS_BUCKET) == 1
+    out = {r["doc_id"]: r for r in
+           T.classifier_score(df, "doc_id", "text", w).collect()}
+    assert 6 not in out                        # NULL text → no row
+    assert out[1]["n_toks"] == 4
+    # positive-class vocabulary outscores negative-class vocabulary
+    assert out[1]["clf_score"] > out[3]["clf_score"]
+    assert out[2]["clf_score"] > out[4]["clf_score"]
+    # mixed doc sits between the pure ones
+    assert out[3]["clf_score"] < out[5]["clf_score"] < out[1]["clf_score"]
+    # keep decision is the thresholded score
+    for r in out.values():
+        assert r["clf_keep"] == (r["clf_score"] >= T.CLF_THRESHOLD)
+    # scoring with a persisted-model round-trip is identical (model artifact
+    # contract: weights table is the whole model)
+    out2 = {r["doc_id"]: r["clf_score"] for r in
+            T.classifier_score(df, "doc_id", "text", w).collect()}
+    assert out2 == {k: v["clf_score"] for k, v in out.items()}
