@@ -450,6 +450,49 @@ def contamination(
     )
 
 
+def decontaminate(
+    corpus: DataFrame,
+    probe: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 3,
+    min_hits: int = 1,
+) -> DataFrame:
+    """Benchmark DECONTAMINATION (the removal twin of the contamination
+    scan): drop every training document sharing ≥ `min_hits` distinct word
+    n-grams with the probe set (eval/benchmark docs) — the GPT-3 / Llama
+    n-gram-overlap decontamination rule applied corpus-side. Returns the
+    KEPT rows of `corpus`, all columns.
+
+    Scale shape (100 TB): the probe n-gram hash set is benchmark-sized —
+    broadcast by construction; the corpus side is a map-only explode +
+    broadcast semi-join, so the corpus NEVER shuffles its payload. Only the
+    contaminated ids (≤ hit docs) flow into the anti-join, which AQE
+    broadcasts when small. min_hits=1 short-circuits without a count
+    aggregate. Docs with < n tokens (no shingles) are never dropped."""
+    from data_quality_spark.ops.util import spread_narrow
+
+    sh = _shingle_hash_udf(n)
+    probe_hashes = (
+        probe.select(F.explode(sh(F.col(text_col))).alias("h")).distinct()
+    )
+    corpus_sh = spread_narrow(corpus).select(
+        F.col(id_col), F.explode(sh(F.col(text_col))).alias("h")
+    )
+    hits = corpus_sh.join(F.broadcast(probe_hashes), "h", "left_semi")
+    if min_hits <= 1:
+        contaminated = hits.select(id_col).distinct()
+    else:
+        contaminated = (
+            hits.dropDuplicates([id_col, "h"])
+            .groupBy(id_col)
+            .agg(F.count(F.lit(1)).alias("__nh"))
+            .where(F.col("__nh") >= min_hits)
+            .select(id_col)
+        )
+    return corpus.join(contaminated, id_col, "left_anti")
+
+
 # ---------------------------------------------------------------------------
 # document fingerprinting (winnowing-style min-hash selection)
 # ---------------------------------------------------------------------------

@@ -1668,6 +1668,48 @@ LEFT JOIN stats s USING (doc_id)
 """
 
 
+DECONT_MIN_HITS = 2
+
+
+def q_text_decontaminate(spark, sf_dir):
+    """Decontamination drop (textops.decontaminate): remove corpus docs
+    sharing >= 2 distinct 3-gram shingles with the probe (benchmark) set;
+    returns the kept training ids."""
+    docs = _t(spark, sf_dir, "documents")
+    probe = docs.where(F.col("doc_id") % 50 == 0)
+    corpus = docs.where(F.col("doc_id") % 50 != 0)
+    return T.decontaminate(
+        corpus, probe, "doc_id", "text", min_hits=DECONT_MIN_HITS
+    ).select("doc_id")
+
+
+def _sql_text_decontaminate() -> str:
+    h = sql_hash64("s")
+    return f"""
+WITH probe_h AS (
+  SELECT DISTINCT unnest(list_transform(sh, s -> {h})) AS h
+  FROM (
+    SELECT {SQL_SHINGLES} AS sh
+    FROM (SELECT {SQL_TOKS} AS toks FROM documents WHERE doc_id % 50 = 0)
+  )
+),
+corpus_sh AS (
+  SELECT DISTINCT doc_id, unnest(list_transform(sh, s -> {h})) AS h
+  FROM (
+    SELECT doc_id, {SQL_SHINGLES} AS sh
+    FROM (SELECT doc_id, {SQL_TOKS} AS toks FROM documents WHERE doc_id % 50 <> 0)
+  )
+),
+contaminated AS (
+  SELECT doc_id FROM corpus_sh JOIN probe_h USING (h)
+  GROUP BY 1 HAVING count(*) >= {DECONT_MIN_HITS}
+)
+SELECT doc_id FROM documents
+WHERE doc_id % 50 <> 0
+  AND doc_id NOT IN (SELECT doc_id FROM contaminated)
+"""
+
+
 # ---------------------------------------------------------------------------
 # multimodal — binary payload plumbing through mapInPandas
 # ---------------------------------------------------------------------------
@@ -2017,6 +2059,7 @@ OPS_QUERIES = {
     "text_chunk": q_text_chunk,
     "text_group_stats": q_text_group_stats,
     "text_contamination": q_text_contamination,
+    "text_decontaminate": q_text_decontaminate,
     "text_normalize": q_text_normalize,
     "host_quota": q_host_quota,
     "text_sample_stratified": q_text_sample_stratified,
@@ -2070,6 +2113,7 @@ OPS_ORACLES = {
     "text_chunk": _sql_text_chunk(),
     "text_group_stats": SQL_TEXT_GROUP_STATS,
     "text_contamination": _sql_contamination(),
+    "text_decontaminate": _sql_text_decontaminate(),
     "text_normalize": SQL_TEXT_NORMALIZE,
     "host_quota": SQL_HOST_QUOTA,
     "text_sample_stratified": _sql_sample_stratified(),

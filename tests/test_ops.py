@@ -1197,3 +1197,24 @@ def test_nb_classifier_separates_and_filters(spark):
     out2 = {r["doc_id"]: r["clf_score"] for r in
             T.classifier_score(df, "doc_id", "text", w).collect()}
     assert out2 == {k: v["clf_score"] for k, v in out.items()}
+
+
+def test_decontaminate_drops_overlapping_docs(spark):
+    probe = spark.createDataFrame(
+        [(100, "the quick brown fox jumps")], "doc_id int, text string"
+    )
+    corpus = spark.createDataFrame(
+        [(1, "the quick brown fox leaps high"),   # shares 2 shingles
+         (2, "quick brown fox somewhere"),        # shares 1 shingle
+         (3, "totally unrelated text body here"),
+         (4, "to qu br"),                         # no shared shingles
+         (5, None)],
+        "doc_id int, text string",
+    )
+    kept1 = {r["doc_id"] for r in
+             T.decontaminate(corpus, probe, "doc_id", "text").collect()}
+    assert kept1 == {3, 4, 5}                 # any overlap drops (min_hits=1)
+    kept2 = {r["doc_id"] for r in
+             T.decontaminate(corpus, probe, "doc_id", "text",
+                             min_hits=2).collect()}
+    assert kept2 == {2, 3, 4, 5}              # only the 2-shingle doc drops
