@@ -524,6 +524,121 @@ def drop_near_dups(
 
 
 # ---------------------------------------------------------------------------
+# 2b — incremental MinHash: new batch vs persisted signature index
+# ---------------------------------------------------------------------------
+
+
+def minhash_signature_index(
+    df: DataFrame, id_col: str, text_col: str, n: int = 3, k: int = MINHASH_K
+) -> DataFrame:
+    """(id, minhash) signature index of an ingested corpus snapshot — the
+    near-dup twin of seen_hash_index. Persist it per batch (partitioned /
+    bucketed by a band key at scale) and feed minhash_incremental_matches:
+    cross-batch near-dedup then never re-reads or re-shingles historical
+    TEXT — k bigints per historical doc is the entire retained state."""
+    return (
+        with_minhash(df.select(id_col, text_col), text_col, n, k)
+        .where(F.size("shingles") > 0)
+        .select(id_col, "minhash")
+    )
+
+
+def sig_jaccard(a: Column, b: Column, k: int = MINHASH_K) -> Column:
+    """MinHash-estimated Jaccard: fraction of equal signature components
+    (the standard unbiased estimator; resolution 1/k)."""
+    eq = F.filter(F.zip_with(a, b, lambda x, y: x == y), lambda v: v)
+    return F.round(F.size(eq) / F.lit(float(k)), 6)
+
+
+def minhash_incremental_matches(
+    new_df: DataFrame,
+    index: DataFrame,
+    id_col: str,
+    text_col: str,
+    threshold: float = 0.5,
+    n: int = 3,
+    k: int = MINHASH_K,
+    bands: int = LSH_BANDS,
+    rows: int = LSH_ROWS,
+    max_bucket: int = MAX_BUCKET,
+) -> DataFrame:
+    """(new_id, seen_id, sig_jaccard ≥ threshold): new-batch documents that
+    near-duplicate the already-ingested corpus, via shared LSH bands against
+    the PERSISTED signature index (minhash_signature_index). Verification is
+    signature-estimated Jaccard — historical text is not retained, and at
+    1/k resolution that is the correct cross-batch contract (document it to
+    consumers; exact text Jaccard applies only in-batch).
+
+    Scale shape: both band exchanges carry (band_key, id, k bigints) — no
+    text crosses the wire; with the index pre-bucketed by band_key its side
+    is shuffle-free. Degenerate band buckets are capped at max_bucket PER
+    SIDE (mirrors minhash_lsh_pairs; skipped keys are recovered by the
+    other bands with high probability)."""
+
+    def banded(sigs: DataFrame, idc: str) -> DataFrame:
+        return sigs.select(
+            F.col(idc),
+            F.col("minhash"),
+            F.explode(
+                F.array(
+                    *[_band_key(F.col("minhash"), b, rows) for b in range(bands)]
+                )
+            ).alias("band_key"),
+        )
+
+    new_sigs = minhash_signature_index(new_df, id_col, text_col, n, k)
+    nb = banded(new_sigs, id_col).select(
+        F.col(id_col).alias("new_id"), F.col("minhash").alias("__mn"), "band_key"
+    )
+    ib = banded(index, id_col).select(
+        F.col(id_col).alias("seen_id"), F.col("minhash").alias("__ms"), "band_key"
+    )
+
+    def capped(df: DataFrame, key: str) -> DataFrame:
+        cnt = df.groupBy(key).agg(F.count(F.lit(1)).alias("__c"))
+        ok = cnt.where(F.col("__c") <= max_bucket).select(key)
+        return df.join(ok, key, "left_semi")
+
+    cand = (
+        capped(nb, "band_key")
+        .join(capped(ib, "band_key"), "band_key")
+        .select("new_id", "seen_id", "__mn", "__ms")
+        .dropDuplicates(["new_id", "seen_id"])
+    )
+    return cand.select(
+        "new_id",
+        "seen_id",
+        sig_jaccard(F.col("__mn"), F.col("__ms"), k).alias("sig_jaccard"),
+    ).where(F.col("sig_jaccard") >= threshold)
+
+
+def dedup_minhash_incremental(
+    new_df: DataFrame,
+    index: DataFrame,
+    id_col: str,
+    text_col: str,
+    threshold: float = 0.5,
+    n: int = 3,
+) -> DataFrame:
+    """Incremental NEAR-dedup of a new crawl batch: drop new rows matching
+    the historical signature index (minhash_incremental_matches), then
+    near-dedup the survivors in-batch (exact text Jaccard via
+    minhash_lsh_pairs, keep-lowest policy). The near-dup twin of
+    dedup_incremental — the daily-crawl shape where re-shingling the
+    historical corpus per batch would be O(corpus)."""
+    matched = (
+        minhash_incremental_matches(
+            new_df, index, id_col, text_col, threshold, n
+        )
+        .select(F.col("new_id").alias(id_col))
+        .distinct()
+    )
+    fresh = new_df.join(matched, id_col, "left_anti")
+    pairs = minhash_lsh_pairs(fresh, id_col, text_col, threshold=threshold, n=n)
+    return drop_near_dups(fresh, id_col, pairs)
+
+
+# ---------------------------------------------------------------------------
 # 3 — SimHash
 # ---------------------------------------------------------------------------
 

@@ -159,6 +159,95 @@ SELECT doc_id FROM new_batch WHERE text IS NULL
 
 
 # ---------------------------------------------------------------------------
+# dedup 1b — incremental MinHash vs persisted signature index
+# ---------------------------------------------------------------------------
+
+NINCR_THRESHOLD = 0.5
+
+
+def q_dedup_minhash_incr(spark, sf_dir):
+    """Cross-batch near-dup matches (ops.dedup.minhash_incremental_matches):
+    the corpus splits by portable hash into a seen snapshot (whose persisted
+    signature index is all that is retained) and a new batch that includes
+    near-dup re-crawls of seen content (NEAR_SUFFIX-modified copies at
+    +10000 ids); matches are verified by signature-estimated Jaccard."""
+    from data_quality_spark.ops.hashing import portable_hash64
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    bucket = F.pmod(
+        portable_hash64(F.col("doc_id").cast("string"), f"#{INCR_SALT}"),
+        F.lit(T.SAMPLE_DENOM),
+    )
+    seen_docs = docs.where(bucket < T.SAMPLE_DENOM // 2)
+    new_raw = docs.where(bucket >= T.SAMPLE_DENOM // 2)
+    recrawl = seen_docs.where(F.col("doc_id") % 3 == 0).select(
+        (F.col("doc_id") + 10_000).alias("doc_id"),
+        F.concat(F.col("text"), F.lit(NEAR_SUFFIX)).alias("text"),
+    )
+    new_batch = new_raw.unionByName(recrawl)
+    index = D.minhash_signature_index(seen_docs, "doc_id", "text")
+    return D.minhash_incremental_matches(
+        new_batch, index, "doc_id", "text", threshold=NINCR_THRESHOLD
+    )
+
+
+def _sql_dedup_minhash_incr() -> str:
+    h = sql_hash64("doc_id::VARCHAR", f"#{INCR_SALT}")
+    half = T.SAMPLE_DENOM // 2
+    k = D.MINHASH_K
+    mh = ",\n    ".join(
+        "list_min(list_transform(sh, s -> "
+        + sql_hash64("s", f"#{i // 2}", 1 + 15 * (i % 2))
+        + "))"
+        for i in range(k)
+    )
+    band_keys = ",\n      ".join(
+        f"'{b}' || '_' || "
+        + " || '_' || ".join(
+            f"(mh[{b * D.LSH_ROWS + j + 1}])::VARCHAR" for j in range(D.LSH_ROWS)
+        )
+        for b in range(D.LSH_BANDS)
+    )
+    return f"""
+WITH seen_docs AS (
+  SELECT doc_id, text FROM documents WHERE ({h}) % {T.SAMPLE_DENOM} < {half}),
+new_batch AS (
+  SELECT doc_id, text FROM documents WHERE ({h}) % {T.SAMPLE_DENOM} >= {half}
+  UNION ALL
+  SELECT doc_id + 10000, text || '{NEAR_SUFFIX}'
+  FROM seen_docs WHERE doc_id % 3 = 0),
+ssig AS (
+  SELECT doc_id, [{mh}] AS mh
+  FROM (SELECT doc_id, {SQL_SHINGLES} AS sh
+        FROM (SELECT doc_id, {SQL_TOKS} AS toks FROM seen_docs))
+  WHERE len(sh) > 0),
+nsig AS (
+  SELECT doc_id, [{mh}] AS mh
+  FROM (SELECT doc_id, {SQL_SHINGLES} AS sh
+        FROM (SELECT doc_id, {SQL_TOKS} AS toks FROM new_batch))
+  WHERE len(sh) > 0),
+sband AS (SELECT doc_id AS seen_id, unnest([
+      {band_keys}
+  ]) AS band_key FROM ssig),
+nband AS (SELECT doc_id AS new_id, unnest([
+      {band_keys}
+  ]) AS band_key FROM nsig),
+sok AS (SELECT band_key FROM sband GROUP BY 1 HAVING count(*) <= {D.MAX_BUCKET}),
+nok AS (SELECT band_key FROM nband GROUP BY 1 HAVING count(*) <= {D.MAX_BUCKET}),
+cand AS (
+  SELECT DISTINCT new_id, seen_id
+  FROM nband JOIN sband USING (band_key)
+  JOIN nok USING (band_key) JOIN sok USING (band_key)),
+ver AS (
+  SELECT new_id, seen_id,
+         round(len(list_filter(range(1, {k + 1}), i -> a.mh[i] = b.mh[i]))
+               / {k}.0, 6) AS sig_jaccard
+  FROM cand JOIN nsig a ON a.doc_id = new_id JOIN ssig b ON b.doc_id = seen_id)
+SELECT new_id, seen_id, sig_jaccard FROM ver WHERE sig_jaccard >= {NINCR_THRESHOLD}
+"""
+
+
+# ---------------------------------------------------------------------------
 # dedup 2 — MinHash + LSH (K=12, 4 bands x 3 rows, verify J >= 0.5)
 # ---------------------------------------------------------------------------
 
@@ -2024,6 +2113,7 @@ GROUP BY w.doc_id
 OPS_QUERIES = {
     "dedup_exact": q_dedup_exact,
     "dedup_incremental": q_dedup_incremental,
+    "dedup_minhash_incr": q_dedup_minhash_incr,
     "dedup_dup_spans": q_dedup_dup_spans,
     "dedup_exact_drop": q_dedup_exact_drop,
     "period_overlap_global": q_period_overlap_global,
@@ -2078,6 +2168,7 @@ OPS_QUERIES = {
 OPS_ORACLES = {
     "dedup_exact": SQL_DEDUP_EXACT,
     "dedup_incremental": _sql_dedup_incremental(),
+    "dedup_minhash_incr": _sql_dedup_minhash_incr(),
     "dedup_dup_spans": _sql_dedup_dup_spans(),
     "dedup_exact_drop": SQL_DEDUP_EXACT_DROP,
     "period_overlap_global": SQL_PERIOD_OVERLAP_GLOBAL,

@@ -1218,3 +1218,28 @@ def test_decontaminate_drops_overlapping_docs(spark):
              T.decontaminate(corpus, probe, "doc_id", "text",
                              min_hits=2).collect()}
     assert kept2 == {2, 3, 4, 5}              # only the 2-shingle doc drops
+
+
+def test_dedup_minhash_incremental(spark):
+    base = ("the quick brown fox jumps over the lazy dog and then runs "
+            "far away into the deep dark forest tonight")
+    seen = spark.createDataFrame(
+        [(1, base), (2, "completely different historical content here "
+                        "about cooking pasta with fresh tomatoes")],
+        "doc_id int, text string",
+    )
+    index = D.minhash_signature_index(seen, "doc_id", "text")
+    new = spark.createDataFrame(
+        [(10, base + " zz"),                     # near-dup of seen doc 1
+         (11, "fresh unrelated news article about yesterday's local "
+              "football match results and the crowd reaction"),
+         (12, "fresh unrelated news article about yesterday's local "
+              "football match results and the crowd reactions zz"),  # in-batch near-dup of 11
+         (13, "tiny")],                          # no shingles -> kept
+        "doc_id int, text string",
+    )
+    matches = D.minhash_incremental_matches(new, index, "doc_id", "text")
+    assert {(r["new_id"], r["seen_id"]) for r in matches.collect()} == {(10, 1)}
+    kept = {r["doc_id"] for r in
+            D.dedup_minhash_incremental(new, index, "doc_id", "text").collect()}
+    assert kept == {11, 13}                      # 10 drops vs index, 12 in-batch
