@@ -1005,6 +1005,101 @@ def dsir_weights(
 
 
 # ---------------------------------------------------------------------------
+# domain-mixture reweighting (offline training-mix rebalancing)
+# ---------------------------------------------------------------------------
+
+
+def mix_rates(
+    df: DataFrame,
+    group_col: str,
+    text_col: str,
+    targets: dict[str, float],
+) -> DataFrame:
+    """Downsample-only rates shifting the corpus TOKEN mix toward `targets`
+    (group → target share; renormalized over the groups listed, so any
+    positive weights work) — offline mixture rebalancing in the DoReMi /
+    data-mixing tradition, solved in closed form for the downsample-only
+    case:
+
+        rate_g = (t_g / c_g) / max_h(t_h / c_h)
+
+    where c_g is the group's current token share. The most under-represented
+    group (relative to target) keeps everything (rate 1); every other group
+    downsamples proportionally so the SURVIVING token mix equals the target
+    mix exactly (in expectation). Groups absent from `targets` get rate 0.
+
+    Scale shape: tokenize once, ONE partial-aggregated count per group;
+    everything else is arithmetic over ≤ |groups| rows. Returns
+    (group_col, n_toks, cur_share, rate) — shares/rates rounded 6dp."""
+    tgt_sum = sum(targets.values())
+    if tgt_sum <= 0:
+        raise ValueError("targets must contain positive weights")
+    case = None
+    for k, v in targets.items():
+        cond = F.col(group_col).cast("string") == str(k)
+        case = F.when(cond, v) if case is None else case.when(cond, v)
+    tgt = case.otherwise(F.lit(0.0))
+    g = (
+        df.where(F.col(text_col).isNotNull())
+        .groupBy(group_col)
+        .agg(F.sum(F.size(_toks(F.col(text_col)))).alias("n_toks"))
+        .withColumn("__tgt", tgt / F.lit(float(tgt_sum)))
+    )
+    tot = g.groupBy().agg(F.sum("n_toks").alias("__tot"))
+    shares = g.crossJoin(F.broadcast(tot)).withColumn(
+        "__cur", F.col("n_toks") / F.col("__tot")
+    )
+    ratio = F.when(
+        (F.col("__cur") > 0) & (F.col("__tgt") > 0),
+        F.col("__tgt") / F.col("__cur"),
+    ).otherwise(F.lit(0.0))
+    shares = shares.withColumn("__ratio", ratio)
+    mx = shares.groupBy().agg(F.max("__ratio").alias("__mx"))
+    return (
+        shares.crossJoin(F.broadcast(mx))
+        .select(
+            group_col,
+            "n_toks",
+            F.round(F.col("__cur"), 6).alias("cur_share"),
+            F.when(F.col("__mx") > 0, F.round(F.col("__ratio") / F.col("__mx"), 6))
+            .otherwise(F.lit(0.0))
+            .alias("rate"),
+        )
+    )
+
+
+def resample_to_mix(
+    df: DataFrame,
+    id_col: str,
+    group_col: str,
+    text_col: str,
+    targets: dict[str, float],
+    salt: str = "mix",
+) -> DataFrame:
+    """Apply mix_rates: keep each row iff its deterministic hash bucket
+    falls under its group's rate — same portable hash-threshold contract as
+    sample_stratified (reproducible across runs/engines/partitionings).
+    Rows of groups absent from `targets` (or with no tokenizable text in
+    the whole group) are dropped. Rate table broadcasts (≤ |groups| rows);
+    the corpus side stays map-only."""
+    from data_quality_spark.ops.hashing import portable_hash64
+
+    rates = mix_rates(df, group_col, text_col, targets).select(
+        group_col,
+        F.round(F.col("rate") * SAMPLE_DENOM, 0).cast("bigint").alias("__thr"),
+    )
+    bucket = F.pmod(
+        portable_hash64(F.col(id_col).cast("string"), f"#{salt}"),
+        F.lit(SAMPLE_DENOM),
+    )
+    return (
+        df.join(F.broadcast(rates), group_col)
+        .where(bucket < F.col("__thr"))
+        .drop("__thr")
+    )
+
+
+# ---------------------------------------------------------------------------
 # URL / host blocklist filtering (RefinedWeb-style URL filtering stage)
 # ---------------------------------------------------------------------------
 

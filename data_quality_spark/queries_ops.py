@@ -1187,6 +1187,78 @@ FROM lg
 
 
 # ---------------------------------------------------------------------------
+# text 0c — domain-mixture reweighting (offline training-mix rebalancing)
+# ---------------------------------------------------------------------------
+
+MIX_TARGETS = {"en": 0.4, "fr": 0.15, "es": 0.15, "de": 0.15, "zh": 0.15}
+
+
+def _sql_mix_rates_cte() -> str:
+    tgt_sum = sum(MIX_TARGETS.values())
+    case = " ".join(
+        f"WHEN '{k}' THEN {v}" for k, v in MIX_TARGETS.items()
+    )
+    return f"""
+g AS (
+  SELECT lang AS grp, sum(len({SQL_TOKS}))::BIGINT AS n_toks
+  FROM documents WHERE text IS NOT NULL GROUP BY 1),
+t AS (
+  SELECT grp, n_toks,
+         (CASE grp {case} ELSE 0.0 END) / {tgt_sum} AS tgt
+  FROM g),
+s AS (
+  SELECT grp, n_toks, tgt,
+         n_toks::DOUBLE / (SELECT sum(n_toks) FROM g) AS cur
+  FROM t),
+r AS (
+  SELECT grp, n_toks, cur,
+         CASE WHEN cur > 0 AND tgt > 0 THEN tgt / cur ELSE 0.0 END AS ratio
+  FROM s),
+rates AS (
+  SELECT grp, n_toks, round(cur, 6) AS cur_share,
+         CASE WHEN (SELECT max(ratio) FROM r) > 0
+              THEN round(ratio / (SELECT max(ratio) FROM r), 6)
+              ELSE 0.0 END AS rate
+  FROM r)
+"""
+
+
+def q_text_mix_rates(spark, sf_dir):
+    """Offline mixture rebalancing (textops.mix_rates): closed-form
+    downsample-only rates that shift the corpus token mix toward the target
+    language shares."""
+    docs = _t(spark, sf_dir, "documents")
+    return T.mix_rates(docs, "lang", "text", MIX_TARGETS)
+
+
+def _sql_text_mix_rates() -> str:
+    return f"""
+WITH {_sql_mix_rates_cte()}
+SELECT grp AS lang, n_toks, cur_share, rate FROM rates
+"""
+
+
+def q_text_mix_resample(spark, sf_dir):
+    """Apply the mix: deterministic hash-threshold resampling at each
+    group's rate (textops.resample_to_mix)."""
+    docs = _t(spark, sf_dir, "documents")
+    return T.resample_to_mix(docs, "doc_id", "lang", "text", MIX_TARGETS).select(
+        "doc_id", "lang"
+    )
+
+
+def _sql_text_mix_resample() -> str:
+    h = sql_hash64("doc_id::VARCHAR", "#mix")
+    return f"""
+WITH {_sql_mix_rates_cte()},
+sel AS (SELECT grp, (round(rate * {T.SAMPLE_DENOM}))::BIGINT AS thr FROM rates)
+SELECT d.doc_id, d.lang
+FROM documents d JOIN sel ON d.lang = sel.grp
+WHERE ({h}) % {T.SAMPLE_DENOM} < thr
+"""
+
+
+# ---------------------------------------------------------------------------
 # text 1 — heuristic language-ID
 # ---------------------------------------------------------------------------
 
@@ -2137,6 +2209,8 @@ OPS_QUERIES = {
     "text_pii_counts": q_text_pii_counts,
     "text_dsir_weights": q_text_dsir_weights,
     "text_clf_score": q_text_clf_score,
+    "text_mix_rates": q_text_mix_rates,
+    "text_mix_resample": q_text_mix_resample,
     "text_langid_heur": q_text_langid_heur,
     "text_quality_score": q_text_quality_score,
     "text_quality_topfrac": q_text_quality_topfrac,
@@ -2192,6 +2266,8 @@ OPS_ORACLES = {
     "text_pii_counts": _sql_text_pii_counts(),
     "text_dsir_weights": _sql_text_dsir_weights(),
     "text_clf_score": _sql_text_clf_score(),
+    "text_mix_rates": _sql_text_mix_rates(),
+    "text_mix_resample": _sql_text_mix_resample(),
     "text_langid_heur": _sql_langid_heur(),
     "text_quality_score": _sql_quality_score(),
     "text_quality_topfrac": _sql_quality_topfrac(),

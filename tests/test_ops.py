@@ -1243,3 +1243,28 @@ def test_dedup_minhash_incremental(spark):
     kept = {r["doc_id"] for r in
             D.dedup_minhash_incremental(new, index, "doc_id", "text").collect()}
     assert kept == {11, 13}                      # 10 drops vs index, 12 in-batch
+
+
+def test_mix_rates_and_resample(spark):
+    # 'a' holds 80% of tokens but targets 50% -> downsamples; 'b' is the
+    # most under-represented -> keeps everything (rate 1); 'c' is absent
+    # from the targets -> dropped entirely.
+    rows = [(i, "a", "tok " * 8) for i in range(40)]
+    rows += [(100 + i, "b", "tok " * 2) for i in range(40)]
+    rows += [(200 + i, "c", "tok " * 2) for i in range(10)]
+    rows += [(300, "b", None)]
+    df = spark.createDataFrame(rows, "doc_id int, grp string, text string")
+    rates = {r["grp"]: r for r in
+             T.mix_rates(df, "grp", "text", {"a": 0.5, "b": 0.5}).collect()}
+    assert rates["b"]["rate"] == 1.0
+    assert rates["c"]["rate"] == 0.0
+    # a: cur share 320/480 toks vs b 80/480 (c excluded from targets but
+    # counted in shares); ratio_a = .5/(2/3), ratio_b = .5/(1/6) -> rate_a
+    # = ratio_a/ratio_b = 0.25
+    assert abs(rates["a"]["rate"] - 0.25) < 1e-6
+    kept = T.resample_to_mix(df, "doc_id", "grp", "text", {"a": 0.5, "b": 0.5})
+    by_grp = {r["grp"]: r["cnt"] for r in
+              kept.groupBy("grp").agg(F.count("*").alias("cnt")).collect()}
+    assert "c" not in by_grp
+    assert by_grp["b"] == 41          # rate 1 keeps all rows incl. NULL text
+    assert 0 < by_grp.get("a", 0) < 40  # hash-threshold downsample
