@@ -873,3 +873,129 @@ def dup_span_stats(
             ),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# 6 — corpus-level duplicated-span REMOVAL (C4 / Lee et al. rewrite twin of
+#     the dup_span_stats REPORT op)
+# ---------------------------------------------------------------------------
+
+SPAN_N = 3                       # C4 deduplicated three-sentence spans
+SPAN_SENT_SEP = "\x02"           # span-key joiner (never occurs in text)
+SPAN_SENTINEL = "\x01"           # sentence-boundary marker
+# sentence boundary: terminal punctuation + whitespace. Explicit ws class
+# (Java/RE2 \s differ on \x0B) and captured punct (RE2 has no lookbehind);
+# the SAME constant renders in both engines (group syntax differs: $1 vs \1)
+SPAN_SPLIT_PAT = r"([.!?])[ \t\n\r\f]+"
+SPAN_MAX_SENTS = 1_000_000       # combined-key radix: id*M + start
+
+
+def split_sentences(text: Column) -> Column:
+    """Deterministic sentence split: insert a sentinel after terminal
+    punctuation + whitespace, then split on it (portable — no lookbehind)."""
+    return F.split(
+        F.regexp_replace(text, SPAN_SPLIT_PAT, "$1" + SPAN_SENTINEL),
+        SPAN_SENTINEL,
+    )
+
+
+def remove_dup_spans(
+    df: DataFrame, id_col: str, text_col: str, n: int = SPAN_N
+) -> DataFrame:
+    """C4-style corpus-level duplicated-span REMOVAL: any run of `n`
+    consecutive sentences occurring more than once across the corpus is
+    kept at its FIRST occurrence (min (id, start)) and removed everywhere
+    else; affected documents are rebuilt from their surviving sentences
+    (single-space joins — the boundary whitespace is consumed by the
+    sentence split; unaffected documents pass through byte-identical).
+    Returns (id_col, text_dedup, n_removed) for every input row.
+
+    This is the REWRITE twin of dup_span_stats (which only reports the
+    duplicated fraction): C4's three-sentence dedup / Lee et al. 2022's
+    exact-substring removal at sentence granularity.
+
+    Scale shape (100 TB): the span exchange carries (key, id, start) ONLY —
+    md5 span keys, never sentence text; the duplicate set comes from one
+    partial-aggregated count per key. Only AFFECTED documents' sentences
+    re-shuffle for reassembly (cost ∝ duplicated content, not corpus).
+    Span start positions are capped by the combined-key radix (docs beyond
+    SPAN_MAX_SENTS sentences would alias; web pages are orders of magnitude
+    below it)."""
+    sents = split_sentences(F.col(text_col))
+    base = (
+        df.where(F.col(text_col).isNotNull())
+        .select(F.col(id_col).alias("id"), sents.alias("__s"))
+    )
+    nspan = F.size(F.col("__s")) - (n - 1)
+    span_at = lambda i: F.struct(  # noqa: E731
+        i.alias("start"),
+        F.md5(
+            F.concat_ws(
+                SPAN_SENT_SEP,
+                *[F.element_at(F.col("__s"), i + j) for j in range(n)],
+            )
+        ).alias("key"),
+    )
+    occ = (
+        base.select(
+            "id",
+            F.explode(
+                F.when(
+                    nspan > 0,
+                    F.transform(F.sequence(F.lit(1), nspan), span_at),
+                ).otherwise(F.array())
+            ).alias("sp"),
+        )
+        .select("id", F.col("sp.start").alias("start"), F.col("sp.key").alias("key"))
+    )
+    ckey = F.col("id") * SPAN_MAX_SENTS + F.col("start")
+    dup = (
+        occ.groupBy("key")
+        .agg(F.count(F.lit(1)).alias("__n"), F.min(ckey).alias("__keeper"))
+        .where(F.col("__n") > 1)
+        .select("key", "__keeper")
+    )
+    rem_sents = (
+        occ.join(dup, "key")
+        .where(ckey != F.col("__keeper"))
+        .select(
+            "id",
+            F.explode(F.sequence(F.col("start"), F.col("start") + (n - 1))).alias(
+                "idx"
+            ),
+        )
+        .distinct()
+    )
+    sent_tbl = base.select(
+        "id", F.posexplode(F.col("__s")).alias("idx0", "sent")
+    ).select("id", (F.col("idx0") + 1).alias("idx"), "sent")
+    nrem = rem_sents.groupBy("id").agg(F.count(F.lit(1)).alias("n_removed"))
+    kept = sent_tbl.join(rem_sents, ["id", "idx"], "left_anti")
+    rebuilt = (
+        kept.join(nrem.select("id"), "id", "left_semi")
+        .groupBy("id")
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("idx", "sent"))),
+                    lambda x: x["sent"],
+                ),
+                " ",
+            ).alias("__txt")
+        )
+    )
+    return (
+        df.select(F.col(id_col).alias("id"), F.col(text_col).alias("__orig"))
+        .join(nrem, "id", "left")
+        .join(rebuilt, "id", "left")
+        .select(
+            F.col("id").alias(id_col),
+            F.when(
+                F.col("n_removed").isNotNull(),
+                F.coalesce(F.col("__txt"), F.lit("")),
+            )
+            .otherwise(F.col("__orig"))
+            .alias("text_dedup"),
+            F.coalesce(F.col("n_removed"), F.lit(0)).alias("n_removed"),
+        )
+    )

@@ -248,6 +248,80 @@ SELECT new_id, seen_id, sig_jaccard FROM ver WHERE sig_jaccard >= {NINCR_THRESHO
 
 
 # ---------------------------------------------------------------------------
+# dedup 1c — corpus-level duplicated-span removal (C4 / Lee et al. rewrite)
+# ---------------------------------------------------------------------------
+
+# 4 sentences: even when a doc's unpunctuated last sentence merges with the
+# banner's first, the trailing 3-sentence spans still repeat corpus-wide
+SPAN_BANNER = (
+    " Spam offer one. Spam offer two. Spam offer three. Spam offer four."
+)
+
+
+def q_dedup_span_removal(spark, sf_dir):
+    """C4-style duplicated-span removal (ops.dedup.remove_dup_spans): every
+    20th doc gets a shared 4-sentence banner appended; all banner spans
+    after the first corpus occurrence are removed and the affected docs are
+    rebuilt from their surviving sentences."""
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    corpus = docs.select(
+        "doc_id",
+        F.when(
+            F.col("doc_id") % 20 == 0, F.concat(F.col("text"), F.lit(SPAN_BANNER))
+        )
+        .otherwise(F.col("text"))
+        .alias("text"),
+    )
+    return D.remove_dup_spans(corpus, "doc_id", "text")
+
+
+def _sql_dedup_span_removal() -> str:
+    n = D.SPAN_N
+    m = D.SPAN_MAX_SENTS
+    key = " || chr(2) || ".join(
+        f"s[i+{j}]" if j else "s[i]" for j in range(n)
+    )
+    return f"""
+WITH corpus AS (
+  SELECT doc_id, CASE WHEN doc_id % 20 = 0 THEN text || '{SPAN_BANNER}'
+                      ELSE text END AS text
+  FROM documents),
+base AS (
+  SELECT doc_id AS id,
+         string_split(regexp_replace(text, '{D.SPAN_SPLIT_PAT}',
+                                     '\\1' || chr(1), 'g'), chr(1)) AS s
+  FROM corpus WHERE text IS NOT NULL),
+occ AS (
+  SELECT id, i AS start, md5({key}) AS key
+  FROM base, unnest(range(1, len(s) - {n - 2})) AS t(i)),
+dup AS (
+  SELECT key, min(id * {m} + start) AS keeper
+  FROM occ GROUP BY key HAVING count(*) > 1),
+rem AS (
+  SELECT DISTINCT id, start + j AS idx
+  FROM occ JOIN dup USING (key), unnest(range(0, {n})) AS u(j)
+  WHERE id * {m} + start <> keeper),
+sent AS (
+  SELECT id, i AS idx, s[i] AS sent
+  FROM base, unnest(range(1, len(s) + 1)) AS t(i)),
+kept AS (
+  SELECT s2.id, s2.idx, s2.sent FROM sent s2
+  WHERE NOT EXISTS (SELECT 1 FROM rem r WHERE r.id = s2.id AND r.idx = s2.idx)),
+nrem AS (SELECT id, count(*) AS n_removed FROM rem GROUP BY 1),
+rebuilt AS (
+  SELECT id, string_agg(sent, ' ' ORDER BY idx) AS txt
+  FROM kept WHERE id IN (SELECT id FROM nrem) GROUP BY id)
+SELECT c.doc_id,
+       CASE WHEN nrem.id IS NOT NULL THEN coalesce(rebuilt.txt, '')
+            ELSE c.text END AS text_dedup,
+       coalesce(nrem.n_removed, 0) AS n_removed
+FROM corpus c
+LEFT JOIN nrem ON nrem.id = c.doc_id
+LEFT JOIN rebuilt ON rebuilt.id = c.doc_id
+"""
+
+
+# ---------------------------------------------------------------------------
 # dedup 2 — MinHash + LSH (K=12, 4 bands x 3 rows, verify J >= 0.5)
 # ---------------------------------------------------------------------------
 
@@ -2186,6 +2260,7 @@ OPS_QUERIES = {
     "dedup_exact": q_dedup_exact,
     "dedup_incremental": q_dedup_incremental,
     "dedup_minhash_incr": q_dedup_minhash_incr,
+    "dedup_span_removal": q_dedup_span_removal,
     "dedup_dup_spans": q_dedup_dup_spans,
     "dedup_exact_drop": q_dedup_exact_drop,
     "period_overlap_global": q_period_overlap_global,
@@ -2243,6 +2318,7 @@ OPS_ORACLES = {
     "dedup_exact": SQL_DEDUP_EXACT,
     "dedup_incremental": _sql_dedup_incremental(),
     "dedup_minhash_incr": _sql_dedup_minhash_incr(),
+    "dedup_span_removal": _sql_dedup_span_removal(),
     "dedup_dup_spans": _sql_dedup_dup_spans(),
     "dedup_exact_drop": SQL_DEDUP_EXACT_DROP,
     "period_overlap_global": SQL_PERIOD_OVERLAP_GLOBAL,

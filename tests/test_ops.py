@@ -1268,3 +1268,28 @@ def test_mix_rates_and_resample(spark):
     assert "c" not in by_grp
     assert by_grp["b"] == 41          # rate 1 keeps all rows incl. NULL text
     assert 0 < by_grp.get("a", 0) < 40  # hash-threshold downsample
+
+
+def test_remove_dup_spans(spark):
+    banner = "Buy now. Limited offer. Act fast."
+    df = spark.createDataFrame(
+        [(1, f"Unique intro one. {banner} Unique tail one."),
+         (2, f"Different story here. {banner} Another ending."),
+         (3, "Totally clean document. Nothing repeats here. At all."),
+         (4, banner),          # exactly the banner -> fully removed
+         (5, None)],
+        "doc_id int, text string",
+    )
+    out = {r["doc_id"]: r for r in
+           D.remove_dup_spans(df, "doc_id", "text").collect()}
+    # first occurrence (doc 1) keeps the banner; later ones lose it
+    assert banner in out[1]["text_dedup"] and out[1]["n_removed"] == 0
+    assert banner not in out[2]["text_dedup"]
+    assert out[2]["n_removed"] == 3
+    assert out[2]["text_dedup"] == "Different story here. Another ending."
+    # untouched docs pass through byte-identical
+    assert out[3]["text_dedup"] == "Totally clean document. Nothing repeats here. At all."
+    assert out[3]["n_removed"] == 0
+    # a doc that IS the duplicated span empties out
+    assert out[4]["text_dedup"] == "" and out[4]["n_removed"] == 3
+    assert out[5]["text_dedup"] is None and out[5]["n_removed"] == 0
