@@ -570,38 +570,38 @@ def minhash_incremental_matches(
     consumers; exact text Jaccard applies only in-batch).
 
     Scale shape: both band exchanges carry (band_key, id, k bigints) — no
-    text crosses the wire; with the index pre-bucketed by band_key its side
-    is shuffle-free. Degenerate band buckets are capped at max_bucket PER
-    SIDE (mirrors minhash_lsh_pairs; skipped keys are recovered by the
-    other bands with high probability)."""
+    text crosses the wire. Degenerate band buckets are capped at max_bucket
+    PER SIDE (mirrors minhash_lsh_pairs; skipped keys are recovered by the
+    other bands with high probability) via a count window over band_key —
+    NOT a count-aggregate self-join, which would re-derive the signature
+    UDF stage per reference; the window's hash exchange doubles as the
+    join's co-partitioning, so each side computes signatures exactly once
+    and shuffles exactly once."""
 
-    def banded(sigs: DataFrame, idc: str) -> DataFrame:
-        return sigs.select(
-            F.col(idc),
-            F.col("minhash"),
+    def banded(sigs: DataFrame, out_id: str, out_mh: str) -> DataFrame:
+        b = sigs.select(
+            F.col(sigs.columns[0]).alias(out_id),
+            F.col("minhash").alias(out_mh),
             F.explode(
                 F.array(
-                    *[_band_key(F.col("minhash"), b, rows) for b in range(bands)]
+                    *[_band_key(F.col("minhash"), i, rows) for i in range(bands)]
                 )
             ).alias("band_key"),
         )
+        over = Window.partitionBy("band_key")
+        return (
+            b.withColumn("__c", F.count(F.lit(1)).over(over))
+            .where(F.col("__c") <= max_bucket)
+            .drop("__c")
+        )
 
-    new_sigs = minhash_signature_index(new_df, id_col, text_col, n, k)
-    nb = banded(new_sigs, id_col).select(
-        F.col(id_col).alias("new_id"), F.col("minhash").alias("__mn"), "band_key"
+    new_sigs = minhash_signature_index(new_df, id_col, text_col, n, k).select(
+        id_col, "minhash"
     )
-    ib = banded(index, id_col).select(
-        F.col(id_col).alias("seen_id"), F.col("minhash").alias("__ms"), "band_key"
-    )
-
-    def capped(df: DataFrame, key: str) -> DataFrame:
-        cnt = df.groupBy(key).agg(F.count(F.lit(1)).alias("__c"))
-        ok = cnt.where(F.col("__c") <= max_bucket).select(key)
-        return df.join(ok, key, "left_semi")
-
+    nb = banded(new_sigs, "new_id", "__mn")
+    ib = banded(index.select(id_col, "minhash"), "seen_id", "__ms")
     cand = (
-        capped(nb, "band_key")
-        .join(capped(ib, "band_key"), "band_key")
+        nb.join(ib, "band_key")
         .select("new_id", "seen_id", "__mn", "__ms")
         .dropDuplicates(["new_id", "seen_id"])
     )
@@ -936,6 +936,15 @@ def remove_dup_spans(
             )
         ).alias("key"),
     )
+    # persisted (lazy): the duplicate-set aggregate AND the removal join
+    # both read occ — without the cache each reference re-splits and
+    # re-hashes the corpus (no CSE across DataFrame references). occ is
+    # (id, start, md5) — a fraction of corpus bytes, disk-spillable. base
+    # (the sentence arrays ≈ corpus size) is deliberately NOT cached: its
+    # two consumers each re-scan the source instead (scans are cheaper
+    # than caching a corpus-sized frame at the 100 TB design point).
+    from pyspark.storagelevel import StorageLevel
+
     occ = (
         base.select(
             "id",
@@ -947,6 +956,7 @@ def remove_dup_spans(
             ).alias("sp"),
         )
         .select("id", F.col("sp.start").alias("start"), F.col("sp.key").alias("key"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
     )
     ckey = F.col("id") * SPAN_MAX_SENTS + F.col("start")
     dup = (

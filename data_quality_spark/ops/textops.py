@@ -1028,8 +1028,13 @@ def mix_rates(
     downsamples proportionally so the SURVIVING token mix equals the target
     mix exactly (in expectation). Groups absent from `targets` get rate 0.
 
-    Scale shape: tokenize once, ONE partial-aggregated count per group;
-    everything else is arithmetic over ≤ |groups| rows. Returns
+    Scale shape: tokenize once, ONE partial-aggregated count per group over
+    ONE corpus scan — the per-group token counts (≤ |groups| rows; group
+    cardinality must be driver-bounded, true for lang/source mixes) are
+    collected and the share/rate arithmetic runs on a LOCAL DataFrame with
+    the same Spark expressions (float parity with the SQL oracle). The lazy
+    formulation re-scanned the corpus once per derived aggregate (total,
+    max-ratio — no CSE across DataFrame references). Returns
     (group_col, n_toks, cur_share, rate) — shares/rates rounded 6dp."""
     tgt_sum = sum(targets.values())
     if tgt_sum <= 0:
@@ -1039,12 +1044,14 @@ def mix_rates(
         cond = F.col(group_col).cast("string") == str(k)
         case = F.when(cond, v) if case is None else case.when(cond, v)
     tgt = case.otherwise(F.lit(0.0))
-    g = (
+    agg_df = (
         df.where(F.col(text_col).isNotNull())
         .groupBy(group_col)
         .agg(F.sum(F.size(_toks(F.col(text_col)))).alias("n_toks"))
-        .withColumn("__tgt", tgt / F.lit(float(tgt_sum)))
     )
+    g = df.sparkSession.createDataFrame(
+        agg_df.collect(), agg_df.schema
+    ).withColumn("__tgt", tgt / F.lit(float(tgt_sum)))
     tot = g.groupBy().agg(F.sum("n_toks").alias("__tot"))
     shares = g.crossJoin(F.broadcast(tot)).withColumn(
         "__cur", F.col("n_toks") / F.col("__tot")
@@ -1227,11 +1234,16 @@ def train_nb_classifier(
 
     Scale shape (100 TB): tokenize once; one full-volume shuffle at
     (id, label, bucket) grain with map-side partial agg; class token totals
-    AND the doc-count prior both derive from that same aggregate (no second
-    corpus scan); everything after reduces to ≤ buckets+1 rows. Weights
-    round 6dp (cross-engine float parity). Zero-token docs contribute to
-    neither weights nor prior (documented: the prior is over tokenizable
-    docs)."""
+    AND the doc-count prior both derive from that same aggregate. Training
+    is EAGER: the (id, label, bucket) aggregate is persisted so the class
+    counts, totals, and prior each reuse it instead of re-scanning the
+    corpus (Catalyst does not CSE across DataFrame references — the lazy
+    formulation scanned the corpus ~8×, verified in the plan audit), the
+    ≤ buckets+1 weight rows are collected, the cache is released, and a
+    local DataFrame is returned — exactly how a training job materializes
+    a model artifact. Weights round 6dp (cross-engine float parity).
+    Zero-token docs contribute to neither weights nor prior (documented:
+    the prior is over tokenizable docs)."""
     toks = _toks(F.col(text_col))
     g = (
         df.where(F.col(text_col).isNotNull())
@@ -1245,7 +1257,9 @@ def train_nb_classifier(
         )
         .groupBy("id", "__pos", "b")
         .agg(F.count(F.lit(1)).alias("cnt"))
+        .persist()
     )
+    g.count()  # materialize ONCE; every derivation below reuses the cache
     cls = g.groupBy("__pos", "b").agg(F.sum("cnt").alias("cnt"))
     pos = cls.where(F.col("__pos")).select("b", F.col("cnt").alias("p"))
     neg = cls.where(~F.col("__pos")).select("b", F.col("cnt").alias("n"))
@@ -1288,7 +1302,11 @@ def train_nb_classifier(
         F.lit(CLF_BIAS_BUCKET).cast("int").alias("b"),
         F.round(F.log((F.col("npos") + 1) / (F.col("nneg") + 1)), 6).alias("w"),
     )
-    return w.unionByName(bias)
+    try:
+        rows = w.unionByName(bias).collect()  # ≤ buckets+1 rows — bounded
+    finally:
+        g.unpersist()
+    return df.sparkSession.createDataFrame(rows, "b int, w double")
 
 
 def classifier_score(
