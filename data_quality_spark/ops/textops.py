@@ -1009,13 +1009,17 @@ def dsir_weights(
 # ---------------------------------------------------------------------------
 
 
+MIX_MAX_UPSAMPLE = 10.0
+
+
 def mix_rates(
     df: DataFrame,
     group_col: str,
     text_col: str,
     targets: dict[str, float],
+    mode: str = "down",
 ) -> DataFrame:
-    """Downsample-only rates shifting the corpus TOKEN mix toward `targets`
+    """mode='down' (default): downsample-only rates shifting the corpus TOKEN mix toward `targets`
     (group → target share; renormalized over the groups listed, so any
     positive weights work) — offline mixture rebalancing in the DoReMi /
     data-mixing tradition, solved in closed form for the downsample-only
@@ -1027,6 +1031,11 @@ def mix_rates(
     group (relative to target) keeps everything (rate 1); every other group
     downsamples proportionally so the SURVIVING token mix equals the target
     mix exactly (in expectation). Groups absent from `targets` get rate 0.
+
+    mode='balance': rate_g = t_g / c_g uncapped below MIX_MAX_UPSAMPLE —
+    >1 means UPSAMPLE by repetition (LLaMA/DoReMi-style epoch factors for
+    curated under-represented sources); expected total token count is
+    preserved while the mix hits the target exactly.
 
     Scale shape: tokenize once, ONE partial-aggregated count per group over
     ONE corpus scan — the per-group token counts (≤ |groups| rows; group
@@ -1061,6 +1070,21 @@ def mix_rates(
         F.col("__tgt") / F.col("__cur"),
     ).otherwise(F.lit(0.0))
     shares = shares.withColumn("__ratio", ratio)
+    if mode == "balance":
+        # rates hit the target EXACTLY while preserving expected corpus
+        # token count: rate_g = t_g/c_g, >1 for under-represented groups
+        # (upsample by repetition). Capped — a vanishing group would
+        # otherwise be repeated unboundedly (epochs ≫ anything useful).
+        return shares.select(
+            group_col,
+            "n_toks",
+            F.round(F.col("__cur"), 6).alias("cur_share"),
+            F.round(
+                F.least(F.col("__ratio"), F.lit(MIX_MAX_UPSAMPLE)), 6
+            ).alias("rate"),
+        )
+    if mode != "down":
+        raise ValueError(f"unknown mix mode: {mode}")
     mx = shares.groupBy().agg(F.max("__ratio").alias("__mx"))
     return (
         shares.crossJoin(F.broadcast(mx))
@@ -1082,27 +1106,53 @@ def resample_to_mix(
     text_col: str,
     targets: dict[str, float],
     salt: str = "mix",
+    mode: str = "down",
 ) -> DataFrame:
     """Apply mix_rates: keep each row iff its deterministic hash bucket
     falls under its group's rate — same portable hash-threshold contract as
     sample_stratified (reproducible across runs/engines/partitionings).
     Rows of groups absent from `targets` (or with no tokenizable text in
     the whole group) are dropped. Rate table broadcasts (≤ |groups| rows);
-    the corpus side stays map-only."""
+    the corpus side stays map-only.
+
+    mode='balance' additionally UPSAMPLES groups with rate > 1: each row is
+    emitted floor(rate) times plus once more iff its hash bucket falls
+    under the fractional part (deterministic epoch factors), with a `copy`
+    ordinal column appended (1..n_copies) so downstream shuffles/training
+    can distinguish repeats."""
     from data_quality_spark.ops.hashing import portable_hash64
 
-    rates = mix_rates(df, group_col, text_col, targets).select(
-        group_col,
-        F.round(F.col("rate") * SAMPLE_DENOM, 0).cast("bigint").alias("__thr"),
-    )
     bucket = F.pmod(
         portable_hash64(F.col(id_col).cast("string"), f"#{salt}"),
         F.lit(SAMPLE_DENOM),
     )
+    if mode == "down":
+        rates = mix_rates(df, group_col, text_col, targets).select(
+            group_col,
+            F.round(F.col("rate") * SAMPLE_DENOM, 0).cast("bigint").alias("__thr"),
+        )
+        return (
+            df.join(F.broadcast(rates), group_col)
+            .where(bucket < F.col("__thr"))
+            .drop("__thr")
+        )
+    if mode != "balance":
+        raise ValueError(f"unknown mix mode: {mode}")
+    rates = mix_rates(df, group_col, text_col, targets, mode="balance").select(
+        group_col,
+        F.round(F.col("rate") * SAMPLE_DENOM, 0).cast("bigint").alias("__r6"),
+    )
+    n_copies = (
+        F.floor(F.col("__r6") / F.lit(SAMPLE_DENOM)).cast("int")
+        + (bucket < F.pmod(F.col("__r6"), F.lit(SAMPLE_DENOM))).cast("int")
+    )
+    joined = df.join(F.broadcast(rates), group_col).withColumn("__nc", n_copies)
     return (
-        df.join(F.broadcast(rates), group_col)
-        .where(bucket < F.col("__thr"))
-        .drop("__thr")
+        joined.where(F.col("__nc") > 0)
+        .select(
+            *[c for c in joined.columns if c not in ("__r6", "__nc")],
+            F.explode(F.sequence(F.lit(1), F.col("__nc"))).alias("copy"),
+        )
     )
 
 

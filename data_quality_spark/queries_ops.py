@@ -1265,13 +1265,19 @@ FROM lg
 # ---------------------------------------------------------------------------
 
 MIX_TARGETS = {"en": 0.4, "fr": 0.15, "es": 0.15, "de": 0.15, "zh": 0.15}
+# balance-mode targets force genuine upsampling (de: ~13% of tokens -> 30%)
+MIX_BAL_TARGETS = {"en": 0.1, "fr": 0.2, "es": 0.2, "de": 0.3, "zh": 0.2}
 
 
-def _sql_mix_rates_cte() -> str:
-    tgt_sum = sum(MIX_TARGETS.values())
-    case = " ".join(
-        f"WHEN '{k}' THEN {v}" for k, v in MIX_TARGETS.items()
-    )
+def _sql_mix_rates_cte(targets: dict, mode: str = "down") -> str:
+    tgt_sum = sum(targets.values())
+    case = " ".join(f"WHEN '{k}' THEN {v}" for k, v in targets.items())
+    if mode == "balance":
+        rate = f"round(least(ratio, {T.MIX_MAX_UPSAMPLE}), 6)"
+    else:
+        rate = ("CASE WHEN (SELECT max(ratio) FROM r) > 0 "
+                "THEN round(ratio / (SELECT max(ratio) FROM r), 6) "
+                "ELSE 0.0 END")
     return f"""
 g AS (
   SELECT lang AS grp, sum(len({SQL_TOKS}))::BIGINT AS n_toks
@@ -1290,9 +1296,7 @@ r AS (
   FROM s),
 rates AS (
   SELECT grp, n_toks, round(cur, 6) AS cur_share,
-         CASE WHEN (SELECT max(ratio) FROM r) > 0
-              THEN round(ratio / (SELECT max(ratio) FROM r), 6)
-              ELSE 0.0 END AS rate
+         {rate} AS rate
   FROM r)
 """
 
@@ -1307,7 +1311,7 @@ def q_text_mix_rates(spark, sf_dir):
 
 def _sql_text_mix_rates() -> str:
     return f"""
-WITH {_sql_mix_rates_cte()}
+WITH {_sql_mix_rates_cte(MIX_TARGETS)}
 SELECT grp AS lang, n_toks, cur_share, rate FROM rates
 """
 
@@ -1324,11 +1328,38 @@ def q_text_mix_resample(spark, sf_dir):
 def _sql_text_mix_resample() -> str:
     h = sql_hash64("doc_id::VARCHAR", "#mix")
     return f"""
-WITH {_sql_mix_rates_cte()},
+WITH {_sql_mix_rates_cte(MIX_TARGETS)},
 sel AS (SELECT grp, (round(rate * {T.SAMPLE_DENOM}))::BIGINT AS thr FROM rates)
 SELECT d.doc_id, d.lang
 FROM documents d JOIN sel ON d.lang = sel.grp
 WHERE ({h}) % {T.SAMPLE_DENOM} < thr
+"""
+
+
+def q_text_mix_balance(spark, sf_dir):
+    """Up+down mixture balancing (resample_to_mix mode='balance'):
+    under-represented groups upsample by deterministic repetition (epoch
+    factors with a `copy` ordinal), over-represented ones hash-downsample;
+    the surviving token mix hits the target shares exactly in expectation
+    while preserving expected corpus size."""
+    docs = _t(spark, sf_dir, "documents")
+    return T.resample_to_mix(
+        docs, "doc_id", "lang", "text", MIX_BAL_TARGETS, mode="balance"
+    ).select("doc_id", "lang", "copy")
+
+
+def _sql_text_mix_balance() -> str:
+    h = sql_hash64("doc_id::VARCHAR", "#mix")
+    d = T.SAMPLE_DENOM
+    return f"""
+WITH {_sql_mix_rates_cte(MIX_BAL_TARGETS, mode="balance")},
+sel AS (SELECT grp, (round(rate * {d}))::BIGINT AS r6 FROM rates)
+SELECT d.doc_id, d.lang, u.copy
+FROM documents d
+JOIN sel ON d.lang = sel.grp,
+     unnest(range(1, (r6 // {d}
+            + CASE WHEN ({h}) % {d} < r6 % {d} THEN 1 ELSE 0 END)::INT + 1)
+     ) AS u(copy)
 """
 
 
@@ -2286,6 +2317,7 @@ OPS_QUERIES = {
     "text_clf_score": q_text_clf_score,
     "text_mix_rates": q_text_mix_rates,
     "text_mix_resample": q_text_mix_resample,
+    "text_mix_balance": q_text_mix_balance,
     "text_langid_heur": q_text_langid_heur,
     "text_quality_score": q_text_quality_score,
     "text_quality_topfrac": q_text_quality_topfrac,
@@ -2344,6 +2376,7 @@ OPS_ORACLES = {
     "text_clf_score": _sql_text_clf_score(),
     "text_mix_rates": _sql_text_mix_rates(),
     "text_mix_resample": _sql_text_mix_resample(),
+    "text_mix_balance": _sql_text_mix_balance(),
     "text_langid_heur": _sql_langid_heur(),
     "text_quality_score": _sql_quality_score(),
     "text_quality_topfrac": _sql_quality_topfrac(),

@@ -1293,3 +1293,30 @@ def test_remove_dup_spans(spark):
     # a doc that IS the duplicated span empties out
     assert out[4]["text_dedup"] == "" and out[4]["n_removed"] == 3
     assert out[5]["text_dedup"] is None and out[5]["n_removed"] == 0
+
+
+def test_resample_to_mix_balance_upsamples(spark):
+    rows = [(i, "big", "tok " * 8) for i in range(40)]
+    rows += [(100 + i, "small", "tok " * 2) for i in range(10)]
+    df = spark.createDataFrame(rows, "doc_id int, grp string, text string")
+    # big: 320/340 tokens (~94%), target 50% -> rate ~0.53 (downsample);
+    # small: 20/340 (~6%), target 50% -> rate ~8.5 (upsample)
+    rates = {r["grp"]: r["rate"] for r in
+             T.mix_rates(df, "grp", "text", {"big": 0.5, "small": 0.5},
+                         mode="balance").collect()}
+    assert rates["big"] < 1.0 < rates["small"] <= T.MIX_MAX_UPSAMPLE
+    out = T.resample_to_mix(df, "doc_id", "grp", "text",
+                            {"big": 0.5, "small": 0.5}, mode="balance")
+    pdf = out.groupBy("grp").agg(
+        F.count("*").alias("n"), F.max("copy").alias("mx")).collect()
+    by = {r["grp"]: r for r in pdf}
+    assert by["small"]["n"] > 10            # repeated
+    assert by["small"]["mx"] >= 8           # epoch factor floor(8.5)
+    assert by["big"]["mx"] == 1             # downsampled side never repeats
+    assert by["big"]["n"] < 40
+    # determinism: same call -> identical multiset
+    out2 = T.resample_to_mix(df, "doc_id", "grp", "text",
+                             {"big": 0.5, "small": 0.5}, mode="balance")
+    a = sorted((r["doc_id"], r["copy"]) for r in out.collect())
+    b = sorted((r["doc_id"], r["copy"]) for r in out2.collect())
+    assert a == b
