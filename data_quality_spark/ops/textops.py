@@ -1005,6 +1005,64 @@ def dsir_weights(
 
 
 # ---------------------------------------------------------------------------
+# corpus datasheet (pre-release reporting: one-scan corpus summary)
+# ---------------------------------------------------------------------------
+
+
+def corpus_datasheet(df: DataFrame, text_col: str, group_col: str) -> DataFrame:
+    """One-row corpus summary for a dataset datasheet / release report:
+    doc and token totals, NULL/empty counts, token-length mean and exact
+    percentiles, group (lang/source) cardinality. ONE scan, ONE partial
+    aggregate — the exact-percentile terms are the only non-streaming
+    aggregates (Spark's `percentile` collects per-partition digests; for
+    10^12-row corpora swap in percentile_approx and accept ±ε, documented
+    here rather than silently).
+
+    Returns (n_docs, n_null_text, n_empty_text, n_groups, n_toks_total,
+    mean_toks, p50_toks, p90_toks) — floats rounded 6dp."""
+    toks = F.size(_toks(F.col(text_col)))
+    nt = F.when(F.col(text_col).isNotNull(), toks)
+    return df.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.count(F.when(F.col(text_col).isNull(), 1)).alias("n_null_text"),
+        F.count(F.when(F.col(text_col) == "", 1)).alias("n_empty_text"),
+        F.countDistinct(F.col(group_col)).alias("n_groups"),
+        F.coalesce(F.sum(nt), F.lit(0)).alias("n_toks_total"),
+        F.round(F.avg(nt), 6).alias("mean_toks"),
+        # nt (not the raw size) everywhere: with ANSI off size(NULL) is -1
+        # (legacy), which would silently drag the percentiles down
+        F.round(F.percentile(nt, F.lit(0.5)), 6).alias("p50_toks"),
+        F.round(F.percentile(nt, F.lit(0.9)), 6).alias("p90_toks"),
+    )
+
+
+def token_histogram(df: DataFrame, text_col: str) -> DataFrame:
+    """Doc-length histogram on power-of-two token buckets (corpus
+    reporting / chunk-size planning): (bucket_lo, n_docs, n_toks). Exact,
+    one partial aggregate; zero-token docs land in bucket_lo=0, NULL text
+    is excluded."""
+    n = F.size(_toks(F.col(text_col)))
+    # floor(log2(n)) via the binary-repr length — float log2 is NOT exact
+    # at powers of two in every engine (log(x)/log(2) can come out
+    # 2.9999…96 and floor under it); length(bin(n))-1 is integer-exact in
+    # both Spark and the DuckDB oracle
+    lo = F.when(n <= 0, F.lit(0).cast("bigint")).otherwise(
+        F.pow(
+            F.lit(2.0), (F.length(F.bin(n.cast("bigint"))) - 1).cast("double")
+        ).cast("bigint")
+    )
+    return (
+        df.where(F.col(text_col).isNotNull())
+        .select(n.alias("__n"), lo.alias("bucket_lo"))
+        .groupBy("bucket_lo")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("__n").alias("n_toks"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
 # domain-mixture reweighting (offline training-mix rebalancing)
 # ---------------------------------------------------------------------------
 

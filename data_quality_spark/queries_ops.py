@@ -1261,6 +1261,49 @@ FROM lg
 
 
 # ---------------------------------------------------------------------------
+# text 0d — corpus datasheet + token histogram (release reporting)
+# ---------------------------------------------------------------------------
+
+
+def q_text_datasheet(spark, sf_dir):
+    """One-scan corpus release summary (textops.corpus_datasheet)."""
+    return T.corpus_datasheet(_t(spark, sf_dir, "documents"), "text", "lang")
+
+
+def _sql_text_datasheet() -> str:
+    return f"""
+WITH tk AS (
+  SELECT text, lang,
+         CASE WHEN text IS NOT NULL THEN len({SQL_TOKS}) END AS n
+  FROM documents)
+SELECT count(*) AS n_docs,
+       count(CASE WHEN text IS NULL THEN 1 END) AS n_null_text,
+       count(CASE WHEN text = '' THEN 1 END) AS n_empty_text,
+       count(DISTINCT lang) AS n_groups,
+       coalesce(sum(n), 0)::BIGINT AS n_toks_total,
+       round(avg(n), 6) AS mean_toks,
+       round(quantile_cont(n, 0.5), 6) AS p50_toks,
+       round(quantile_cont(n, 0.9), 6) AS p90_toks
+FROM tk
+"""
+
+
+def q_text_token_hist(spark, sf_dir):
+    """Power-of-two doc-length histogram (textops.token_histogram)."""
+    return T.token_histogram(_t(spark, sf_dir, "documents"), "text")
+
+
+def _sql_text_token_hist() -> str:
+    return f"""
+WITH tk AS (SELECT len({SQL_TOKS}) AS n FROM documents WHERE text IS NOT NULL)
+SELECT CASE WHEN n <= 0 THEN 0
+            ELSE (pow(2, length(bin(n)) - 1))::BIGINT END AS bucket_lo,
+       count(*) AS n_docs, sum(n)::BIGINT AS n_toks
+FROM tk GROUP BY 1
+"""
+
+
+# ---------------------------------------------------------------------------
 # text 0c — domain-mixture reweighting (offline training-mix rebalancing)
 # ---------------------------------------------------------------------------
 
@@ -2318,6 +2361,8 @@ OPS_QUERIES = {
     "text_mix_rates": q_text_mix_rates,
     "text_mix_resample": q_text_mix_resample,
     "text_mix_balance": q_text_mix_balance,
+    "text_datasheet": q_text_datasheet,
+    "text_token_hist": q_text_token_hist,
     "text_langid_heur": q_text_langid_heur,
     "text_quality_score": q_text_quality_score,
     "text_quality_topfrac": q_text_quality_topfrac,
@@ -2377,6 +2422,8 @@ OPS_ORACLES = {
     "text_mix_rates": _sql_text_mix_rates(),
     "text_mix_resample": _sql_text_mix_resample(),
     "text_mix_balance": _sql_text_mix_balance(),
+    "text_datasheet": _sql_text_datasheet(),
+    "text_token_hist": _sql_text_token_hist(),
     "text_langid_heur": _sql_langid_heur(),
     "text_quality_score": _sql_quality_score(),
     "text_quality_topfrac": _sql_quality_topfrac(),

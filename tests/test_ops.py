@@ -1320,3 +1320,26 @@ def test_resample_to_mix_balance_upsamples(spark):
     a = sorted((r["doc_id"], r["copy"]) for r in out.collect())
     b = sorted((r["doc_id"], r["copy"]) for r in out2.collect())
     assert a == b
+
+
+def test_corpus_datasheet_and_token_histogram(spark):
+    df = spark.createDataFrame(
+        [(1, "one two three four", "en"),
+         (2, "a b", "en"),
+         (3, "", "fr"),
+         (4, None, "fr"),
+         (5, "x " * 9, "de")],     # 9 tokens -> bucket 8
+        "doc_id int, text string, lang string",
+    )
+    d = T.corpus_datasheet(df, "text", "lang").collect()[0]
+    assert d["n_docs"] == 5 and d["n_null_text"] == 1 and d["n_empty_text"] == 1
+    assert d["n_groups"] == 3
+    assert d["n_toks_total"] == 4 + 2 + 0 + 9
+    assert d["p50_toks"] == 3.0    # sorted [0, 2, 4, 9] -> interpolated
+    h = {r["bucket_lo"]: (r["n_docs"], r["n_toks"]) for r in
+         T.token_histogram(df, "text").collect()}
+    assert h[0] == (1, 0)          # empty string doc
+    assert h[2] == (1, 2)
+    assert h[4] == (1, 4)
+    assert h[8] == (1, 9)
+    assert None not in h           # NULL text excluded
