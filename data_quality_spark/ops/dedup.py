@@ -595,6 +595,14 @@ def minhash_incremental_matches(
             .drop("__c")
         )
 
+    # fail FAST on a k mismatch with the persisted index: zip_with would
+    # zero-pad the component comparison and silently skew every estimate
+    probe = index.select("minhash").take(1)
+    if probe and probe[0][0] is not None and len(probe[0][0]) != k:
+        raise ValueError(
+            f"signature index has k={len(probe[0][0])} components but "
+            f"k={k} was requested — pass the index's parameters"
+        )
     new_sigs = minhash_signature_index(new_df, id_col, text_col, n, k).select(
         id_col, "minhash"
     )
@@ -619,22 +627,33 @@ def dedup_minhash_incremental(
     text_col: str,
     threshold: float = 0.5,
     n: int = 3,
+    k: int = MINHASH_K,
+    bands: int = LSH_BANDS,
+    rows: int = LSH_ROWS,
+    max_bucket: int = MAX_BUCKET,
 ) -> DataFrame:
     """Incremental NEAR-dedup of a new crawl batch: drop new rows matching
     the historical signature index (minhash_incremental_matches), then
     near-dedup the survivors in-batch (exact text Jaccard via
     minhash_lsh_pairs, keep-lowest policy). The near-dup twin of
     dedup_incremental — the daily-crawl shape where re-shingling the
-    historical corpus per batch would be O(corpus)."""
+    historical corpus per batch would be O(corpus). The LSH/signature
+    params MUST match the ones the index was built with (passed through —
+    a k mismatch would silently zero-pad the component comparison and
+    skew every estimate)."""
     matched = (
         minhash_incremental_matches(
-            new_df, index, id_col, text_col, threshold, n
+            new_df, index, id_col, text_col, threshold, n,
+            k=k, bands=bands, rows=rows, max_bucket=max_bucket,
         )
         .select(F.col("new_id").alias(id_col))
         .distinct()
     )
     fresh = new_df.join(matched, id_col, "left_anti")
-    pairs = minhash_lsh_pairs(fresh, id_col, text_col, threshold=threshold, n=n)
+    pairs = minhash_lsh_pairs(
+        fresh, id_col, text_col, threshold=threshold, n=n,
+        k=k, bands=bands, rows=rows,
+    )
     return drop_near_dups(fresh, id_col, pairs)
 
 
@@ -887,7 +906,6 @@ SPAN_SENTINEL = "\x01"           # sentence-boundary marker
 # (Java/RE2 \s differ on \x0B) and captured punct (RE2 has no lookbehind);
 # the SAME constant renders in both engines (group syntax differs: $1 vs \1)
 SPAN_SPLIT_PAT = r"([.!?])[ \t\n\r\f]+"
-SPAN_MAX_SENTS = 1_000_000       # combined-key radix: id*M + start
 
 
 def split_sentences(text: Column) -> Column:
@@ -915,12 +933,11 @@ def remove_dup_spans(
     exact-substring removal at sentence granularity.
 
     Scale shape (100 TB): the span exchange carries (key, id, start) ONLY —
-    md5 span keys, never sentence text; the duplicate set comes from one
-    partial-aggregated count per key. Only AFFECTED documents' sentences
-    re-shuffle for reassembly (cost ∝ duplicated content, not corpus).
-    Span start positions are capped by the combined-key radix (docs beyond
-    SPAN_MAX_SENTS sentences would alias; web pages are orders of magnitude
-    below it)."""
+    md5 span keys, never sentence text; duplicate detection and keeper
+    selection are ONE window over the key (single shuffle, occ evaluated
+    once). Only AFFECTED documents' sentences re-shuffle for reassembly
+    (cost ∝ duplicated content, not corpus). Ids of any orderable type
+    work — the keeper is a lexicographic (id, start) struct min."""
     sents = split_sentences(F.col(text_col))
     base = (
         df.where(F.col(text_col).isNotNull())
@@ -936,15 +953,6 @@ def remove_dup_spans(
             )
         ).alias("key"),
     )
-    # persisted (lazy): the duplicate-set aggregate AND the removal join
-    # both read occ — without the cache each reference re-splits and
-    # re-hashes the corpus (no CSE across DataFrame references). occ is
-    # (id, start, md5) — a fraction of corpus bytes, disk-spillable. base
-    # (the sentence arrays ≈ corpus size) is deliberately NOT cached: its
-    # two consumers each re-scan the source instead (scans are cheaper
-    # than caching a corpus-sized frame at the 100 TB design point).
-    from pyspark.storagelevel import StorageLevel
-
     occ = (
         base.select(
             "id",
@@ -956,18 +964,21 @@ def remove_dup_spans(
             ).alias("sp"),
         )
         .select("id", F.col("sp.start").alias("start"), F.col("sp.key").alias("key"))
-        .persist(StorageLevel.MEMORY_AND_DISK)
     )
-    ckey = F.col("id") * SPAN_MAX_SENTS + F.col("start")
-    dup = (
-        occ.groupBy("key")
-        .agg(F.count(F.lit(1)).alias("__n"), F.min(ckey).alias("__keeper"))
-        .where(F.col("__n") > 1)
-        .select("key", "__keeper")
-    )
+    # duplicate detection + keeper selection as a WINDOW over the span key,
+    # not a count/min-aggregate self-join: occ appears ONCE in the plan
+    # (one shuffle on key; a self-join would re-split and re-hash the
+    # corpus per reference — and the interim persist it then needs leaked
+    # a cached frame per call). Keeper = lexicographic min (id, start) as
+    # a STRUCT: works for string/arbitrary ids and cannot overflow (the
+    # earlier id*SPAN_MAX_SENTS+start combined key silently broke on
+    # string ids — NULL under ANSI-off — and wrapped on 60-bit hash ids).
+    over = Window.partitionBy("key")
+    pos = F.struct("id", "start")
     rem_sents = (
-        occ.join(dup, "key")
-        .where(ckey != F.col("__keeper"))
+        occ.withColumn("__n", F.count(F.lit(1)).over(over))
+        .withColumn("__keeper", F.min(pos).over(over))
+        .where((F.col("__n") > 1) & (pos != F.col("__keeper")))
         .select(
             "id",
             F.explode(F.sequence(F.col("start"), F.col("start") + (n - 1))).alias(

@@ -1103,6 +1103,10 @@ def mix_rates(
     formulation re-scanned the corpus once per derived aggregate (total,
     max-ratio — no CSE across DataFrame references). Returns
     (group_col, n_toks, cur_share, rate) — shares/rates rounded 6dp."""
+    if mode not in ("down", "balance"):
+        # validate BEFORE the eager corpus aggregate below — an argument
+        # typo must not cost a full-corpus tokenize first
+        raise ValueError(f"unknown mix mode: {mode}")
     tgt_sum = sum(targets.values())
     if tgt_sum <= 0:
         raise ValueError("targets must contain positive weights")
@@ -1452,12 +1456,25 @@ def classifier_score(
     bias = weights.where(F.col("b") == CLF_BIAS_BUCKET).select(
         F.col("w").alias("__bias")
     )
+    # fail FAST on a model without the bias row: the crossJoin below would
+    # otherwise return an EMPTY frame — a filter stage that silently drops
+    # the whole corpus. The weights table is ≤ buckets+1 rows by contract,
+    # so the probe is cheap.
+    if not bias.take(1):
+        raise ValueError(
+            "weights table has no bias row "
+            f"(b = {CLF_BIAS_BUCKET}); train_nb_classifier emits one — "
+            "persist the model WITH it"
+        )
     # weights are 6dp-rounded: scale to integers so the per-doc dot product
     # sums EXACTLY (order-independent — float accumulation order differs
-    # between engines/partitionings and can flip the 6dp logit rounding)
-    w6 = F.round(F.col("w") * 1e6, 0).cast("bigint")
+    # between engines/partitionings and can flip the 6dp logit rounding).
+    # LEFT join + coalesce: a model missing bucket rows contributes weight
+    # 0 for those tokens instead of silently deflating n_toks (a complete
+    # train_nb_classifier spine makes this a no-op).
+    w6 = F.coalesce(F.round(F.col("w") * 1e6, 0).cast("bigint"), F.lit(0))
     dots = (
-        g.join(F.broadcast(weights.where(F.col("b") >= 0)), "b")
+        g.join(F.broadcast(weights.where(F.col("b") >= 0)), "b", "left")
         .groupBy("id")
         .agg(
             F.sum("cnt").alias("n_toks"),

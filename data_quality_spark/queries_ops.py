@@ -277,7 +277,6 @@ def q_dedup_span_removal(spark, sf_dir):
 
 def _sql_dedup_span_removal() -> str:
     n = D.SPAN_N
-    m = D.SPAN_MAX_SENTS
     key = " || chr(2) || ".join(
         f"s[i+{j}]" if j else "s[i]" for j in range(n)
     )
@@ -294,13 +293,15 @@ base AS (
 occ AS (
   SELECT id, i AS start, md5({key}) AS key
   FROM base, unnest(range(1, len(s) - {n - 2})) AS t(i)),
-dup AS (
-  SELECT key, min(id * {m} + start) AS keeper
-  FROM occ GROUP BY key HAVING count(*) > 1),
+marked AS (
+  SELECT id, start,
+         count(*) OVER (PARTITION BY key) AS n_occ,
+         min((id, start)) OVER (PARTITION BY key) AS keeper
+  FROM occ),
 rem AS (
   SELECT DISTINCT id, start + j AS idx
-  FROM occ JOIN dup USING (key), unnest(range(0, {n})) AS u(j)
-  WHERE id * {m} + start <> keeper),
+  FROM marked, unnest(range(0, {n})) AS u(j)
+  WHERE n_occ > 1 AND (id, start) <> keeper),
 sent AS (
   SELECT id, i AS idx, s[i] AS sent
   FROM base, unnest(range(1, len(s) + 1)) AS t(i)),

@@ -1343,3 +1343,28 @@ def test_corpus_datasheet_and_token_histogram(spark):
     assert h[4] == (1, 4)
     assert h[8] == (1, 9)
     assert None not in h           # NULL text excluded
+
+
+def test_remove_dup_spans_string_and_hash_ids(spark):
+    # regression: the old id*1e6+start combined key NULLed out on string
+    # ids (ANSI-off cast) making the op a silent no-op, and wrapped on
+    # 60-bit hash ids breaking first-occurrence keeper selection
+    banner = "Buy now. Limited offer. Act fast."
+    df = spark.createDataFrame(
+        [("url-b", f"Alpha beta gamma. {banner}"),
+         ("url-a", f"Delta epsilon zeta. {banner}")],
+        "doc_id string, text string",
+    )
+    out = {r["doc_id"]: r for r in
+           D.remove_dup_spans(df, "doc_id", "text").collect()}
+    assert out["url-a"]["n_removed"] == 0        # lexicographic first kept
+    assert out["url-b"]["n_removed"] == 3
+    big = spark.createDataFrame(
+        [((1 << 60) - 1, f"One two three. {banner}"),
+         (2, f"Four five six. {banner}")],
+        "doc_id long, text string",
+    )
+    out2 = {r["doc_id"]: r for r in
+            D.remove_dup_spans(big, "doc_id", "text").collect()}
+    assert out2[2]["n_removed"] == 0             # min id is the keeper
+    assert out2[(1 << 60) - 1]["n_removed"] == 3
