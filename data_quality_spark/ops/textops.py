@@ -1005,6 +1005,48 @@ def dsir_weights(
 
 
 # ---------------------------------------------------------------------------
+# crawl snapshot diff (ingest ops: what changed between two snapshots)
+# ---------------------------------------------------------------------------
+
+
+def crawl_diff(
+    old_df: DataFrame, new_df: DataFrame, key_col: str, text_col: str
+) -> DataFrame:
+    """Key-wise diff of two corpus snapshots (e.g. consecutive crawls of
+    the same url space): returns (key_col, status, old_md5, new_md5) with
+    status ∈ added / removed / changed / unchanged. The ingest-ops
+    companion to the incremental dedup ops — decides what to re-process.
+
+    Duplicate keys within a snapshot are collapsed to their min text-md5
+    (deterministic; a multi-capture url compares by content set minimum).
+    NULL text hashes to NULL: a key whose text went NULL→value or
+    value→NULL counts as changed.
+
+    Scale shape: each side reduces to (key, md5) — ONE column-pruned scan
+    and one partial-aggregated min per side; the full-outer join carries
+    33-byte rows. Bucket both snapshots by key on write and the join is
+    shuffle-free."""
+    def hashed(df: DataFrame, out: str) -> DataFrame:
+        return (
+            df.select(F.col(key_col), F.md5(F.col(text_col)).alias(out))
+            .groupBy(key_col)
+            .agg(F.min(out).alias(out))
+        )
+
+    o = hashed(old_df, "old_md5").withColumn("__in_old", F.lit(True))
+    n = hashed(new_df, "new_md5").withColumn("__in_new", F.lit(True))
+    status = (
+        F.when(F.col("__in_old").isNull(), "added")
+        .when(F.col("__in_new").isNull(), "removed")
+        .when(F.col("old_md5").eqNullSafe(F.col("new_md5")), "unchanged")
+        .otherwise("changed")
+    )
+    return o.join(n, key_col, "full_outer").select(
+        key_col, status.alias("status"), "old_md5", "new_md5"
+    )
+
+
+# ---------------------------------------------------------------------------
 # corpus datasheet (pre-release reporting: one-scan corpus summary)
 # ---------------------------------------------------------------------------
 

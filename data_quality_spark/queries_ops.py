@@ -1262,6 +1262,56 @@ FROM lg
 
 
 # ---------------------------------------------------------------------------
+# text 0e — crawl snapshot diff (ingest ops)
+# ---------------------------------------------------------------------------
+
+
+def q_text_crawl_diff(spark, sf_dir):
+    """Snapshot diff (textops.crawl_diff): the new crawl drops every 7th
+    doc, rewrites every 5th, and adds +50000-id copies of every 11th —
+    the diff classifies each key added/removed/changed/unchanged."""
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    new = (
+        docs.where(F.col("doc_id") % 7 != 0)
+        .select(
+            "doc_id",
+            F.when(
+                F.col("doc_id") % 5 == 0, F.concat(F.col("text"), F.lit(" upd"))
+            )
+            .otherwise(F.col("text"))
+            .alias("text"),
+        )
+        .unionByName(
+            docs.where(F.col("doc_id") % 11 == 0).select(
+                (F.col("doc_id") + 50_000).alias("doc_id"), "text"
+            )
+        )
+    )
+    return T.crawl_diff(docs, new, "doc_id", "text")
+
+
+def _sql_text_crawl_diff() -> str:
+    return """
+WITH old_s AS (SELECT doc_id, text FROM documents),
+new_s AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 5 = 0 THEN text || ' upd' ELSE text END AS text
+  FROM documents WHERE doc_id % 7 <> 0
+  UNION ALL
+  SELECT doc_id + 50000, text FROM documents WHERE doc_id % 11 = 0),
+o AS (SELECT doc_id, min(md5(text)) AS old_md5 FROM old_s GROUP BY 1),
+n AS (SELECT doc_id, min(md5(text)) AS new_md5 FROM new_s GROUP BY 1)
+SELECT coalesce(o.doc_id, n.doc_id) AS doc_id,
+       CASE WHEN o.doc_id IS NULL THEN 'added'
+            WHEN n.doc_id IS NULL THEN 'removed'
+            WHEN old_md5 IS NOT DISTINCT FROM new_md5 THEN 'unchanged'
+            ELSE 'changed' END AS status,
+       old_md5, new_md5
+FROM o FULL OUTER JOIN n ON o.doc_id = n.doc_id
+"""
+
+
+# ---------------------------------------------------------------------------
 # text 0d — corpus datasheet + token histogram (release reporting)
 # ---------------------------------------------------------------------------
 
@@ -2363,6 +2413,7 @@ OPS_QUERIES = {
     "text_mix_resample": q_text_mix_resample,
     "text_mix_balance": q_text_mix_balance,
     "text_datasheet": q_text_datasheet,
+    "text_crawl_diff": q_text_crawl_diff,
     "text_token_hist": q_text_token_hist,
     "text_langid_heur": q_text_langid_heur,
     "text_quality_score": q_text_quality_score,
@@ -2424,6 +2475,7 @@ OPS_ORACLES = {
     "text_mix_resample": _sql_text_mix_resample(),
     "text_mix_balance": _sql_text_mix_balance(),
     "text_datasheet": _sql_text_datasheet(),
+    "text_crawl_diff": _sql_text_crawl_diff(),
     "text_token_hist": _sql_text_token_hist(),
     "text_langid_heur": _sql_langid_heur(),
     "text_quality_score": _sql_quality_score(),

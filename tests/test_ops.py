@@ -1368,3 +1368,18 @@ def test_remove_dup_spans_string_and_hash_ids(spark):
             D.remove_dup_spans(big, "doc_id", "text").collect()}
     assert out2[2]["n_removed"] == 0             # min id is the keeper
     assert out2[(1 << 60) - 1]["n_removed"] == 3
+
+
+def test_crawl_diff(spark):
+    old = spark.createDataFrame(
+        [(1, "same"), (2, "before"), (3, "gone"), (5, None), (6, None)],
+        "doc_id int, text string",
+    )
+    new = spark.createDataFrame(
+        [(1, "same"), (2, "after"), (4, "fresh"), (5, None), (6, "now set")],
+        "doc_id int, text string",
+    )
+    out = {r["doc_id"]: r["status"] for r in
+           T.crawl_diff(old, new, "doc_id", "text").collect()}
+    assert out == {1: "unchanged", 2: "changed", 3: "removed",
+                   4: "added", 5: "unchanged", 6: "changed"}
