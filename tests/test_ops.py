@@ -1383,3 +1383,31 @@ def test_crawl_diff(spark):
            T.crawl_diff(old, new, "doc_id", "text").collect()}
     assert out == {1: "unchanged", 2: "changed", 3: "removed",
                    4: "added", 5: "unchanged", 6: "changed"}
+
+
+def test_new_ops_identity_edges(spark):
+    docs = spark.createDataFrame(
+        [(1, "alpha beta gamma delta epsilon zeta eta theta"),
+         (2, "one two three four five six seven eight nine"),
+         (3, None)],
+        "doc_id int, text string",
+    )
+    # diff of a snapshot with itself: everything unchanged
+    st = {r["status"] for r in
+          T.crawl_diff(docs, docs, "doc_id", "text").collect()}
+    assert st == {"unchanged"}
+    # decontaminating against an empty probe set keeps everything
+    empty = spark.createDataFrame([], "doc_id int, text string")
+    kept = T.decontaminate(docs, empty, "doc_id", "text")
+    assert kept.count() == 3
+    # cross-batch near-dedup vs an EMPTY index: no matches, and the drop
+    # wrapper reduces to plain in-batch near-dedup (all distinct here)
+    idx = D.minhash_signature_index(empty, "doc_id", "text")
+    assert D.minhash_incremental_matches(docs, idx, "doc_id", "text").count() == 0
+    assert D.dedup_minhash_incremental(docs, idx, "doc_id", "text").count() == 3
+    # span removal on a corpus with no repeated spans is a byte-level no-op
+    out = {r["doc_id"]: r for r in
+           D.remove_dup_spans(docs, "doc_id", "text").collect()}
+    for r in docs.collect():
+        assert out[r["doc_id"]]["text_dedup"] == r["text"]
+        assert out[r["doc_id"]]["n_removed"] == 0
