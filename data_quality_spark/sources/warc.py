@@ -1,0 +1,149 @@
+"""WARC source adapter: raw Common-Crawl-style web archives → the engine's
+pages-table shape (url, warc_ts, html, text, lang — BASELINE.json
+input_hint), so a crawl consumer can point the quality-filter pipeline at
+.warc / .warc.gz segments directly.
+
+Reference ancestor: the reference's table loaders hand a warehouse table to
+the check engine (/root/reference/data_quality/src/sources.py) — this is
+the web-archive equivalent for an engine whose input is crawls, not
+warehouses.
+
+Design (Spark-first):
+  * `spark.read.format("binaryFile")` lists and reads whole segment files —
+    WARC's gzip framing is per-RECORD members, so a segment is not
+    block-splittable without an index; one task per segment file is the
+    standard parallel grain (Common-Crawl segments are ~1 GiB, thousands
+    per crawl — file-level parallelism saturates any cluster).
+  * Record parsing runs in mapInPandas over the file bytes: pure python
+    stdlib (gzip handles concatenated members transparently), Arrow-batched
+    output, nothing per-row in the driver.
+  * Only WARC-Type: response records yield rows; the HTTP body is returned
+    as `html` bytes unmodified (byte fidelity — decoding is the extraction
+    stage's job), `text`/`lang` are NULL for the pipeline to fill.
+
+At 100 TB: listing is a metadata operation; each file is read exactly once;
+memory per task is one segment (binaryFile materializes the file — cap
+segment size or use a streaming reader for pathological archives,
+documented rather than hidden).
+"""
+
+from __future__ import annotations
+
+import gzip as _gzip
+import io
+from datetime import datetime, timezone
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+
+PAGES_SCHEMA = (
+    "url string, warc_ts timestamp, html binary, text string, lang string"
+)
+
+_SEP = b"\r\n\r\n"
+
+
+def _split_records(raw: bytes):
+    """Yield (warc_headers: dict, body: bytes) per WARC record."""
+    pos = 0
+    n = len(raw)
+    while pos < n:
+        # skip inter-record blank lines
+        while pos < n and raw[pos : pos + 2] in (b"\r\n", b"\n\n"):
+            pos += 2
+        head_end = raw.find(_SEP, pos)
+        if head_end < 0:
+            return
+        head = raw[pos:head_end].decode("utf-8", "replace")
+        if not head.startswith("WARC/"):
+            return
+        headers = {}
+        for line in head.split("\r\n")[1:]:
+            k, _, v = line.partition(":")
+            if _:
+                headers[k.strip().lower()] = v.strip()
+        try:
+            length = int(headers.get("content-length", "0"))
+        except ValueError:
+            return
+        body = raw[head_end + len(_SEP) : head_end + len(_SEP) + length]
+        yield headers, body
+        pos = head_end + len(_SEP) + length
+
+
+def _http_body(block: bytes) -> bytes:
+    """Strip the HTTP response headers from a response record block."""
+    i = block.find(_SEP)
+    return block[i + len(_SEP):] if i >= 0 else block
+
+
+def _parse_ts(s: str):
+    try:
+        return datetime.strptime(s, "%Y-%m-%dT%H:%M:%SZ").replace(
+            tzinfo=timezone.utc
+        )
+    except (ValueError, TypeError):
+        return None
+
+
+def parse_warc_bytes(raw: bytes):
+    """(url, warc_ts, html) rows from one WARC segment's bytes; transparent
+    gzip (member-concatenated, the Common-Crawl framing)."""
+    if raw[:2] == b"\x1f\x8b":
+        raw = _gzip.GzipFile(fileobj=io.BytesIO(raw)).read()
+    out = []
+    for headers, body in _split_records(raw):
+        if headers.get("warc-type") != "response":
+            continue
+        url = headers.get("warc-target-uri")
+        if not url:
+            continue
+        out.append((url, _parse_ts(headers.get("warc-date", "")),
+                    _http_body(body)))
+    return out
+
+
+def read_warc(spark: SparkSession, path: str) -> DataFrame:
+    """DataFrame(url, warc_ts, html, text, lang) from .warc/.warc.gz files
+    at `path` (glob ok). text/lang are NULL — the pipeline's extraction and
+    langid stages fill them; feed the result straight to annotate_pages."""
+    files = spark.read.format("binaryFile").load(path).select("content")
+
+    def parse(batches):
+        for pdf in batches:
+            rows = []
+            for raw in pdf["content"]:
+                rows.extend(parse_warc_bytes(bytes(raw)))
+            yield pd.DataFrame(
+                {
+                    "url": [r[0] for r in rows],
+                    "warc_ts": [r[1] for r in rows],
+                    "html": [r[2] for r in rows],
+                    "text": pd.Series([None] * len(rows), dtype="object"),
+                    "lang": pd.Series([None] * len(rows), dtype="object"),
+                }
+            )
+
+    return files.mapInPandas(parse, PAGES_SCHEMA)
+
+
+def write_warc(path: str, records, gzip: bool = False) -> None:
+    """Write (url, iso_ts, html_bytes) triples as a minimal WARC file —
+    the test/fixture twin of read_warc (synthetic archives only; not a
+    general-purpose WARC writer)."""
+    buf = io.BytesIO()
+    for url, ts, html in records:
+        http = b"HTTP/1.1 200 OK\r\nContent-Type: text/html\r\n\r\n" + html
+        head = (
+            "WARC/1.0\r\n"
+            "WARC-Type: response\r\n"
+            f"WARC-Target-URI: {url}\r\n"
+            f"WARC-Date: {ts}\r\n"
+            f"Content-Length: {len(http)}"
+        ).encode()
+        buf.write(head + _SEP + http + b"\r\n\r\n")
+    data = buf.getvalue()
+    if gzip:
+        data = _gzip.compress(data)
+    with open(path, "wb") as fh:
+        fh.write(data)

@@ -1411,3 +1411,32 @@ def test_new_ops_identity_edges(spark):
     for r in docs.collect():
         assert out[r["doc_id"]]["text_dedup"] == r["text"]
         assert out[r["doc_id"]]["n_removed"] == 0
+
+
+def test_read_warc_to_pipeline(spark, tmp_path):
+    from data_quality_spark.sources import warc as W
+
+    body_a = b"<html><main><p>" + b"Hello common crawl world today. " * 5 + b"</p></main></html>"
+    body_b = b"<html><main><p>Zweiter Text hier drin.</p></main></html>"
+    W.write_warc(str(tmp_path / "seg1.warc"),
+                 [("https://a.example/x", "2024-01-02T03:04:05Z", body_a)])
+    W.write_warc(str(tmp_path / "seg2.warc.gz"),
+                 [("https://b.example/y", "2024-02-03T04:05:06Z", body_b)],
+                 gzip=True)
+    df = W.read_warc(spark, str(tmp_path) + "/*")
+    rows = {r["url"]: r for r in df.collect()}
+    # byte fidelity incl. through the per-record gzip framing
+    assert bytes(rows["https://a.example/x"]["html"]) == body_a
+    assert bytes(rows["https://b.example/y"]["html"]) == body_b
+    assert str(rows["https://a.example/x"]["warc_ts"]).startswith("2024-01-02 03:04:05")
+    assert rows["https://a.example/x"]["text"] is None
+    # schema matches the pipeline input contract end-to-end
+    from data_quality_spark.pipeline.quality_filter import annotate_pages
+
+    ann = {r["url"]: r for r in
+           annotate_pages(df).select("url", "text_extracted").collect()}
+    assert ann["https://b.example/y"]["text_extracted"] == "Zweiter Text hier drin."
+    # non-response records are skipped
+    raw = (b"WARC/1.0\r\nWARC-Type: request\r\n"
+           b"WARC-Target-URI: https://c.example/\r\nContent-Length: 2\r\n\r\nhi\r\n\r\n")
+    assert W.parse_warc_bytes(raw) == []
