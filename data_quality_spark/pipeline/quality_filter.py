@@ -307,9 +307,14 @@ def run_pipeline(
     n_buckets: int = 8,
     resume: bool = True,
     dedup: str | None = None,
+    input_format: str = "parquet",
 ) -> dict:
     """Bucketed, resumable run. Buckets = deterministic url-hash ranges; a
     restart skips buckets already recorded in the manifest.
+
+    input_format: 'parquet' (pages table) or 'warc' (raw .warc/.warc.gz
+    crawl segments via sources.warc.read_warc — file-grain parallelism,
+    text/lang filled by the pipeline).
 
     Single-pass: ALL pending buckets are processed in ONE job — one FileScan
     of the input, one annotate pipeline, one partitionBy("bucket") write
@@ -331,7 +336,15 @@ def run_pipeline(
         "rows_kept": 0,
     }
     if pending:
-        pages = spark.read.parquet(in_path).withColumn(
+        if input_format == "warc":
+            from data_quality_spark.sources.warc import read_warc
+
+            raw = read_warc(spark, in_path)
+        elif input_format == "parquet":
+            raw = spark.read.parquet(in_path)
+        else:
+            raise ValueError(f"unknown input_format: {input_format}")
+        pages = raw.withColumn(
             "bucket", F.pmod(F.xxhash64(F.col("url")), F.lit(n_buckets))
         )
         part = pages.filter(F.col("bucket").isin(pending))
@@ -413,11 +426,14 @@ def main():  # pragma: no cover
     ap.add_argument("--no-resume", action="store_true")
     ap.add_argument("--dedup", choices=["exact", "minhash", "minhash_cluster"],
                     default=None)
+    ap.add_argument("--input-format", choices=["parquet", "warc"],
+                    default="parquet")
     a = ap.parse_args()
     spark = get_spark(app_name="quality_filter")
     print(json.dumps(run_pipeline(spark, a.input, a.out,
                                   n_buckets=a.buckets, resume=not a.no_resume,
-                                  dedup=a.dedup)))
+                                  dedup=a.dedup,
+                                  input_format=a.input_format)))
 
 
 if __name__ == "__main__":  # pragma: no cover

@@ -400,3 +400,22 @@ def test_host_blocklist_rule(spark, fixture_path):
         if r["url"] not in multi and list(r["fired_rules"]) != exp[r["url"]]
     )
     assert mism <= 2  # same tolerance as the full-corpus fired-rules test
+
+
+def test_run_pipeline_warc_input(spark, tmp_path):
+    from data_quality_spark.pipeline.quality_filter import run_pipeline
+    from data_quality_spark.sources import warc as W
+
+    body = ("<html><main><p>"
+            + "This is the story of a quiet town and of the people in it. " * 8
+            + "</p></main></html>").encode()
+    W.write_warc(str(tmp_path / "seg.warc.gz"),
+                 [(f"https://ex{i}.org/p", "2024-03-04T05:06:07Z", body)
+                  for i in range(6)], gzip=True)
+    out = str(tmp_path / "out")
+    stats = run_pipeline(spark, str(tmp_path / "seg.warc.gz"), out,
+                         n_buckets=2, input_format="warc")
+    assert stats["buckets_done"] == 2
+    kept = spark.read.parquet(out + "/kept")
+    assert kept.count() == stats["rows_kept"] > 0
+    assert "text_scrubbed" in kept.columns
