@@ -65,6 +65,8 @@ HEADLINE = [
     "text_clf_score",         # NB train + hashed-linear classifier filter
     "text_decontaminate",     # benchmark n-gram decontamination anti-join
     "dedup_minhash_incr",     # cross-batch near-dup vs signature index
+    "dedup_span_removal",     # C4-style dup-span removal + doc rebuild
+    "text_mix_resample",      # mixture rates + hash-threshold resample
 ]
 
 
