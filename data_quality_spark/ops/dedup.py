@@ -151,6 +151,140 @@ def dedup_incremental(
 
 
 # ---------------------------------------------------------------------------
+# 1c — Bloom-filter incremental dedup (Dolma-style)
+# ---------------------------------------------------------------------------
+
+# Defaults size the filter for ~10^9 seen docs at <1% FP with m=2^33 bits
+# (1 GiB) in production; the library default keeps the bitmap collectable
+# in tests. FP rate ≈ (1 - e^{-k·n/m})^k.
+BLOOM_M = 1 << 20
+BLOOM_K = 4
+
+
+def bloom_positions(text_md5: Column, m: int = BLOOM_M, k: int = BLOOM_K) -> Column:
+    """array<bigint> of the k Bloom bit positions of one document:
+    pos_i = portable_hash64(md5(text), salt='#bloom⌊i/2⌋') % m, taking hex
+    digits [1,15] for even i and [16,30] for odd i — one md5 call yields two
+    independent 60-bit hashes, so k positions cost ⌈k/2⌉ md5 calls over a
+    33-char string. Identical in Spark / DuckDB / python (ops.hashing)."""
+    return F.array(
+        *[
+            F.pmod(
+                portable_hash64(text_md5, f"#bloom{i // 2}", 1 + 15 * (i % 2)),
+                F.lit(m),
+            )
+            for i in range(k)
+        ]
+    )
+
+
+def bloom_build(
+    df: DataFrame, text_col: str, m: int = BLOOM_M, k: int = BLOOM_K
+) -> DataFrame:
+    """DataFrame[word_idx, bits] — the Bloom bitmap of a corpus snapshot,
+    packed 64 bits per row via a bit_or partial aggregate (map-side combine
+    collapses each task's positions before the ≤m/64-row shuffle). Persist
+    this per ingested batch: probing later batches never touches the
+    historical corpus again, and unioning two snapshots' filters is a
+    bit_or merge of two tiny tables. At m=2^27 the bitmap is ≤2M rows /
+    ~16 MiB — broadcastable; the corpus side contributes one scan."""
+    pos = df.where(F.col(text_col).isNotNull()).select(
+        F.explode(bloom_positions(F.md5(F.col(text_col)), m, k)).alias("pos")
+    )
+    return (
+        pos.groupBy(F.shiftright(F.col("pos"), 6).alias("word_idx"))
+        .agg(
+            F.expr(
+                "bit_or(shiftleft(CAST(1 AS BIGINT), CAST(pos & 63 AS INT)))"
+            ).alias("bits")
+        )
+    )
+
+
+def _bloom_membership_udf(bitmap: np.ndarray, k: int):
+    """Vectorized bitmap probe: positions arrays are fixed length k, so a
+    whole Arrow batch flattens to ONE (rows × k) numpy gather + shift."""
+
+    @F.pandas_udf("boolean")
+    def member(pos_arrays: pd.Series) -> pd.Series:
+        vals = pos_arrays.to_numpy()
+        null_mask = np.array([v is None for v in vals])
+        if null_mask.all():
+            return pd.Series([False] * len(vals))
+        flat = np.concatenate(
+            [np.asarray(v, dtype=np.int64) for v in vals[~null_mask]]
+        ).reshape(-1, k)
+        word = (flat >> 6).astype(np.int64)
+        bit = (flat & 63).astype(np.uint64)
+        hit = (bitmap[word] >> bit) & np.uint64(1)
+        seen = hit.all(axis=1)
+        out = np.zeros(len(vals), dtype=bool)
+        out[~null_mask] = seen
+        return pd.Series(out)
+
+    return member
+
+
+def bloom_maybe_seen(
+    new_df: DataFrame,
+    bloom: DataFrame,
+    text_col: str,
+    m: int = BLOOM_M,
+    k: int = BLOOM_K,
+) -> DataFrame:
+    """Adds boolean ``maybe_seen``: True iff ALL k Bloom positions of
+    md5(text) are set in the snapshot bitmap. Null-text rows get False.
+
+    Scale shape: the bitmap (≤m/64 rows) collects once to the driver into a
+    numpy uint64 array and is broadcast; the probe is then MAP-ONLY — the
+    new batch never shuffles and the historical corpus is never read. False
+    positives are inherent to Bloom filters but DETERMINISTIC given (m, k)
+    and the md5 hash contract, so the SQL oracle reproduces every FP exactly
+    and dedup decisions stay auditable across engines."""
+    words = max(1, (m + 63) // 64)
+    bitmap = np.zeros(words, dtype=np.uint64)
+    for row in bloom.collect():
+        bitmap[int(row["word_idx"])] = np.uint64(int(row["bits"]) & 0xFFFFFFFFFFFFFFFF)
+    member = _bloom_membership_udf(bitmap, k)
+    pos = F.when(
+        F.col(text_col).isNotNull(),
+        bloom_positions(F.md5(F.col(text_col)), m, k),
+    )
+    return new_df.withColumn("maybe_seen", member(pos))
+
+
+def dedup_bloom_incremental(
+    new_df: DataFrame,
+    bloom: DataFrame,
+    id_col: str,
+    text_col: str,
+    m: int = BLOOM_M,
+    k: int = BLOOM_K,
+) -> DataFrame:
+    """Incremental exact dedup of a new batch against a PERSISTED Bloom
+    bitmap of everything already ingested (the Dolma / CCNet shape): drop
+    rows the filter reports maybe-seen, then drop in-batch exact duplicates
+    keeping the min id; null-text rows pass through.
+
+    vs dedup_incremental (seen-hash anti-join): the index here is O(m) bits
+    instead of O(corpus) hashes and the probe is map-only instead of a
+    join — the trade is a configurable FP rate (genuinely-new docs dropped
+    as (1-e^{-kn/m})^k). Reference ancestor: the duplicate check
+    (/root/reference/data_quality/src/checks/values_duplicate.py), extended
+    to the cross-batch streaming-ingest setting."""
+    flagged = bloom_maybe_seen(new_df, bloom, text_col, m, k)
+    fresh = flagged.where(~F.col("maybe_seen") & F.col(text_col).isNotNull())
+    keep_ids = (
+        fresh.select(F.md5(F.col(text_col)).alias("__h"), F.col(id_col))
+        .groupBy("__h")
+        .agg(F.min(id_col).alias(id_col))
+        .select(id_col)
+    )
+    kept = new_df.join(keep_ids, on=id_col, how="left_semi")
+    return kept.unionByName(new_df.where(F.col(text_col).isNull()))
+
+
+# ---------------------------------------------------------------------------
 # 2 — MinHash + LSH
 # ---------------------------------------------------------------------------
 

@@ -159,6 +159,96 @@ SELECT doc_id FROM new_batch WHERE text IS NULL
 
 
 # ---------------------------------------------------------------------------
+# dedup 1a-bis — Bloom-filter incremental dedup (Dolma-style)
+# ---------------------------------------------------------------------------
+
+# Small enough that the sf0.01 seen-half fills ~60% of the filter — the
+# query then exercises REAL false positives, deterministically reproduced
+# by the oracle (same md5 positions both sides).
+BLOOM_TEST_M = 4096
+
+
+def _sql_bloom_pos(md5_expr: str, m: int, k: int) -> str:
+    """The k Bloom position expressions (DuckDB) for one document hash —
+    rendered from the same salt scheme as ops.dedup.bloom_positions."""
+    return ", ".join(
+        f"({sql_hash64(md5_expr, f'#bloom{i // 2}', 1 + 15 * (i % 2))}) % {m}"
+        for i in range(D.BLOOM_K)
+    )
+
+
+def q_dedup_bloom(spark, sf_dir):
+    """Bloom-filter incremental dedup (ops.dedup.dedup_bloom_incremental):
+    the corpus splits into a seen snapshot — of which only the m-bit Bloom
+    bitmap is retained — and a new batch with exact re-crawls (+10000) and
+    in-batch copies (+20000). Returns per-probe-row (maybe_seen, kept);
+    false positives at the deliberately small test m are part of the
+    verified contract (deterministic given the md5 position scheme)."""
+    from data_quality_spark.ops.hashing import portable_hash64
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    bucket = F.pmod(
+        portable_hash64(F.col("doc_id").cast("string"), f"#{INCR_SALT}"),
+        F.lit(T.SAMPLE_DENOM),
+    )
+    seen_docs = docs.where(bucket < T.SAMPLE_DENOM // 2)
+    new_raw = docs.where(bucket >= T.SAMPLE_DENOM // 2)
+    recrawl = seen_docs.where(F.col("doc_id") % 3 == 0).select(
+        (F.col("doc_id") + 10_000).alias("doc_id"), "text"
+    )
+    inbatch = new_raw.where(F.col("doc_id") % 5 == 1).select(
+        (F.col("doc_id") + 20_000).alias("doc_id"), "text"
+    )
+    new_batch = new_raw.unionByName(recrawl).unionByName(inbatch)
+    bloom = D.bloom_build(seen_docs, "text", m=BLOOM_TEST_M)
+    flagged = D.bloom_maybe_seen(new_batch, bloom, "text", m=BLOOM_TEST_M)
+    kept = D.dedup_bloom_incremental(
+        new_batch, bloom, "doc_id", "text", m=BLOOM_TEST_M
+    ).select("doc_id", F.lit(True).alias("kept"))
+    return (
+        flagged.select("doc_id", "maybe_seen")
+        .join(kept, "doc_id", "left")
+        .select(
+            "doc_id", "maybe_seen", F.coalesce("kept", F.lit(False)).alias("kept")
+        )
+    )
+
+
+def _sql_dedup_bloom() -> str:
+    h = sql_hash64("doc_id::VARCHAR", f"#{INCR_SALT}")
+    half = T.SAMPLE_DENOM // 2
+    pos = _sql_bloom_pos("md5(text)", BLOOM_TEST_M, D.BLOOM_K)
+    return f"""
+WITH seen_docs AS (
+  SELECT doc_id, text FROM documents WHERE ({h}) % {T.SAMPLE_DENOM} < {half}),
+new_raw AS (
+  SELECT doc_id, text FROM documents WHERE ({h}) % {T.SAMPLE_DENOM} >= {half}),
+new_batch AS (
+  SELECT doc_id, text FROM new_raw
+  UNION ALL SELECT doc_id + 10000, text FROM seen_docs WHERE doc_id % 3 = 0
+  UNION ALL SELECT doc_id + 20000, text FROM new_raw WHERE doc_id % 5 = 1),
+seen_pos AS (
+  SELECT DISTINCT unnest([{pos}]) AS pos
+  FROM seen_docs WHERE text IS NOT NULL),
+probe_pos AS (
+  SELECT doc_id, unnest([{pos}]) AS pos
+  FROM new_batch WHERE text IS NOT NULL),
+flags AS (
+  SELECT doc_id, bool_and(pos IN (SELECT pos FROM seen_pos)) AS maybe_seen
+  FROM probe_pos GROUP BY doc_id),
+all_flags AS (
+  SELECT b.doc_id, coalesce(f.maybe_seen, FALSE) AS maybe_seen, b.text
+  FROM new_batch b LEFT JOIN flags f USING (doc_id)),
+keep_ids AS (
+  SELECT min(doc_id) AS doc_id FROM all_flags
+  WHERE NOT maybe_seen AND text IS NOT NULL GROUP BY md5(text))
+SELECT doc_id, maybe_seen,
+       (text IS NULL OR doc_id IN (SELECT doc_id FROM keep_ids)) AS kept
+FROM all_flags
+"""
+
+
+# ---------------------------------------------------------------------------
 # dedup 1b — incremental MinHash vs persisted signature index
 # ---------------------------------------------------------------------------
 
@@ -2384,6 +2474,7 @@ GROUP BY w.doc_id
 OPS_QUERIES = {
     "dedup_exact": q_dedup_exact,
     "dedup_incremental": q_dedup_incremental,
+    "dedup_bloom": q_dedup_bloom,
     "dedup_minhash_incr": q_dedup_minhash_incr,
     "dedup_span_removal": q_dedup_span_removal,
     "dedup_dup_spans": q_dedup_dup_spans,
@@ -2446,6 +2537,7 @@ OPS_QUERIES = {
 OPS_ORACLES = {
     "dedup_exact": SQL_DEDUP_EXACT,
     "dedup_incremental": _sql_dedup_incremental(),
+    "dedup_bloom": _sql_dedup_bloom(),
     "dedup_minhash_incr": _sql_dedup_minhash_incr(),
     "dedup_span_removal": _sql_dedup_span_removal(),
     "dedup_dup_spans": _sql_dedup_dup_spans(),

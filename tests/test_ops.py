@@ -1022,6 +1022,69 @@ def test_dedup_incremental(spark):
     assert got == [11, 13, 14]
 
 
+def _py_bloom_positions(text: str, m: int, k: int) -> list[int]:
+    md5 = hashlib.md5(text.encode()).hexdigest()
+    return [py_hash64(md5, f"#bloom{i // 2}", 1 + 15 * (i % 2)) % m for i in range(k)]
+
+
+def test_bloom_build_matches_python(spark):
+    texts = [f"doc number {i}" for i in range(30)]
+    df = spark.createDataFrame([(i, t) for i, t in enumerate(texts)], "i int, t string")
+    m, k = 256, D.BLOOM_K
+    got = {r["word_idx"]: r["bits"] for r in D.bloom_build(df, "t", m=m).collect()}
+    exp = {}
+    for t in texts:
+        for p in _py_bloom_positions(t, m, k):
+            exp[p >> 6] = exp.get(p >> 6, 0) | (1 << (p & 63))
+    # signed-vs-unsigned: Spark stores the bit pattern in a signed bigint
+    assert {w: b & 0xFFFFFFFFFFFFFFFF for w, b in got.items()} == exp
+
+
+def test_bloom_incremental_with_false_positives(spark):
+    # m=64 forces real false positives: the py twin decides which new texts
+    # FP-collide, and the operator must make the SAME (deterministic) calls
+    m, k = 64, D.BLOOM_K
+    seen_texts = [f"seen {i}" for i in range(12)]
+    set_pos = {p for t in seen_texts for p in _py_bloom_positions(t, m, k)}
+    # deterministically pick probes so >=1 genuinely-new text FP-collides
+    # and >=1 does not (the twin decides which; no luck involved)
+    cands = [f"new {i}" for i in range(500)]
+    fp = next(t for t in cands
+              if all(p in set_pos for p in _py_bloom_positions(t, m, k)))
+    clean = [t for t in cands
+             if not all(p in set_pos for p in _py_bloom_positions(t, m, k))][:5]
+    new_rows = [(i, t) for i, t in enumerate([fp] + clean)] + [
+        (10, "seen 3"),      # true positive: re-crawl of a seen doc
+        (11, clean[0]),      # in-batch exact dup of id 1
+        (12, None),          # null text passes through
+    ]
+    seen = spark.createDataFrame([(t,) for t in seen_texts], "t string")
+    new = spark.createDataFrame(new_rows, "i int, t string")
+    bloom = D.bloom_build(seen, "t", m=m)
+
+    flagged = {r["i"]: r["maybe_seen"]
+               for r in D.bloom_maybe_seen(new, bloom, "t", m=m).collect()}
+    exp_flag = {i: (t is not None
+                    and all(p in set_pos for p in _py_bloom_positions(t, m, k)))
+                for i, t in new_rows}
+    assert flagged == exp_flag
+    assert exp_flag[10] is True          # true positive always flagged
+    assert exp_flag[0] is True           # the chosen FP text is flagged
+    assert not all(exp_flag[i] for i in range(1, 6))
+
+    kept = sorted(r["i"] for r in D.dedup_bloom_incremental(
+        new, bloom, "i", "t", m=m).collect())
+    exp_seen_hashes = set()
+    exp_kept = []
+    for i, t in sorted(new_rows):
+        if t is None:
+            exp_kept.append(i)
+        elif not exp_flag[i] and t not in exp_seen_hashes:
+            exp_seen_hashes.add(t)
+            exp_kept.append(i)
+    assert kept == sorted(exp_kept)
+
+
 def test_top_fraction(spark):
     rows = [(i, "a", float(i)) for i in range(1, 11)] + [(99, "b", 1.0)]
     df = spark.createDataFrame(rows, "i int, g string, s double")
