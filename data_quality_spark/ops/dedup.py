@@ -273,6 +273,15 @@ def dedup_bloom_incremental(
     (/root/reference/data_quality/src/checks/values_duplicate.py), extended
     to the cross-batch streaming-ingest setting."""
     flagged = bloom_maybe_seen(new_df, bloom, text_col, m, k)
+    return bloom_keep(flagged, id_col, text_col).drop("maybe_seen")
+
+
+def bloom_keep(flagged: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Keeper step over an already-``maybe_seen``-annotated frame (the
+    output of bloom_maybe_seen): drop flagged rows, keep the min id per
+    distinct md5(text) among the rest, pass null-text rows through. Split
+    out so callers that also need the flags probe the bitmap ONCE (persist
+    the flagged frame) instead of re-running the Arrow UDF per consumer."""
     fresh = flagged.where(~F.col("maybe_seen") & F.col(text_col).isNotNull())
     keep_ids = (
         fresh.select(F.md5(F.col(text_col)).alias("__h"), F.col(id_col))
@@ -280,8 +289,8 @@ def dedup_bloom_incremental(
         .agg(F.min(id_col).alias(id_col))
         .select(id_col)
     )
-    kept = new_df.join(keep_ids, on=id_col, how="left_semi")
-    return kept.unionByName(new_df.where(F.col(text_col).isNull()))
+    kept = flagged.join(keep_ids, on=id_col, how="left_semi")
+    return kept.unionByName(flagged.where(F.col(text_col).isNull()))
 
 
 # ---------------------------------------------------------------------------

@@ -201,10 +201,13 @@ def q_dedup_bloom(spark, sf_dir):
     )
     new_batch = new_raw.unionByName(recrawl).unionByName(inbatch)
     bloom = D.bloom_build(seen_docs, "text", m=BLOOM_TEST_M)
-    flagged = D.bloom_maybe_seen(new_batch, bloom, "text", m=BLOOM_TEST_M)
-    kept = D.dedup_bloom_incremental(
-        new_batch, bloom, "doc_id", "text", m=BLOOM_TEST_M
-    ).select("doc_id", F.lit(True).alias("kept"))
+    # persist the flagged batch (bounded: one small-batch projection) so the
+    # bitmap probe runs ONCE and the keeper semi-join hits an
+    # InMemoryRelation instead of distributing over the 3-way union
+    flagged = D.bloom_maybe_seen(new_batch, bloom, "text", m=BLOOM_TEST_M).persist()
+    kept = D.bloom_keep(flagged, "doc_id", "text").select(
+        "doc_id", F.lit(True).alias("kept")
+    )
     return (
         flagged.select("doc_id", "maybe_seen")
         .join(kept, "doc_id", "left")
