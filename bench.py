@@ -57,6 +57,7 @@ HEADLINE = [
     "text_boilerplate",       # corpus boilerplate: 2-stage agg + broadcast rewrite
     "dedup_incremental",      # anti-join vs seen-hash index + in-batch min-id
     "dedup_bloom",            # Bloom bitmap probe: map-only vs persisted filter
+    "dedup_para_bloom",       # paragraph Bloom dedupe: map-only doc rewrite
     "dedup_dup_spans",        # exact-substring signal: window-hash agg + whash window
     "text_ngram_repetition",  # Gopher repetition metrics: gram explode + 2-level agg
     "dedup_semantic",         # SemDeDup: k-means cell assign + within-cell cosine

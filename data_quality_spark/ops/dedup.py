@@ -191,6 +191,11 @@ def bloom_build(
     pos = df.where(F.col(text_col).isNotNull()).select(
         F.explode(bloom_positions(F.md5(F.col(text_col)), m, k)).alias("pos")
     )
+    return _bloom_pack(pos)
+
+
+def _bloom_pack(pos: DataFrame) -> DataFrame:
+    """Pack a single-column [pos] frame into the [word_idx, bits] bitmap."""
     return (
         pos.groupBy(F.shiftright(F.col("pos"), 6).alias("word_idx"))
         .agg(
@@ -199,6 +204,30 @@ def bloom_build(
             ).alias("bits")
         )
     )
+
+
+def bloom_merge(a: DataFrame, b: DataFrame) -> DataFrame:
+    """Union of two Bloom filters with the same (m, k): bit_or of the two
+    ≤m/64-row tables — this is how per-batch snapshot filters compose into
+    one corpus filter without touching any document."""
+    return (
+        a.unionByName(b)
+        .groupBy("word_idx")
+        .agg(F.expr("bit_or(bits)").alias("bits"))
+    )
+
+
+def _collect_bitmap(bloom: DataFrame, m: int) -> np.ndarray:
+    """Driver-side uint64 bitmap from the packed [word_idx, bits] table
+    (m/8 bytes — 128 KiB at the library default, 1 GiB at the documented
+    2^33 production ceiling)."""
+    words = max(1, (m + 63) // 64)
+    bitmap = np.zeros(words, dtype=np.uint64)
+    for row in bloom.collect():
+        bitmap[int(row["word_idx"])] = np.uint64(
+            int(row["bits"]) & 0xFFFFFFFFFFFFFFFF
+        )
+    return bitmap
 
 
 def _bloom_membership_udf(bitmap: np.ndarray, k: int):
@@ -241,11 +270,7 @@ def bloom_maybe_seen(
     positives are inherent to Bloom filters but DETERMINISTIC given (m, k)
     and the md5 hash contract, so the SQL oracle reproduces every FP exactly
     and dedup decisions stay auditable across engines."""
-    words = max(1, (m + 63) // 64)
-    bitmap = np.zeros(words, dtype=np.uint64)
-    for row in bloom.collect():
-        bitmap[int(row["word_idx"])] = np.uint64(int(row["bits"]) & 0xFFFFFFFFFFFFFFFF)
-    member = _bloom_membership_udf(bitmap, k)
+    member = _bloom_membership_udf(_collect_bitmap(bloom, m), k)
     pos = F.when(
         F.col(text_col).isNotNull(),
         bloom_positions(F.md5(F.col(text_col)), m, k),
@@ -291,6 +316,108 @@ def bloom_keep(flagged: DataFrame, id_col: str, text_col: str) -> DataFrame:
     )
     kept = flagged.join(keep_ids, on=id_col, how="left_semi")
     return kept.unionByName(flagged.where(F.col(text_col).isNull()))
+
+
+# ---------------------------------------------------------------------------
+# 1d — paragraph-level Bloom dedup (Dolma's paragraph dedupe mode)
+# ---------------------------------------------------------------------------
+
+# Paragraph contract: newline-delimited (the same F.split(text, '\n') as the
+# boilerplate/line operators — empties preserved). Paragraphs shorter than
+# min_chars are never indexed and never dropped (default 1: blank separator
+# lines survive, so paragraph breaks are not rewritten corpus-wide).
+
+
+def _para_positions(text_col: str, m: int, k: int, min_chars: int) -> Column:
+    """array<array<bigint>> — per paragraph, its k Bloom positions (NULL
+    entry for short paragraphs). The md5 chain runs JVM-side inside the
+    transform lambdas (interpreted, no codegen — but still native hashing;
+    the inner md5(para) is its own transform pass so the NOTES no-CSE trap
+    costs k/2+1, not 2k, md5 calls per paragraph)."""
+    paras = F.split(F.col(text_col), r"\n")
+    md5s = F.transform(paras, lambda p: F.md5(p))
+    short = F.transform(paras, lambda p: F.length(p) < min_chars)
+    pos = F.transform(md5s, lambda h: bloom_positions(h, m, k))
+    return F.zip_with(short, pos, lambda s, p: F.when(~s, p))
+
+
+def bloom_para_build(
+    df: DataFrame,
+    text_col: str,
+    m: int = BLOOM_M,
+    k: int = BLOOM_K,
+    min_chars: int = 1,
+) -> DataFrame:
+    """[word_idx, bits] Bloom bitmap of every (>= min_chars) paragraph in
+    the corpus snapshot — the paragraph-granular sibling of bloom_build,
+    same packing, same merge algebra (bloom_merge). One scan; only the
+    ≤m/64-row packed words shuffle."""
+    pos = (
+        df.where(F.col(text_col).isNotNull())
+        .select(
+            F.explode(_para_positions(text_col, m, k, min_chars)).alias("pp")
+        )
+        .where(F.col("pp").isNotNull())
+        .select(F.explode("pp").alias("pos"))
+    )
+    return _bloom_pack(pos)
+
+
+def remove_seen_paragraphs(
+    df: DataFrame,
+    bloom: DataFrame,
+    text_col: str,
+    m: int = BLOOM_M,
+    k: int = BLOOM_K,
+    min_chars: int = 1,
+    out_col: str = "text_clean",
+) -> DataFrame:
+    """Dolma-style paragraph dedupe: adds ``out_col`` = the document with
+    every paragraph whose k Bloom positions are all set in the snapshot
+    bitmap removed (surviving paragraphs in original order, '\\n'-joined).
+    NULL text -> NULL; a fully-duplicated doc -> ''.
+
+    Scale shape: MAP-ONLY end to end — paragraph positions are computed
+    JVM-side per row (no explode/re-group shuffle of paragraph text), the
+    bitmap collects once and broadcasts, and the Arrow UDF does one flat
+    numpy gather per batch plus the string rebuild. In-batch cross-document
+    paragraph repeats are NOT dropped (only the persisted filter decides) —
+    fold the batch's own bloom_para_build in via bloom_merge first if
+    self-dedup is wanted."""
+    bitmap = _collect_bitmap(bloom, m)
+
+    @F.pandas_udf("string")
+    def rebuild(texts: pd.Series, posmat: pd.Series) -> pd.Series:
+        out = []
+        for text, mat in zip(texts, posmat):
+            if text is None:
+                out.append(None)
+                continue
+            paras = text.split("\n")
+            flat = [p for p in mat if p is not None]
+            if flat:
+                arr = np.asarray(
+                    [np.asarray(p, dtype=np.int64) for p in flat]
+                ).reshape(-1, k)
+                hit = (
+                    bitmap[arr >> 6] >> (arr & 63).astype(np.uint64)
+                ) & np.uint64(1)
+                seen = iter(hit.all(axis=1))
+            else:
+                seen = iter(())
+            kept = [
+                p
+                for p, pp in zip(paras, mat)
+                if pp is None or not next(seen)
+            ]
+            out.append("\n".join(kept))
+        return pd.Series(out, dtype=object)
+
+    pos = F.when(
+        F.col(text_col).isNotNull(),
+        _para_positions(text_col, m, k, min_chars),
+    )
+    return df.withColumn(out_col, rebuild(F.col(text_col), pos))
 
 
 # ---------------------------------------------------------------------------

@@ -252,6 +252,112 @@ FROM all_flags
 
 
 # ---------------------------------------------------------------------------
+# dedup 1a-ter — paragraph-level Bloom dedup (Dolma's paragraph mode)
+# ---------------------------------------------------------------------------
+
+# Both engines stage the same multi-paragraph text2 per doc: a 17-residue
+# banner (fully covered by the seen half -> always dropped in new docs), a
+# unique body line (never dropped except Bloom FPs), a blank separator
+# (min_chars=1 -> always kept), an even-id-only shared para, and a
+# 201-residue tail (partially covered -> mixed drops). Seen-half paragraphs
+# fill ~2/3 of the 4096-bit test filter, so FP drops occur and are
+# reproduced deterministically by the oracle.
+
+
+def _bloom_para_spark_text2(doc_id, text):
+    i17 = (doc_id % 17).cast("string")
+    i3 = (doc_id % 3).cast("string")
+    i201 = (doc_id % 201).cast("string")
+    return F.concat_ws(
+        "\n",
+        F.concat(F.lit("common banner "), i17),
+        F.concat(F.lit("body "), doc_id.cast("string"), F.lit(" "),
+                 F.substring(text, 1, 40)),
+        F.lit(""),
+        F.when(doc_id % 2 == 0, F.concat(F.lit("shared "), i3)),
+        F.concat(F.lit("tail "), i201),
+    )
+
+
+_SQL_BLOOM_PARA_TEXT2 = """concat_ws(chr(10),
+  'common banner ' || (doc_id % 17),
+  'body ' || doc_id || ' ' || substring(text, 1, 40),
+  '',
+  CASE WHEN doc_id % 2 = 0 THEN 'shared ' || (doc_id % 3) END,
+  'tail ' || (doc_id % 201))"""
+
+
+def q_dedup_bloom_paras(spark, sf_dir):
+    """Paragraph-level Bloom dedup (ops.dedup.bloom_para_build +
+    remove_seen_paragraphs): only the seen half's paragraph BITMAP is
+    retained; each new-batch doc is rewritten with its already-seen
+    paragraphs removed (order preserved, blanks kept, NULL text passes
+    through). Map-only probe — no paragraph ever shuffles."""
+    from data_quality_spark.ops.hashing import portable_hash64
+
+    docs = _t(spark, sf_dir, "documents").where(F.col("text").isNotNull())
+    staged = docs.select(
+        "doc_id",
+        _bloom_para_spark_text2(F.col("doc_id"), F.col("text")).alias("t2"),
+    )
+    bucket = F.pmod(
+        portable_hash64(F.col("doc_id").cast("string"), f"#{INCR_SALT}"),
+        F.lit(T.SAMPLE_DENOM),
+    )
+    seen = staged.where(bucket < T.SAMPLE_DENOM // 2)
+    newb = staged.where(bucket >= T.SAMPLE_DENOM // 2)
+    nulls = newb.where(F.col("doc_id") % 50 == 0).select(
+        (F.col("doc_id") + 30_000).alias("doc_id"),
+        F.lit(None).cast("string").alias("t2"),
+    )
+    probe = newb.unionByName(nulls)
+    bloom = D.bloom_para_build(seen, "t2", m=BLOOM_TEST_M)
+    return D.remove_seen_paragraphs(
+        probe, bloom, "t2", m=BLOOM_TEST_M
+    ).select("doc_id", "text_clean")
+
+
+def _sql_dedup_bloom_paras() -> str:
+    h = sql_hash64("doc_id::VARCHAR", f"#{INCR_SALT}")
+    half = T.SAMPLE_DENOM // 2
+    pos = _sql_bloom_pos("md5(para)", BLOOM_TEST_M, D.BLOOM_K)
+    return f"""
+WITH base AS (
+  SELECT doc_id, {_SQL_BLOOM_PARA_TEXT2} AS t2
+  FROM documents WHERE text IS NOT NULL),
+seen AS (SELECT t2 FROM base WHERE ({h}) % {T.SAMPLE_DENOM} < {half}),
+newb AS (
+  SELECT doc_id, t2 FROM base WHERE ({h}) % {T.SAMPLE_DENOM} >= {half}
+  UNION ALL
+  SELECT doc_id + 30000, NULL FROM base
+  WHERE ({h}) % {T.SAMPLE_DENOM} >= {half} AND doc_id % 50 = 0),
+seen_pos AS (
+  SELECT DISTINCT unnest([{pos}]) AS pos
+  FROM (SELECT unnest(string_split(t2, chr(10))) AS para FROM seen)
+  WHERE length(para) >= 1),
+paras AS (
+  SELECT doc_id, unnest(string_split(t2, chr(10))) AS para,
+         generate_subscripts(string_split(t2, chr(10)), 1) AS ord
+  FROM newb WHERE t2 IS NOT NULL),
+flags AS (
+  SELECT doc_id, ord, bool_and(pos IN (SELECT pos FROM seen_pos)) AS seen
+  FROM (SELECT doc_id, ord, unnest([{pos}]) AS pos
+        FROM paras WHERE length(para) >= 1)
+  GROUP BY doc_id, ord),
+kept AS (
+  SELECT p.doc_id, p.ord, p.para
+  FROM paras p LEFT JOIN flags f USING (doc_id, ord)
+  WHERE NOT coalesce(f.seen, FALSE)),
+reb AS (
+  SELECT doc_id, coalesce(string_agg(para, chr(10) ORDER BY ord), '') AS tc
+  FROM kept GROUP BY doc_id)
+SELECT n.doc_id,
+       CASE WHEN n.t2 IS NULL THEN NULL ELSE coalesce(r.tc, '') END AS text_clean
+FROM newb n LEFT JOIN reb r USING (doc_id)
+"""
+
+
+# ---------------------------------------------------------------------------
 # dedup 1b — incremental MinHash vs persisted signature index
 # ---------------------------------------------------------------------------
 
@@ -2478,6 +2584,7 @@ OPS_QUERIES = {
     "dedup_exact": q_dedup_exact,
     "dedup_incremental": q_dedup_incremental,
     "dedup_bloom": q_dedup_bloom,
+    "dedup_para_bloom": q_dedup_bloom_paras,
     "dedup_minhash_incr": q_dedup_minhash_incr,
     "dedup_span_removal": q_dedup_span_removal,
     "dedup_dup_spans": q_dedup_dup_spans,
@@ -2541,6 +2648,7 @@ OPS_ORACLES = {
     "dedup_exact": SQL_DEDUP_EXACT,
     "dedup_incremental": _sql_dedup_incremental(),
     "dedup_bloom": _sql_dedup_bloom(),
+    "dedup_para_bloom": _sql_dedup_bloom_paras(),
     "dedup_minhash_incr": _sql_dedup_minhash_incr(),
     "dedup_span_removal": _sql_dedup_span_removal(),
     "dedup_dup_spans": _sql_dedup_dup_spans(),

@@ -1085,6 +1085,79 @@ def test_bloom_incremental_with_false_positives(spark):
     assert kept == sorted(exp_kept)
 
 
+def test_bloom_merge(spark):
+    a = spark.createDataFrame([(f"a{i}",) for i in range(10)], "t string")
+    b = spark.createDataFrame([(f"b{i}",) for i in range(10)], "t string")
+    m = 256
+    merged = D.bloom_merge(D.bloom_build(a, "t", m=m), D.bloom_build(b, "t", m=m))
+    both = D.bloom_build(a.unionByName(b), "t", m=m)
+    assert (
+        sorted(map(tuple, merged.collect())) == sorted(map(tuple, both.collect()))
+    )
+
+
+def _py_para_clean(text, set_pos, m, k, min_chars=1):
+    if text is None:
+        return None
+    kept = []
+    for p in text.split("\n"):
+        if len(p) < min_chars:
+            kept.append(p)
+        elif not all(q in set_pos for q in _py_bloom_positions(p, m, k)):
+            kept.append(p)
+    return "\n".join(kept)
+
+
+def _py_para_positions(text, m, k, min_chars=1):
+    for p in text.split("\n"):
+        if len(p) >= min_chars:
+            yield from _py_bloom_positions(p, m, k)
+
+
+def test_bloom_para_build_matches_python(spark):
+    texts = ["alpha\nbeta\n\ngamma", "beta\ndelta", "\n\n"]
+    df = spark.createDataFrame([(t,) for t in texts], "t string")
+    m, k = 512, D.BLOOM_K
+    got = {r["word_idx"]: r["bits"] & 0xFFFFFFFFFFFFFFFF
+           for r in D.bloom_para_build(df, "t", m=m).collect()}
+    exp = {}
+    for t in texts:
+        for p in _py_para_positions(t, m, k):
+            exp[p >> 6] = exp.get(p >> 6, 0) | (1 << (p & 63))
+    assert got == exp
+
+
+def test_remove_seen_paragraphs(spark):
+    m, k = 2048, D.BLOOM_K
+    seen_texts = ["nav bar\ncookie notice", "footer (c) corp\nxy"]
+    set_pos = {p for t in seen_texts for p in _py_para_positions(t, m, k)}
+    new_rows = [
+        (0, "fresh para one\nnav bar\nfresh para two"),   # middle drops
+        (1, "cookie notice\nfooter (c) corp"),             # fully dropped
+        (2, "nav bar\n\nstill here"),                      # blank survives
+        (3, None),                                         # null passthrough
+        (4, ""),                                           # empty stays ''
+        (5, "xy\nabove is short-but-seen"),                # min_chars guard
+    ]
+    df = spark.createDataFrame(new_rows, "i int, t string")
+    bloom = D.bloom_para_build(
+        spark.createDataFrame([(t,) for t in seen_texts], "t string"), "t", m=m
+    )
+    got = {r["i"]: r["text_clean"]
+           for r in D.remove_seen_paragraphs(df, bloom, "t", m=m).collect()}
+    exp = {i: _py_para_clean(t, set_pos, m, k) for i, t in new_rows}
+    assert got == exp
+    assert got[0] == "fresh para one\nfresh para two"
+    assert got[1] == ""
+    assert got[2] == "\nstill here"
+    assert got[3] is None and got[4] == ""
+    # 'xy' IS in the seen filter but survives under min_chars=3
+    got3 = {r["i"]: r["text_clean"]
+            for r in D.remove_seen_paragraphs(
+                df, bloom, "t", m=m, min_chars=3).collect()}
+    assert got3[5].startswith("xy\n")
+
+
 def test_top_fraction(spark):
     rows = [(i, "a", float(i)) for i in range(1, 11)] + [(99, "b", 1.0)]
     df = spark.createDataFrame(rows, "i int, g string, s double")
