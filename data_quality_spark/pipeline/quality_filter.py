@@ -282,9 +282,10 @@ def dedup_kept(kept: DataFrame, mode: str | None) -> DataFrame:
 
     Scale note: within one run the single-pass job processes every pending
     bucket in ONE frame, so dedup here is GLOBAL for a fresh run; a resumed
-    run dedups only within its own pending set (cross-run dedup of a
-    continuously ingested lake belongs to a compaction job over the full
-    kept table — same operators, different driver)."""
+    run dedups only within its own pending set. CROSS-RUN dedup of a
+    continuously ingested lake is the bloom_index option on run_pipeline:
+    an O(m)-bit filter of everything any previous run kept, probed map-only
+    and re-merged after each run — no scan of the historical kept table."""
     if mode is None:
         return kept
     from data_quality_spark.ops import dedup as D
@@ -299,6 +300,54 @@ def dedup_kept(kept: DataFrame, mode: str | None) -> DataFrame:
     raise ValueError(f"unknown dedup mode: {mode}")
 
 
+def _read_bloom(spark: SparkSession, path: str):
+    """The persisted [word_idx, bits] filter, or None before the first
+    run ever writes one."""
+    import glob
+
+    if not glob.glob(os.path.join(path, "*.parquet")):
+        return None
+    return spark.read.parquet(path)
+
+
+def _update_bloom_index(
+    spark: SparkSession, path: str, kept_root: str, pending: list, m: int
+) -> None:
+    """Fold this run's kept texts into the persisted filter: build the
+    batch's own bitmap from the WRITTEN kept output (slim one-column scan
+    of only the pending buckets), bit_or-merge with the existing filter,
+    and overwrite. The merged table (≤ m/64 rows) stages through the
+    driver so the overwrite never reads the path it is replacing. Runs
+    BEFORE the manifest update: a crash in between leaves the index
+    unchanged and the buckets pending — the rerun overwrites the same
+    partitions and rebuilds the same bits (bit_or is idempotent)."""
+    import glob
+
+    from data_quality_spark.ops import dedup as D
+
+    if glob.glob(os.path.join(kept_root, "bucket=*")):
+        texts = (
+            spark.read.parquet(kept_root)
+            .where(F.col("bucket").isin(list(pending)))
+            .select("text_scrubbed")
+        )
+        new = D.bloom_build(texts, "text_scrubbed", m=m)
+    else:
+        new = None
+    old = _read_bloom(spark, path)
+    if old is not None and new is not None:
+        merged = D.bloom_merge(old, new)
+    else:
+        merged = new if new is not None else old
+    rows = (
+        [(int(r["word_idx"]), int(r["bits"])) for r in merged.collect()]
+        if merged is not None
+        else []
+    )
+    out = spark.createDataFrame(rows, "word_idx bigint, bits bigint")
+    out.coalesce(1).write.mode("overwrite").parquet(path)
+
+
 def run_pipeline(
     spark: SparkSession,
     in_path: str,
@@ -308,6 +357,8 @@ def run_pipeline(
     resume: bool = True,
     dedup: str | None = None,
     input_format: str = "parquet",
+    bloom_index: str | None = None,
+    bloom_m: int | None = None,
 ) -> dict:
     """Bucketed, resumable run. Buckets = deterministic url-hash ranges; a
     restart skips buckets already recorded in the manifest.
@@ -315,6 +366,15 @@ def run_pipeline(
     input_format: 'parquet' (pages table) or 'warc' (raw .warc/.warc.gz
     crawl segments via sources.warc.read_warc — file-grain parallelism,
     text/lang filled by the pipeline).
+
+    bloom_index: path of a persisted Bloom filter of every text any
+    PREVIOUS run kept (cross-run dedup for a continuously ingested lake).
+    Rows whose scrubbed text is maybe-seen are dropped (map-only broadcast
+    probe — the historical kept table is never scanned), in-batch exact
+    copies keep the min url (required for the filter to stay
+    self-consistent), and after a successful run the batch's own bitmap is
+    bit_or-merged back into the index. False positives are the documented
+    Bloom trade: size bloom_m for the lake (ops.dedup.BLOOM_M notes).
 
     Single-pass: ALL pending buckets are processed in ONE job — one FileScan
     of the input, one annotate pipeline, one partitionBy("bucket") write
@@ -368,8 +428,22 @@ def run_pipeline(
                 )
         try:
             kept_root = os.path.join(out_dir, "kept")
+            kept_df = dedup_kept(ann.filter(F.col("keep")).select(*present), dedup)
+            if bloom_index is not None:
+                from data_quality_spark.ops import dedup as D
+
+                bm = bloom_m if bloom_m is not None else D.BLOOM_M
+                old_bloom = _read_bloom(spark, bloom_index)
+                if old_bloom is not None:
+                    kept_df = D.bloom_keep(
+                        D.bloom_maybe_seen(
+                            kept_df, old_bloom, "text_scrubbed", m=bm
+                        ),
+                        "url",
+                        "text_scrubbed",
+                    ).drop("maybe_seen")
             (
-                dedup_kept(ann.filter(F.col("keep")).select(*present), dedup)
+                kept_df
                 .write.mode("overwrite")
                 .partitionBy("bucket")
                 .parquet(kept_root)
@@ -407,6 +481,10 @@ def run_pipeline(
             done[f"bucket={b}"] = {"rows_kept": n_kept}
             stats["buckets_done"] += 1
             stats["rows_kept"] += n_kept
+        # fold this run's kept texts into the cross-run filter BEFORE the
+        # manifest commit (see _update_bloom_index crash contract)
+        if bloom_index is not None:
+            _update_bloom_index(spark, bloom_index, kept_root, pending, bm)
         # manifest update = the resume checkpoint
         with open(manifest_path, "w") as f:
             json.dump(done, f)
@@ -428,12 +506,18 @@ def main():  # pragma: no cover
                     default=None)
     ap.add_argument("--input-format", choices=["parquet", "warc"],
                     default="parquet")
+    ap.add_argument("--bloom-index", default=None,
+                    help="path of the cross-run kept-text Bloom filter")
+    ap.add_argument("--bloom-m", type=int, default=None,
+                    help="filter size in bits (default ops.dedup.BLOOM_M)")
     a = ap.parse_args()
     spark = get_spark(app_name="quality_filter")
     print(json.dumps(run_pipeline(spark, a.input, a.out,
                                   n_buckets=a.buckets, resume=not a.no_resume,
                                   dedup=a.dedup,
-                                  input_format=a.input_format)))
+                                  input_format=a.input_format,
+                                  bloom_index=a.bloom_index,
+                                  bloom_m=a.bloom_m)))
 
 
 if __name__ == "__main__":  # pragma: no cover

@@ -266,6 +266,54 @@ def test_pipeline_dedup_stage(spark, fixture_path, tmp_path):
     assert n == n_distinct  # one survivor per distinct text
 
 
+def test_pipeline_bloom_cross_run_dedup(spark, fixture_path, tmp_path):
+    """Second run over a re-crawl (same content, fresh urls) against the
+    persisted cross-run Bloom index keeps NOTHING the first run already
+    kept; without the index the same batch keeps its usual rows."""
+    import pyarrow.parquet as pq
+    import pyarrow as pa
+
+    idx = str(tmp_path / "bloom_idx")
+    out_a = str(tmp_path / "out_a")
+    s1 = run_pipeline(spark, fixture_path, out_a, n_buckets=2, bloom_index=idx)
+    assert s1["rows_kept"] > 0
+    assert spark.read.parquet(idx).count() > 0
+
+    # batch B = full re-crawl under new urls
+    src = pq.read_table(fixture_path)
+    pdf = src.to_pandas()
+    pdf["url"] = ["https://recrawl.example/p/" + str(i) for i in range(len(pdf))]
+    b_path = str(tmp_path / "pages_recrawl.parquet")
+    pq.write_table(
+        pa.Table.from_pandas(pdf, schema=src.schema, preserve_index=False), b_path
+    )
+
+    out_ctl = str(tmp_path / "out_ctl")
+    s_ctl = run_pipeline(spark, b_path, out_ctl, n_buckets=2)
+    assert s_ctl["rows_kept"] > 0  # without the index the re-crawl is kept
+
+    out_b = str(tmp_path / "out_b")
+    s2 = run_pipeline(spark, b_path, out_b, n_buckets=2, bloom_index=idx)
+    # everything run A kept is filtered out of run B; the only survivors
+    # are texts A dropped via url-DEPENDENT rules (B has fresh unique urls)
+    # — which by construction are not in the index
+    assert s2["rows_kept"] < s_ctl["rows_kept"]
+    kept_a = {r["text_scrubbed"] for r in
+              spark.read.parquet(os.path.join(out_a, "kept"))
+              .select("text_scrubbed").collect()}
+    kept_b = {r["text_scrubbed"] for r in
+              spark.read.parquet(os.path.join(out_b, "kept"))
+              .select("text_scrubbed").collect()}
+    assert kept_b.isdisjoint(kept_a)
+
+    # the index survives a no-new-content run unchanged (bit_or idempotent)
+    before = sorted(map(tuple, spark.read.parquet(idx).collect()))
+    out_b2 = str(tmp_path / "out_b2")
+    run_pipeline(spark, b_path, out_b2, n_buckets=2, bloom_index=idx)
+    after = sorted(map(tuple, spark.read.parquet(idx).collect()))
+    assert before == after
+
+
 def test_pipeline_resume_clears_stale_partition(spark, fixture_path, tmp_path):
     """A crashed earlier attempt can leave files in a pending bucket's
     partition; the resume run must CLEAR them before its dynamic-overwrite
