@@ -11,6 +11,7 @@ heuristic tier a 100 TB pipeline runs first (cheap, exact, auditable).
 
 from __future__ import annotations
 
+import numpy as np
 import pandas as pd
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
@@ -1557,4 +1558,110 @@ def classifier_score(
     score = F.round(F.lit(1.0) / (F.lit(1.0) + F.exp(-F.col("clf_logit"))), 6)
     return scored.withColumn("clf_score", score).withColumn(
         "clf_keep", F.col("clf_score") >= F.lit(threshold)
+    )
+
+
+def classifier_weights_local(
+    weights: DataFrame, buckets: int = CLF_BUCKETS
+) -> tuple:
+    """(w6 int64 array[buckets], bias6 int) — the model table staged for
+    in-row scoring. Same validation and 6dp integer scaling as
+    classifier_score (missing bucket rows contribute 0; no bias row is a
+    loud error, not an empty corpus)."""
+    from data_quality_spark.pipeline.expected import round_half_up
+
+    w6 = np.zeros(buckets, dtype=np.int64)
+    bias6 = None
+    for r in weights.collect():  # ≤ buckets+1 rows by contract
+        b, w = int(r["b"]), r["w"]
+        v = int(round_half_up(float(w) * 1e6, 0))
+        if b == CLF_BIAS_BUCKET:
+            bias6 = v
+        elif 0 <= b < buckets:
+            w6[b] = v
+    if bias6 is None:
+        raise ValueError(
+            "weights table has no bias row "
+            f"(b = {CLF_BIAS_BUCKET}); train_nb_classifier emits one — "
+            "persist the model WITH it"
+        )
+    return w6, bias6
+
+
+def py_clf_logits(texts, wlist, bias6: int, buckets: int, cache: dict):
+    """(n_toks list, clf_logit list) for an iterable of texts — the exact
+    integer-rational logit of classifier_score, computed row-local. The
+    md5 token->bucket contract is preserved; per-token md5 amortizes via
+    the caller-owned memo dict (Zipfian web text → mostly dict hits after
+    warmup; cleared at 2^21 entries). Shared by classifier_score_inrow and
+    the fused pipeline model stage (functions.models)."""
+    from data_quality_spark.functions.textstats import py_tokens
+    from data_quality_spark.ops.hashing import py_hash64
+
+    ns, logits = [], []
+    for text in texts:
+        toks = py_tokens(text) if text is not None else []
+        n = len(toks)
+        if n == 0:
+            ns.append(0)
+            logits.append(None)
+            continue
+        if len(cache) > (1 << 21):
+            cache.clear()
+        dot6 = 0
+        for t in toks:
+            b = cache.get(t)
+            if b is None:
+                b = py_hash64(t) % buckets
+                cache[t] = b
+            dot6 += wlist[b]
+        num = bias6 * n + dot6
+        q = (2 * num + n) // (2 * n) if num >= 0 else -(
+            (2 * -num + n) // (2 * n)
+        )
+        ns.append(n)
+        logits.append(q / 1e6)
+    return ns, logits
+
+
+def classifier_score_inrow(
+    df: DataFrame,
+    text_col: str,
+    weights: DataFrame,
+    threshold: float = CLF_THRESHOLD,
+    buckets: int = CLF_BUCKETS,
+) -> DataFrame:
+    """IN-ROW twin of classifier_score: identical numbers, ZERO exchanges —
+    df + (n_toks, clf_logit, clf_score, clf_keep) computed per row, so the
+    classifier composes into a map-only pipeline (e.g. fused alongside the
+    langid/perplexity Arrow stage) instead of costing an (id, bucket)
+    shuffle over the corpus.
+
+    The md5 token->bucket hash contract is preserved (NOT forked to a
+    cheaper numpy hash): per-token md5 cost is amortized through a
+    per-worker memo dict — web-text token frequency is Zipfian, so almost
+    every token is a dict hit after warmup (bounded: cleared at 2^21
+    entries). The Arrow UDF emits n_toks and the EXACT 6dp rational logit
+    (integer half-away-from-zero, the classifier_score formula); sigmoid +
+    threshold stay JVM-side so clf_score/clf_keep share classifier_score's
+    exp/round float semantics bit for bit. Zero-token / NULL-text rows get
+    n_toks=0 and NULL scores (they are rows here, unlike the corpus-stage
+    variant which omits them — filter n_toks > 0 for exact output parity).
+    """
+    w6, bias6 = classifier_weights_local(weights, buckets)
+    wlist = [int(v) for v in w6]  # plain ints: exact python accumulation
+    cache: dict = {}
+
+    @F.pandas_udf("struct<n_toks:bigint, clf_logit:double>")
+    def score(texts: pd.Series) -> pd.DataFrame:
+        ns, logits = py_clf_logits(texts, wlist, bias6, buckets, cache)
+        return pd.DataFrame({"n_toks": ns, "clf_logit": logits})
+
+    out = df.withColumn("__clf", score(F.col(text_col)))
+    sc = F.round(F.lit(1.0) / (F.lit(1.0) + F.exp(-F.col("clf_logit"))), 6)
+    return (
+        out.select(*df.columns, F.col("__clf.n_toks").alias("n_toks"),
+                   F.col("__clf.clf_logit").alias("clf_logit"))
+        .withColumn("clf_score", sc)
+        .withColumn("clf_keep", F.col("clf_score") >= F.lit(threshold))
     )

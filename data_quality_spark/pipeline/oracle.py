@@ -53,6 +53,36 @@ def annotate_pandas(pdf: pd.DataFrame, cfg: QFConfig = DEFAULT_CONFIG) -> pd.Dat
     url_counts = Counter(str(u) for u in out["url"] if not _is_empty(u))
     blocked_set = {b.lower() for b in (cfg.blocked_hosts or ())}
 
+    if cfg.clf_weights_path:
+        import math
+
+        from data_quality_spark.ops.textops import (
+            CLF_BIAS_BUCKET,
+            CLF_BUCKETS,
+            py_clf_logits,
+        )
+        from data_quality_spark.pipeline.expected import round_half_up
+
+        wpdf = pd.read_parquet(cfg.clf_weights_path)
+        wlist, bias6 = [0] * CLF_BUCKETS, None
+        for b, w in zip(wpdf["b"], wpdf["w"]):
+            v = int(round_half_up(float(w) * 1e6, 0))
+            if int(b) == CLF_BIAS_BUCKET:
+                bias6 = v
+            elif 0 <= int(b) < CLF_BUCKETS:
+                wlist[int(b)] = v
+        ns, logits = py_clf_logits(
+            (t if isinstance(t, str) else None for t in extracted),
+            wlist, bias6, CLF_BUCKETS, {},
+        )
+        out["clf_n_toks"] = ns
+        out["clf_logit"] = logits
+        out["clf_score"] = [
+            None if lg is None
+            else round_half_up(1.0 / (1.0 + math.exp(-lg)), 6)
+            for lg in logits
+        ]
+
     fired_col, keep_col = [], []
     for _, row in out.iterrows():
         empty = _is_empty(row["text_extracted"])
@@ -84,11 +114,16 @@ def annotate_pandas(pdf: pd.DataFrame, cfg: QFConfig = DEFAULT_CONFIG) -> pd.Dat
             fired.append("lang_low_confidence")
         if not _is_empty(row["url"]) and url_counts[str(row["url"])] > 1:
             fired.append("duplicate_url")
-        # mirrors quality_rules order: host_blocklisted is appended last
+        # mirrors quality_rules order: host_blocklisted, then the optional
+        # classifier gate, are appended last
         if cfg.blocked_hosts and not _is_empty(row["url"]):
             h = py_host_of(str(row["url"]))
             if h and any(h == b or h.endswith("." + b) for b in blocked_set):
                 fired.append("host_blocklisted")
+        if cfg.clf_weights_path and not empty:
+            sc = row["clf_score"]
+            if sc is not None and sc < cfg.clf_threshold:
+                fired.append("clf_low_quality")
         warn_only = {"pii_found", "lang_low_confidence"} | (
             {"lang_mismatch"} if not cfg.drop_lang_mismatch else set()
         )

@@ -71,6 +71,13 @@ class QFConfig:
     # Map-only arrays_overlap against a literal array — no join, no model
     # or extraction cost spent on rows it fires for.
     blocked_hosts: tuple[str, ...] | None = None
+    # fineweb-edu / DCLM-style classifier gate: path of a persisted (b, w)
+    # weights parquet (train_nb_classifier artifact). None = stage off.
+    # Scoring FUSES into the langid/perplexity Arrow stage (zero extra
+    # crossings, map-only — the corpus-stage classifier_score shuffle is
+    # not paid); rows with clf_score < clf_threshold fire clf_low_quality.
+    clf_weights_path: str | None = None
+    clf_threshold: float = 0.5
 
 
 DEFAULT_CONFIG = QFConfig()
@@ -155,10 +162,17 @@ def quality_rules(
                          _host_suffixes(host_of(F.col("url"))), blocked
                      ),
                      F.lit(False))))
+    if cfg.clf_weights_path:
+        # zero-token docs have NULL clf_score — fired() coalesces to False
+        # (no evidence, no verdict; text_not_empty covers the empty case)
+        R.append(
+            Rule("clf_low_quality",
+                 f"classifier quality score < {cfg.clf_threshold}",
+                 fired(F.col("clf_score") < cfg.clf_threshold)))
     # precondition: content rules only apply when text is non-empty
     content = {"word_count", "mean_word_len", "symbol_ratio", "repeated_lines",
                "stopword_density", "perplexity", "lang_mismatch",
-               "lang_low_confidence"}
+               "lang_low_confidence", "clf_low_quality"}
     for r in R:
         if r.rule_id in content:
             r.violation = (~is_empty("text_extracted")) & r.violation
@@ -216,14 +230,40 @@ def annotate_pages(
     if not cfg.keep_source_text:
         df = df.drop("text")
     df = textstats.with_features(df, "text_extracted")
-    # one fused Arrow stage for both models: text crosses JVM→Python once
-    df = df.withColumn("_m", models.spark_udf()(F.col("text_extracted")))
-    df = df.select(
-        "*",
+    # one fused Arrow stage for ALL models (langid + perplexity + optional
+    # classifier): text crosses JVM→Python once
+    clf = None
+    if cfg.clf_weights_path:
+        from data_quality_spark.ops.textops import (
+            CLF_BUCKETS,
+            classifier_weights_local,
+        )
+
+        w6, bias6 = classifier_weights_local(
+            df.sparkSession.read.parquet(cfg.clf_weights_path), CLF_BUCKETS
+        )
+        clf = ([int(v) for v in w6], bias6, CLF_BUCKETS)
+    df = df.withColumn("_m", models.spark_udf(clf=clf)(F.col("text_extracted")))
+    model_cols = [
         F.col("_m.lang_pred").alias("lang_pred"),
         F.col("_m.lang_margin").alias("lang_margin"),
         F.col("_m.ppl").alias("ppl"),
-    ).drop("_m")
+    ]
+    if clf is not None:
+        model_cols += [
+            F.col("_m.clf_n_toks").alias("clf_n_toks"),
+            F.col("_m.clf_logit").alias("clf_logit"),
+        ]
+    df = df.select("*", *model_cols).drop("_m")
+    if clf is not None:
+        # sigmoid + threshold JVM-side: identical float semantics to the
+        # corpus-stage textops.classifier_score
+        df = df.withColumn(
+            "clf_score",
+            F.round(
+                F.lit(1.0) / (F.lit(1.0) + F.exp(-F.col("clf_logit"))), 6
+            ),
+        )
     # CCNet-style quality bucket by LM perplexity (head = cleanest tercile);
     # annotation only — training-data consumers select buckets downstream
     df = df.withColumn(

@@ -1409,6 +1409,23 @@ def q_text_clf_score(spark, sf_dir):
     return T.classifier_score(docs, "doc_id", "text", weights)
 
 
+def q_text_clf_inrow(spark, sf_dir):
+    """In-row twin of text_clf_score (textops.classifier_score_inrow):
+    same trained model, but scoring is MAP-ONLY — per-row memoized-md5
+    bucketing inside one Arrow UDF, no (id, bucket) shuffle. Must produce
+    byte-identical numbers to the corpus-stage variant, so it shares the
+    SAME SQL oracle."""
+    docs = _t(spark, sf_dir, "documents")
+    weights = T.train_nb_classifier(
+        docs, "doc_id", "text", F.col("lang") == CLF_LABEL_LANG
+    )
+    return (
+        T.classifier_score_inrow(docs.select("doc_id", "text"), "text", weights)
+        .where(F.col("n_toks") > 0)
+        .select("doc_id", "n_toks", "clf_logit", "clf_score", "clf_keep")
+    )
+
+
 def _sql_text_clf_score() -> str:
     nb = T.CLF_BUCKETS
     thr = T.CLF_THRESHOLD
@@ -2610,6 +2627,7 @@ OPS_QUERIES = {
     "text_pii_counts": q_text_pii_counts,
     "text_dsir_weights": q_text_dsir_weights,
     "text_clf_score": q_text_clf_score,
+    "text_clf_inrow": q_text_clf_inrow,
     "text_mix_rates": q_text_mix_rates,
     "text_mix_resample": q_text_mix_resample,
     "text_mix_balance": q_text_mix_balance,
@@ -2674,6 +2692,7 @@ OPS_ORACLES = {
     "text_pii_counts": _sql_text_pii_counts(),
     "text_dsir_weights": _sql_text_dsir_weights(),
     "text_clf_score": _sql_text_clf_score(),
+    "text_clf_inrow": _sql_text_clf_score(),
     "text_mix_rates": _sql_text_mix_rates(),
     "text_mix_resample": _sql_text_mix_resample(),
     "text_mix_balance": _sql_text_mix_balance(),

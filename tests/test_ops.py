@@ -1158,6 +1158,35 @@ def test_remove_seen_paragraphs(spark):
     assert got3[5].startswith("xy\n")
 
 
+def test_classifier_inrow_matches_corpus_stage(spark):
+    """classifier_score_inrow must equal classifier_score BIT FOR BIT on
+    every shared column, emit n_toks=0/NULL-score rows for empty docs, and
+    keep a shuffle-free (map-only) plan."""
+    rows = [
+        (1, "alpha beta gamma alpha"),
+        (2, "junk junk spam words"),
+        (3, None),
+        (4, ""),
+        (5, "   \t  "),
+        (6, "alpha spam beta junk mixed"),
+        (7, "beta"),
+    ]
+    df = spark.createDataFrame(rows, "i int, t string")
+    w = T.train_nb_classifier(df, "i", "t", F.col("i") % 2 == 1)
+    cols = ["i", "n_toks", "clf_logit", "clf_score", "clf_keep"]
+    a = sorted(map(tuple, T.classifier_score(df, "i", "t", w).select(cols).collect()))
+    inrow = T.classifier_score_inrow(df, "t", w)
+    b = sorted(map(tuple,
+                   inrow.where(F.col("n_toks") > 0).select(cols).collect()))
+    assert a == b
+    empties = {r["i"]: (r["n_toks"], r["clf_logit"], r["clf_score"], r["clf_keep"])
+               for r in inrow.where(F.col("n_toks") == 0).collect()}
+    assert empties == {3: (0, None, None, None), 4: (0, None, None, None),
+                       5: (0, None, None, None)}
+    plan = inrow._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan  # scoring itself is map-only
+
+
 def test_top_fraction(spark):
     rows = [(i, "a", float(i)) for i in range(1, 11)] + [(99, "b", 1.0)]
     df = spark.createDataFrame(rows, "i int, g string, s double")

@@ -266,6 +266,48 @@ def test_pipeline_dedup_stage(spark, fixture_path, tmp_path):
     assert n == n_distinct  # one survivor per distinct text
 
 
+def test_pipeline_clf_stage_parity(spark, fixture_path, tmp_path):
+    """Optional fused classifier gate: engine (in-Arrow scoring riding the
+    langid/ppl crossing) and pandas oracle agree exactly on clf columns,
+    fired rules and keep; the rule actually drops rows; default config is
+    unchanged (no clf columns, no clf rule)."""
+    import pyarrow.parquet as pq
+
+    from data_quality_spark.ops import textops as T
+    from data_quality_spark.pipeline.quality_filter import QFConfig
+
+    docs = spark.read.parquet(fixture_path)
+    w = T.train_nb_classifier(docs, "url", "text", F.col("lang") == "en")
+    wpath = str(tmp_path / "clf_weights")
+    w.write.parquet(wpath)
+
+    cfg = QFConfig(clf_weights_path=wpath, clf_threshold=0.5)
+    eng = annotate_pages(spark.read.parquet(fixture_path), cfg).select(
+        "url", "warc_ts", "clf_n_toks", "clf_logit", "clf_score",
+        "fired_rules", "keep",
+    ).toPandas()
+    orc = O.annotate_pandas(pq.read_table(fixture_path).to_pandas(), cfg)
+    e = eng.set_index(["url", "warc_ts"]).sort_index()
+    o = orc.set_index(["url", "warc_ts"]).sort_index()
+    assert len(e) == len(o)
+    assert list(e["keep"]) == list(o["keep"])
+    assert [sorted(f) for f in e["fired_rules"]] == \
+           [sorted(f) for f in o["fired_rules"]]
+    for c in ("clf_n_toks", "clf_logit", "clf_score"):
+        ev = [None if pd.isna(v) else round(float(v), 9) for v in e[c]]
+        ov = [None if v is None or pd.isna(v) else round(float(v), 9)
+              for v in o[c]]
+        assert ev == ov, c
+    assert any("clf_low_quality" in f for f in e["fired_rules"])
+    assert e["keep"].sum() < len(e)
+
+    # default config: stage off, schema and rule set unchanged
+    base = annotate_pages(spark.read.parquet(fixture_path))
+    assert "clf_score" not in base.columns
+    from data_quality_spark.pipeline.quality_filter import quality_rules
+    assert all(r.rule_id != "clf_low_quality" for r in quality_rules())
+
+
 def test_pipeline_bloom_cross_run_dedup(spark, fixture_path, tmp_path):
     """Second run over a re-crawl (same content, fresh urls) against the
     persisted cross-run Bloom index keeps NOTHING the first run already
