@@ -179,6 +179,47 @@ def quality_rules(
     return R
 
 
+def with_model_scores(df: DataFrame, cfg: QFConfig = DEFAULT_CONFIG) -> DataFrame:
+    """ONE fused Arrow stage for ALL models (langid + perplexity + the
+    optional classifier when cfg.clf_weights_path is set): the text column
+    crosses JVM→Python once. Streaming-safe (per-row, stateless) — shared
+    by annotate_pages and streaming.annotate_stream so batch and stream
+    score identically. With the classifier on, the sigmoid + threshold
+    stay JVM-side (identical float semantics to the corpus-stage
+    textops.classifier_score)."""
+    clf = None
+    if cfg.clf_weights_path:
+        from data_quality_spark.ops.textops import (
+            CLF_BUCKETS,
+            classifier_weights_local,
+        )
+
+        w6, bias6 = classifier_weights_local(
+            df.sparkSession.read.parquet(cfg.clf_weights_path), CLF_BUCKETS
+        )
+        clf = ([int(v) for v in w6], bias6, CLF_BUCKETS)
+    df = df.withColumn("_m", models.spark_udf(clf=clf)(F.col("text_extracted")))
+    model_cols = [
+        F.col("_m.lang_pred").alias("lang_pred"),
+        F.col("_m.lang_margin").alias("lang_margin"),
+        F.col("_m.ppl").alias("ppl"),
+    ]
+    if clf is not None:
+        model_cols += [
+            F.col("_m.clf_n_toks").alias("clf_n_toks"),
+            F.col("_m.clf_logit").alias("clf_logit"),
+        ]
+    df = df.select("*", *model_cols).drop("_m")
+    if clf is not None:
+        df = df.withColumn(
+            "clf_score",
+            F.round(
+                F.lit(1.0) / (F.lit(1.0) + F.exp(-F.col("clf_logit"))), 6
+            ),
+        )
+    return df
+
+
 def annotate_pages(
     df: DataFrame, cfg: QFConfig = DEFAULT_CONFIG, min_parallelism: int | None = 0
 ) -> DataFrame:
@@ -230,40 +271,7 @@ def annotate_pages(
     if not cfg.keep_source_text:
         df = df.drop("text")
     df = textstats.with_features(df, "text_extracted")
-    # one fused Arrow stage for ALL models (langid + perplexity + optional
-    # classifier): text crosses JVM→Python once
-    clf = None
-    if cfg.clf_weights_path:
-        from data_quality_spark.ops.textops import (
-            CLF_BUCKETS,
-            classifier_weights_local,
-        )
-
-        w6, bias6 = classifier_weights_local(
-            df.sparkSession.read.parquet(cfg.clf_weights_path), CLF_BUCKETS
-        )
-        clf = ([int(v) for v in w6], bias6, CLF_BUCKETS)
-    df = df.withColumn("_m", models.spark_udf(clf=clf)(F.col("text_extracted")))
-    model_cols = [
-        F.col("_m.lang_pred").alias("lang_pred"),
-        F.col("_m.lang_margin").alias("lang_margin"),
-        F.col("_m.ppl").alias("ppl"),
-    ]
-    if clf is not None:
-        model_cols += [
-            F.col("_m.clf_n_toks").alias("clf_n_toks"),
-            F.col("_m.clf_logit").alias("clf_logit"),
-        ]
-    df = df.select("*", *model_cols).drop("_m")
-    if clf is not None:
-        # sigmoid + threshold JVM-side: identical float semantics to the
-        # corpus-stage textops.classifier_score
-        df = df.withColumn(
-            "clf_score",
-            F.round(
-                F.lit(1.0) / (F.lit(1.0) + F.exp(-F.col("clf_logit"))), 6
-            ),
-        )
+    df = with_model_scores(df, cfg)
     # CCNet-style quality bucket by LM perplexity (head = cleanest tercile);
     # annotation only — training-data consumers select buckets downstream
     df = df.withColumn(

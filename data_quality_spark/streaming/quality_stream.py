@@ -16,7 +16,9 @@ What transfers and what doesn't:
     is a batch/compaction concern. Here the stream emits ``keep`` WITHOUT
     the dup rule and the nightly batch pass (run_pipeline) remains the
     source of truth for dedup — the standard lambda split for 10^12-doc
-    ingestion.
+    ingestion. Two bounded dedup aids exist on the stream itself:
+    ``dedup_within`` (watermarked url state) and ``bloom`` (stateless
+    probe of the batch layer's persisted kept-text Bloom filter).
   * Late data: ``warc_ts`` watermark on the windowed metrics stream.
 
 Scale notes: ``maxFilesPerTrigger`` bounds micro-batch size; the sink is
@@ -35,6 +37,7 @@ from data_quality_spark.pipeline.quality_filter import (
     DEFAULT_CONFIG,
     QFConfig,
     quality_rules,
+    with_model_scores,
 )
 from data_quality_spark.rules.core import RuleEngine
 
@@ -63,13 +66,9 @@ def annotate_stream(df: DataFrame, cfg: QFConfig = DEFAULT_CONFIG) -> DataFrame:
     if not cfg.keep_source_text:
         df = df.drop("text")
     df = textstats.with_features(df, "text_extracted")
-    df = df.withColumn("_m", models.spark_udf()(F.col("text_extracted")))
-    df = df.select(
-        "*",
-        F.col("_m.lang_pred").alias("lang_pred"),
-        F.col("_m.lang_margin").alias("lang_margin"),
-        F.col("_m.ppl").alias("ppl"),
-    ).drop("_m")
+    # shared fused model stage (incl. the optional in-row classifier, which
+    # is per-row/stateless and therefore streams unchanged)
+    df = with_model_scores(df, cfg)
     df = df.withColumn(
         "ppl_bucket",
         F.when(F.col("ppl") <= cfg.ppl_head, "head")
@@ -98,6 +97,8 @@ def stream_quality_filter(
     max_files_per_trigger: int = 8,
     available_now: bool = False,
     dedup_within: str | None = None,
+    bloom: str | DataFrame | None = None,
+    bloom_m: int | None = None,
 ):
     """readStream(pages parquet dir) → annotate → writeStream(kept parquet).
 
@@ -111,7 +112,14 @@ def stream_quality_filter(
     url is evictable once the watermark passes its event time, so state
     stays O(urls-per-window), not O(stream). Near-real-time consumers get
     dup suppression without waiting for the nightly batch (which remains
-    the source of truth for exact global dedup — the lambda split)."""
+    the source of truth for exact global dedup — the lambda split).
+
+    ``bloom``: a persisted kept-text Bloom filter (path or [word_idx, bits]
+    DataFrame — run_pipeline's bloom_index artifact): rows whose scrubbed
+    text is maybe-seen are suppressed by a STATELESS map-only probe of the
+    broadcast bitmap (no streaming state at all — the complement of
+    dedup_within's url-keyed state). The bitmap is snapshotted at stream
+    start; restart the query to pick up the batch layer's newer filter."""
     src = (
         spark.readStream.schema(PAGES_SCHEMA)
         .option("maxFilesPerTrigger", max_files_per_trigger)
@@ -122,6 +130,13 @@ def stream_quality_filter(
         "url", "warc_ts", "lang", "lang_pred", "ppl",
         "text_scrubbed", "fired_rules", "part_id", "src_file",
     )
+    if bloom is not None:
+        from data_quality_spark.ops import dedup as D
+
+        bdf = spark.read.parquet(bloom) if isinstance(bloom, str) else bloom
+        bm = bloom_m if bloom_m is not None else D.BLOOM_M
+        kept = D.bloom_maybe_seen(kept, bdf, "text_scrubbed", m=bm)
+        kept = kept.where(~F.col("maybe_seen")).drop("maybe_seen")
     if dedup_within is not None:
         kept = kept.withWatermark("warc_ts", dedup_within)
         kept = kept.dropDuplicatesWithinWatermark(["url"])

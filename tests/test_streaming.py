@@ -216,3 +216,75 @@ def test_stream_dedup_within_watermark(spark, tmp_path):
     assert sorted(set(urls)) == sorted({r1["url"], r3["url"]})
     assert urls.count(r1["url"]) == 1  # the replay was suppressed
     assert len(urls) == 2
+
+
+def test_stream_bloom_suppression(spark, stream_in, tmp_path):
+    """Static Bloom filter of the batch layer's kept texts suppresses
+    re-crawled content in the stream with ZERO streaming state."""
+    from data_quality_spark.ops import dedup as D
+
+    out1 = str(tmp_path / "kept1")
+    q = stream_quality_filter(
+        spark, stream_in, out1, str(tmp_path / "c1"), available_now=True
+    )
+    q.awaitTermination(300)
+    kept1 = spark.read.parquet(out1)
+    n1 = kept1.count()
+    assert n1 > 0
+
+    bloom = D.bloom_build(kept1, "text_scrubbed")
+    out2 = str(tmp_path / "kept2")
+    q2 = stream_quality_filter(
+        spark, stream_in, out2, str(tmp_path / "c2"),
+        available_now=True, bloom=bloom,
+    )
+    q2.awaitTermination(300)
+    import glob
+
+    n2 = (spark.read.parquet(out2).count()
+          if glob.glob(os.path.join(out2, "*.parquet")) else 0)
+    assert n2 == 0  # every kept text is in the filter
+
+
+def test_stream_clf_stage_matches_batch(spark, stream_in, tmp_path):
+    """The fused classifier gate streams unchanged: kept-url sets agree
+    with the batch pipeline under the same clf config (modulo the
+    stateless rule set)."""
+    from data_quality_spark.ops import textops as T
+    from data_quality_spark.pipeline.quality_filter import QFConfig
+
+    docs = spark.read.parquet(stream_in)
+    w = T.train_nb_classifier(docs, "url", "text", F.col("lang") == "en")
+    wpath = str(tmp_path / "clf_w")
+    w.write.parquet(wpath)
+    cfg = QFConfig(clf_weights_path=wpath)
+
+    out = str(tmp_path / "kept_clf")
+    q = stream_quality_filter(
+        spark, stream_in, out, str(tmp_path / "ckpt_clf"),
+        cfg=cfg, available_now=True,
+    )
+    q.awaitTermination(300)
+    got_urls = {r["url"] for r in spark.read.parquet(out).select("url").collect()}
+
+    batch = annotate_pages(
+        spark.read.parquet(stream_in).drop("fault_class"), cfg,
+        min_parallelism=-1,
+    )
+    rules = [r.rule_id for r in streaming_rules(cfg) if r.severity == "fail"]
+    assert "clf_low_quality" in rules
+    exp_urls = {
+        r["url"]
+        for r in batch.withColumn(
+            "keep_stream",
+            F.size(F.array_intersect(
+                F.col("fired_rules"), F.array(*[F.lit(x) for x in rules])
+            )) == 0,
+        ).where(F.col("keep_stream")).select("url").collect()
+    }
+    assert got_urls == exp_urls
+    # the gate actually constrains the stream output
+    assert any(
+        "clf_low_quality" in r["fired_rules"]
+        for r in batch.select("fired_rules").collect()
+    )
