@@ -24,7 +24,9 @@ from pyspark.sql import functions as F
 
 SYMBOL_CLASS = r"[#@%^*~|<>+=_{}\[\]\\]"
 _PY_SYMBOL = re.compile(SYMBOL_CLASS)
-_PY_WS = re.compile(r"\s+")
+# re.ASCII: python \s is Unicode-aware (splits NBSP etc.) while the Java
+# regex in F.split and DuckDB's RE2 are ASCII-only — the twin must match THEM
+_PY_WS = re.compile(r"\s+", re.ASCII)
 
 # Stopword seeds per supported language (public common-word lists).
 STOPWORDS = {

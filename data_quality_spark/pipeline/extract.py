@@ -48,8 +48,11 @@ from pyspark.sql import functions as F
 MAIN_PATTERN = r"<main(?:\s[^>]*)?>(.*)</main>"
 PARA_PATTERN = r"<p(?:\s[^>]*)?>(.*?)</p>"
 
-_MAIN = re.compile(MAIN_PATTERN, re.S | re.I)
-_PARA = re.compile(PARA_PATTERN, re.S | re.I)
+# re.ASCII: the patterns contain \s — python's Unicode \s would accept a
+# U+00A0 inside a tag that the JVM regex (ASCII \s) rejects, breaking the
+# byte-parity contract on adversarial HTML
+_MAIN = re.compile(MAIN_PATTERN, re.S | re.I | re.ASCII)
+_PARA = re.compile(PARA_PATTERN, re.S | re.I | re.ASCII)
 
 # (entity, char) strictly in this order — &amp; LAST (a correct unescape
 # never re-interprets the output of an earlier replacement: "&amp;lt;"

@@ -366,9 +366,12 @@ def _update_bloom_index(
     of only the pending buckets), bit_or-merge with the existing filter,
     and overwrite. The merged table (≤ m/64 rows) stages through the
     driver so the overwrite never reads the path it is replacing. Runs
-    BEFORE the manifest update: a crash in between leaves the index
-    unchanged and the buckets pending — the rerun overwrites the same
-    partitions and rebuilds the same bits (bit_or is idempotent)."""
+    AFTER the manifest commit — the orderings fail very differently:
+    index-then-crash would poison the rerun (its own batch reads as
+    maybe-seen, every row drops, and the output the rerun just cleared is
+    gone for good), while manifest-then-crash merely leaves this batch's
+    texts out of the filter, so some future duplicates survive — Bloom's
+    benign direction."""
     import glob
 
     from data_quality_spark.ops import dedup as D
@@ -529,13 +532,14 @@ def run_pipeline(
             done[f"bucket={b}"] = {"rows_kept": n_kept}
             stats["buckets_done"] += 1
             stats["rows_kept"] += n_kept
-        # fold this run's kept texts into the cross-run filter BEFORE the
-        # manifest commit (see _update_bloom_index crash contract)
-        if bloom_index is not None:
-            _update_bloom_index(spark, bloom_index, kept_root, pending, bm)
         # manifest update = the resume checkpoint
         with open(manifest_path, "w") as f:
             json.dump(done, f)
+        # fold this run's kept texts into the cross-run filter AFTER the
+        # manifest commit (see _update_bloom_index crash contract: a crash
+        # here only lets future duplicates survive, it never drops data)
+        if bloom_index is not None:
+            _update_bloom_index(spark, bloom_index, kept_root, pending, bm)
     stats["config"] = asdict(cfg)
     return stats
 

@@ -1158,6 +1158,20 @@ def test_remove_seen_paragraphs(spark):
     assert got3[5].startswith("xy\n")
 
 
+def test_tokenizer_ascii_whitespace_contract(spark):
+    """The \\s+ tokenize contract is ASCII on EVERY engine: python's twin
+    must not split on unicode whitespace (NBSP etc.) that Java regex /
+    DuckDB RE2 treat as a plain character."""
+    from data_quality_spark.functions.textstats import col_tokens, py_tokens
+
+    texts = ["foo\xa0bar baz", "a b c", "　ideographic d"]
+    df = spark.createDataFrame([(t,) for t in texts], "t string")
+    got = [r["toks"] for r in
+           df.select(col_tokens(F.col("t")).alias("toks")).collect()]
+    assert got == [py_tokens(t) for t in texts]
+    assert py_tokens("foo\xa0bar baz") == ["foo\xa0bar", "baz"]
+
+
 def test_classifier_inrow_matches_corpus_stage(spark):
     """classifier_score_inrow must equal classifier_score BIT FOR BIT on
     every shared column, emit n_toks=0/NULL-score rows for empty docs, and

@@ -124,6 +124,11 @@ def _extract_cases():
         make_html("she said \"hi\" and it's fine", variant="entities"),
         b'<html><MAIN ID="X">\n<P>mixed CASE</P><p a="1">attrs</p></MAIN></html>',
         b"<html><main><pre>not a paragraph</pre><p>real</p></main></html>",
+        # unicode whitespace inside a tag: JVM \s is ASCII-only, so
+        # <main\xa0...> is NOT a main tag — the python twin must agree
+        # (re.ASCII) instead of extracting via its unicode-aware \s
+        "<html><main\xa0id='x'><p>nbsp tag</p></main></html>".encode(),
+        "<html><main><p>nb\xa0sp body</p></main></html>".encode(),
     ]
 
 
