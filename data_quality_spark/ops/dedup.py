@@ -220,14 +220,59 @@ def bloom_merge(a: DataFrame, b: DataFrame) -> DataFrame:
 def _collect_bitmap(bloom: DataFrame, m: int) -> np.ndarray:
     """Driver-side uint64 bitmap from the packed [word_idx, bits] table
     (m/8 bytes — 128 KiB at the library default, 1 GiB at the documented
-    2^33 production ceiling)."""
+    2^33 production ceiling). Arrow-vectorized: no per-row python loop, so
+    a 2^27-bit pipeline-default filter (≤2M words) stages in one gather.
+
+    Rejects a table whose word_idx exceeds m/64 — that means the filter
+    was BUILT under a larger m than this probe's; probing it mod the wrong
+    m silently matches almost nothing (and the reverse direction crashes
+    with an opaque IndexError), so mismatches fail loudly here instead."""
     words = max(1, (m + 63) // 64)
-    bitmap = np.zeros(words, dtype=np.uint64)
-    for row in bloom.collect():
-        bitmap[int(row["word_idx"])] = np.uint64(
-            int(row["bits"]) & 0xFFFFFFFFFFFFFFFF
+    pdf = bloom.toPandas()
+    idx = pdf["word_idx"].to_numpy(dtype=np.int64)
+    if len(idx) and int(idx.max()) >= words:
+        raise ValueError(
+            f"Bloom bitmap word_idx {int(idx.max())} >= m/64 = {words}: the "
+            f"filter was built with a larger m than this probe's m={m}. "
+            "Pass the bloom_m the index was built with (recorded in the "
+            "index's _bloom_meta.json when written by run_pipeline)."
         )
+    bitmap = np.zeros(words, dtype=np.uint64)
+    bitmap[idx] = pdf["bits"].to_numpy(dtype=np.int64).view(np.uint64)
     return bitmap
+
+
+def bloom_fill_ratio(bitmap: np.ndarray) -> float:
+    """Fraction of bits set — the saturation gauge of a collected filter.
+    FP rate ≈ fill**k, so fill 0.5 with k=4 is already ~6% of genuinely-new
+    documents dropped. Chunked unpackbits popcount (numpy here lacks
+    bitwise_count): peak extra memory is one 8 MiB chunk, not 8× the
+    bitmap."""
+    u8 = bitmap.view(np.uint8)
+    step = 1 << 20
+    set_bits = sum(
+        int(np.unpackbits(u8[i : i + step]).sum())
+        for i in range(0, len(u8), step)
+    )
+    return set_bits / (len(bitmap) * 64)
+
+
+def _warn_if_saturated(bitmap: np.ndarray, m: int, k: int) -> None:
+    """Loud warning when a probe uses a filter past half-full — the silent
+    failure mode of an undersized bloom_m is every later run dropping
+    nearly all NEW content as maybe-seen (rows_kept just shrinks)."""
+    import warnings
+
+    fill = bloom_fill_ratio(bitmap)
+    if fill > 0.5:
+        warnings.warn(
+            f"Bloom filter is {fill:.0%} full (m={m}, k={k}): expected "
+            f"false-positive rate ~{fill ** k:.1%} — genuinely-new "
+            "documents are being dropped as maybe-seen. Rebuild the index "
+            "with a larger bloom_m (2**33 sizes ~10^9 docs at <1% FP).",
+            RuntimeWarning,
+            stacklevel=3,
+        )
 
 
 def _bloom_membership_udf(bitmap: np.ndarray, k: int):
@@ -270,7 +315,9 @@ def bloom_maybe_seen(
     positives are inherent to Bloom filters but DETERMINISTIC given (m, k)
     and the md5 hash contract, so the SQL oracle reproduces every FP exactly
     and dedup decisions stay auditable across engines."""
-    member = _bloom_membership_udf(_collect_bitmap(bloom, m), k)
+    bitmap = _collect_bitmap(bloom, m)
+    _warn_if_saturated(bitmap, m, k)
+    member = _bloom_membership_udf(bitmap, k)
     pos = F.when(
         F.col(text_col).isNotNull(),
         bloom_positions(F.md5(F.col(text_col)), m, k),
@@ -385,6 +432,7 @@ def remove_seen_paragraphs(
     fold the batch's own bloom_para_build in via bloom_merge first if
     self-dedup is wanted."""
     bitmap = _collect_bitmap(bloom, m)
+    _warn_if_saturated(bitmap, m, k)
 
     @F.pandas_udf("string")
     def rebuild(texts: pd.Series, posmat: pd.Series) -> pd.Series:

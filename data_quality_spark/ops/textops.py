@@ -1561,19 +1561,18 @@ def classifier_score(
     )
 
 
-def classifier_weights_local(
-    weights: DataFrame, buckets: int = CLF_BUCKETS
-) -> tuple:
-    """(w6 int64 array[buckets], bias6 int) — the model table staged for
-    in-row scoring. Same validation and 6dp integer scaling as
-    classifier_score (missing bucket rows contribute 0; no bias row is a
-    loud error, not an empty corpus)."""
+def stage_clf_weight_pairs(pairs, buckets: int = CLF_BUCKETS) -> tuple:
+    """(w6 list[buckets], bias6 int) from raw (b, w) weight rows — the ONE
+    definition of the 6dp integer scaling and bias/bucket routing, shared
+    by the engine (classifier_weights_local) and the pandas oracle so a
+    bias-less weights table is the same loud ValueError on every path
+    (missing bucket rows contribute 0)."""
     from data_quality_spark.pipeline.expected import round_half_up
 
-    w6 = np.zeros(buckets, dtype=np.int64)
+    w6 = [0] * buckets
     bias6 = None
-    for r in weights.collect():  # ≤ buckets+1 rows by contract
-        b, w = int(r["b"]), r["w"]
+    for b, w in pairs:  # ≤ buckets+1 rows by contract
+        b = int(b)
         v = int(round_half_up(float(w) * 1e6, 0))
         if b == CLF_BIAS_BUCKET:
             bias6 = v
@@ -1586,6 +1585,18 @@ def classifier_weights_local(
             "persist the model WITH it"
         )
     return w6, bias6
+
+
+def classifier_weights_local(
+    weights: DataFrame, buckets: int = CLF_BUCKETS
+) -> tuple:
+    """(w6 int64 array[buckets], bias6 int) — the model table staged for
+    in-row scoring. Same validation and 6dp integer scaling as
+    classifier_score."""
+    w6, bias6 = stage_clf_weight_pairs(
+        ((r["b"], r["w"]) for r in weights.collect()), buckets
+    )
+    return np.asarray(w6, dtype=np.int64), bias6
 
 
 def py_clf_logits(texts, wlist, bias6: int, buckets: int, cache: dict):

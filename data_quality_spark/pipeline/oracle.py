@@ -57,20 +57,16 @@ def annotate_pandas(pdf: pd.DataFrame, cfg: QFConfig = DEFAULT_CONFIG) -> pd.Dat
         import math
 
         from data_quality_spark.ops.textops import (
-            CLF_BIAS_BUCKET,
             CLF_BUCKETS,
             py_clf_logits,
+            stage_clf_weight_pairs,
         )
         from data_quality_spark.pipeline.expected import round_half_up
 
         wpdf = pd.read_parquet(cfg.clf_weights_path)
-        wlist, bias6 = [0] * CLF_BUCKETS, None
-        for b, w in zip(wpdf["b"], wpdf["w"]):
-            v = int(round_half_up(float(w) * 1e6, 0))
-            if int(b) == CLF_BIAS_BUCKET:
-                bias6 = v
-            elif 0 <= int(b) < CLF_BUCKETS:
-                wlist[int(b)] = v
+        wlist, bias6 = stage_clf_weight_pairs(
+            zip(wpdf["b"], wpdf["w"]), CLF_BUCKETS
+        )
         ns, logits = py_clf_logits(
             (t if isinstance(t, str) else None for t in extracted),
             wlist, bias6, CLF_BUCKETS, {},

@@ -348,6 +348,46 @@ def dedup_kept(kept: DataFrame, mode: str | None) -> DataFrame:
     raise ValueError(f"unknown dedup mode: {mode}")
 
 
+# Pipeline default filter size: 2^27 bits = 16 MiB bitmap — ~20M docs at
+# <1% FP (k=4), collectable/broadcastable without thought. The library-wide
+# ops.dedup.BLOOM_M (2^20) is a TEST size; silently using it from the CLI
+# saturated around ~400k docs and then dropped nearly all new content as
+# maybe-seen. Size m for the lake: FP ≈ (1 - e^{-k·n/m})^k; 10^9 docs
+# wants 2^33 (1 GiB).
+PIPELINE_BLOOM_M = 1 << 27
+
+
+def _bloom_meta_path(path: str) -> str:
+    return os.path.join(path, "_bloom_meta.json")
+
+
+def _resolve_bloom_m(path: str, bloom_m: int | None, k: int) -> int:
+    """The m this run must probe/build with. The artifact's recorded
+    (m, k) — written alongside the bitmap — governs when present: merging
+    or probing tables built under different moduli silently disables dedup
+    (positions land mod the wrong m), so an explicit bloom_m that
+    contradicts the artifact is a loud error, and omitting bloom_m on a
+    later run simply reuses the recorded value instead of guessing."""
+    meta = None
+    if os.path.exists(_bloom_meta_path(path)):
+        meta = json.load(open(_bloom_meta_path(path)))
+    if meta is not None:
+        if int(meta.get("k", k)) != k:
+            raise ValueError(
+                f"Bloom index at {path} was built with k={meta['k']}, but "
+                f"this build uses k={k} — rebuild the index or match k."
+            )
+        if bloom_m is not None and int(meta["m"]) != bloom_m:
+            raise ValueError(
+                f"Bloom index at {path} was built with m={meta['m']}, but "
+                f"bloom_m={bloom_m} was passed — probing/merging across "
+                "different m corrupts the filter. Pass the recorded m or "
+                "rebuild the index."
+            )
+        return int(meta["m"])
+    return bloom_m if bloom_m is not None else PIPELINE_BLOOM_M
+
+
 def _read_bloom(spark: SparkSession, path: str):
     """The persisted [word_idx, bits] filter, or None before the first
     run ever writes one."""
@@ -397,6 +437,10 @@ def _update_bloom_index(
     )
     out = spark.createDataFrame(rows, "word_idx bigint, bits bigint")
     out.coalesce(1).write.mode("overwrite").parquet(path)
+    # record the geometry the bitmap was built under — later runs reuse it
+    # when bloom_m is omitted and refuse a contradicting explicit value
+    with open(_bloom_meta_path(path), "w") as f:
+        json.dump({"m": m, "k": D.BLOOM_K}, f)
 
 
 def run_pipeline(
@@ -483,7 +527,7 @@ def run_pipeline(
             if bloom_index is not None:
                 from data_quality_spark.ops import dedup as D
 
-                bm = bloom_m if bloom_m is not None else D.BLOOM_M
+                bm = _resolve_bloom_m(bloom_index, bloom_m, D.BLOOM_K)
                 old_bloom = _read_bloom(spark, bloom_index)
                 if old_bloom is not None:
                     kept_df = D.bloom_keep(

@@ -173,7 +173,7 @@ def _sql_bloom_pos(md5_expr: str, m: int, k: int) -> str:
     rendered from the same salt scheme as ops.dedup.bloom_positions."""
     return ", ".join(
         f"({sql_hash64(md5_expr, f'#bloom{i // 2}', 1 + 15 * (i % 2))}) % {m}"
-        for i in range(D.BLOOM_K)
+        for i in range(k)
     )
 
 
@@ -208,13 +208,19 @@ def q_dedup_bloom(spark, sf_dir):
     kept = D.bloom_keep(flagged, "doc_id", "text").select(
         "doc_id", F.lit(True).alias("kept")
     )
-    return (
+    result = (
         flagged.select("doc_id", "maybe_seen")
         .join(kept, "doc_id", "left")
         .select(
             "doc_id", "maybe_seen", F.coalesce("kept", F.lit(False)).alias("kept")
         )
     )
+    # materialize the (small, id-level) result now so the cache can be
+    # released before returning — otherwise every harness invocation leaves
+    # the flagged batch pinned in executor storage for the session lifetime
+    result = result.localCheckpoint(eager=True)
+    flagged.unpersist()
+    return result
 
 
 def _sql_dedup_bloom() -> str:

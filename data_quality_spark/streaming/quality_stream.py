@@ -133,8 +133,17 @@ def stream_quality_filter(
     if bloom is not None:
         from data_quality_spark.ops import dedup as D
 
-        bdf = spark.read.parquet(bloom) if isinstance(bloom, str) else bloom
-        bm = bloom_m if bloom_m is not None else D.BLOOM_M
+        if isinstance(bloom, str):
+            # a pipeline artifact carries its (m, k); reuse/validate it
+            from data_quality_spark.pipeline.quality_filter import (
+                _resolve_bloom_m,
+            )
+
+            bdf = spark.read.parquet(bloom)
+            bm = _resolve_bloom_m(bloom, bloom_m, D.BLOOM_K)
+        else:
+            bdf = bloom
+            bm = bloom_m if bloom_m is not None else D.BLOOM_M
         kept = D.bloom_maybe_seen(kept, bdf, "text_scrubbed", m=bm)
         kept = kept.where(~F.col("maybe_seen")).drop("maybe_seen")
     if dedup_within is not None:

@@ -361,6 +361,65 @@ def test_pipeline_bloom_cross_run_dedup(spark, fixture_path, tmp_path):
     assert before == after
 
 
+def test_pipeline_bloom_meta_pins_geometry(spark, fixture_path, tmp_path):
+    """The index artifact records (m, k): a later run that omits bloom_m
+    reuses the recorded m, and one that contradicts it fails loudly instead
+    of silently probing mod the wrong modulus (which disables dedup)."""
+    import json as _json
+
+    import pytest
+
+    from data_quality_spark.pipeline.quality_filter import (
+        _bloom_meta_path,
+        run_pipeline,
+    )
+
+    idx = str(tmp_path / "idx")
+    m1 = 1 << 22
+    run_pipeline(spark, fixture_path, str(tmp_path / "o1"), n_buckets=2,
+                 bloom_index=idx, bloom_m=m1)
+    meta = _json.load(open(_bloom_meta_path(idx)))
+    assert meta["m"] == m1 and meta["k"] == 4
+
+    # omitted bloom_m on the rerun: recorded m governs → full suppression
+    s2 = run_pipeline(spark, fixture_path, str(tmp_path / "o2"), n_buckets=2,
+                      bloom_index=idx)
+    assert s2["rows_kept"] == 0
+
+    # contradicting explicit bloom_m: loud error, index untouched
+    with pytest.raises(ValueError, match="built with m"):
+        run_pipeline(spark, fixture_path, str(tmp_path / "o3"), n_buckets=2,
+                     bloom_index=idx, bloom_m=1 << 21)
+
+
+def test_bloom_probe_rejects_larger_m_artifact(spark):
+    """Probing a filter built under a LARGER m than the probe's m raises a
+    clear error (previously an opaque numpy IndexError)."""
+    import pytest
+
+    from data_quality_spark.ops import dedup as D
+
+    df = spark.createDataFrame([(i, f"text {i}") for i in range(50)],
+                               "id bigint, t string")
+    big = D.bloom_build(df, "t", m=1 << 20)
+    with pytest.raises(ValueError, match="larger m"):
+        D.bloom_maybe_seen(df, big, "t", m=4096).collect()
+
+
+def test_bloom_saturation_warns(spark):
+    """A probe against a past-half-full filter emits the saturation warning
+    (the silent failure mode of an undersized bloom_m)."""
+    import pytest
+
+    from data_quality_spark.ops import dedup as D
+
+    df = spark.createDataFrame([(i, f"text {i}") for i in range(200)],
+                               "id bigint, t string")
+    tiny = D.bloom_build(df, "t", m=256)
+    with pytest.warns(RuntimeWarning, match="full"):
+        D.bloom_maybe_seen(df, tiny, "t", m=256)
+
+
 def test_pipeline_resume_clears_stale_partition(spark, fixture_path, tmp_path):
     """A crashed earlier attempt can leave files in a pending bucket's
     partition; the resume run must CLEAR them before its dynamic-overwrite
