@@ -1619,3 +1619,44 @@ def test_read_warc_to_pipeline(spark, tmp_path):
     raw = (b"WARC/1.0\r\nWARC-Type: request\r\n"
            b"WARC-Target-URI: https://c.example/\r\nContent-Length: 2\r\n\r\nhi\r\n\r\n")
     assert W.parse_warc_bytes(raw) == []
+
+
+def test_read_warc_cdx_ranged(spark, tmp_path):
+    """CDX-indexed ranged reads: byte fidelity per record, index-level
+    filter pushdown (rejected records' archive bytes never read), and
+    multi-segment grouping."""
+    from pyspark.sql import functions as F
+
+    from data_quality_spark.sources import warc as W
+
+    recs1 = [(f"https://a.example/{i}", "2024-01-02T03:04:05Z",
+              f"<html><main><p>doc a{i} body.</p></main></html>".encode())
+             for i in range(5)]
+    recs2 = [("https://b.example/big", "2024-02-03T04:05:06Z",
+              b"<html><main><p>" + b"big body words. " * 50 + b"</p></main></html>")]
+    W.write_warc_cdx(str(tmp_path / "seg1.warc.gz"), recs1,
+                     str(tmp_path / "seg1.cdx"))
+    W.write_warc_cdx(str(tmp_path / "seg2.warc.gz"), recs2,
+                     str(tmp_path / "seg2.cdx"))
+
+    df = W.read_warc_cdx(spark, str(tmp_path), str(tmp_path) + "/*.cdx")
+    rows = {r["url"]: r for r in df.collect()}
+    assert len(rows) == 6
+    assert bytes(rows["https://a.example/3"]["html"]) == recs1[3][2]
+    assert bytes(rows["https://b.example/big"]["html"]) == recs2[0][2]
+    assert str(rows["https://a.example/0"]["warc_ts"]).startswith(
+        "2024-01-02 03:04:05")
+    assert rows["https://a.example/0"]["text"] is None
+
+    # index-level pushdown: url-prefix filter reads only seg2's ranges
+    only_b = W.read_warc_cdx(
+        spark, str(tmp_path), str(tmp_path) + "/*.cdx",
+        where=F.col("url").startswith("https://b."),
+    )
+    assert [r["url"] for r in only_b.collect()] == ["https://b.example/big"]
+
+    # a corrupt/blank index line is dropped, not fatal
+    with open(tmp_path / "seg1.cdx", "a") as fh:
+        fh.write("garbage line without json\n\n")
+    assert W.read_warc_cdx(spark, str(tmp_path),
+                           str(tmp_path) + "/*.cdx").count() == 6
