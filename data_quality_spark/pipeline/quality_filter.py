@@ -454,13 +454,16 @@ def run_pipeline(
     input_format: str = "parquet",
     bloom_index: str | None = None,
     bloom_m: int | None = None,
+    cdx_index: str | None = None,
 ) -> dict:
     """Bucketed, resumable run. Buckets = deterministic url-hash ranges; a
     restart skips buckets already recorded in the manifest.
 
-    input_format: 'parquet' (pages table) or 'warc' (raw .warc/.warc.gz
+    input_format: 'parquet' (pages table), 'warc' (raw .warc/.warc.gz
     crawl segments via sources.warc.read_warc — file-grain parallelism,
-    text/lang filled by the pipeline).
+    text/lang filled by the pipeline), or 'warc_cdx' (in_path = segment
+    directory + cdx_index = CDXJ index path via sources.warc.read_warc_cdx
+    — record-grain parallelism, ranged reads, bounded task memory).
 
     bloom_index: path of a persisted Bloom filter of every text any
     PREVIOUS run kept (cross-run dedup for a continuously ingested lake).
@@ -495,6 +498,12 @@ def run_pipeline(
             from data_quality_spark.sources.warc import read_warc
 
             raw = read_warc(spark, in_path)
+        elif input_format == "warc_cdx":
+            if cdx_index is None:
+                raise ValueError("input_format='warc_cdx' requires cdx_index")
+            from data_quality_spark.sources.warc import read_warc_cdx
+
+            raw = read_warc_cdx(spark, in_path, cdx_index)
         elif input_format == "parquet":
             raw = spark.read.parquet(in_path)
         else:
@@ -600,8 +609,13 @@ def main():  # pragma: no cover
     ap.add_argument("--no-resume", action="store_true")
     ap.add_argument("--dedup", choices=["exact", "minhash", "minhash_cluster"],
                     default=None)
-    ap.add_argument("--input-format", choices=["parquet", "warc"],
+    ap.add_argument("--input-format",
+                    choices=["parquet", "warc", "warc_cdx"],
                     default="parquet")
+    ap.add_argument("--cdx-index", default=None,
+                    help="CDXJ index path (required with "
+                         "--input-format warc_cdx; --input is then the "
+                         "segment directory)")
     ap.add_argument("--bloom-index", default=None,
                     help="path of the cross-run kept-text Bloom filter")
     ap.add_argument("--bloom-m", type=int, default=None,
@@ -613,7 +627,8 @@ def main():  # pragma: no cover
                                   dedup=a.dedup,
                                   input_format=a.input_format,
                                   bloom_index=a.bloom_index,
-                                  bloom_m=a.bloom_m)))
+                                  bloom_m=a.bloom_m,
+                                  cdx_index=a.cdx_index)))
 
 
 if __name__ == "__main__":  # pragma: no cover

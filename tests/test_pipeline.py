@@ -573,3 +573,32 @@ def test_run_pipeline_warc_input(spark, tmp_path):
     kept = spark.read.parquet(out + "/kept")
     assert kept.count() == stats["rows_kept"] > 0
     assert "text_scrubbed" in kept.columns
+
+
+def test_run_pipeline_warc_cdx_input(spark, tmp_path):
+    """CDX-indexed segments feed the pipeline; omitting the index with
+    input_format='warc_cdx' is a loud error."""
+    import pytest
+
+    from data_quality_spark.pipeline.quality_filter import run_pipeline
+    from data_quality_spark.sources import warc as W
+
+    body = ("<html><main><p>"
+            + "This is the story of a quiet town and of the people in it. " * 8
+            + "</p></main></html>").encode()
+    W.write_warc_cdx(str(tmp_path / "seg.warc.gz"),
+                     [(f"https://ex{i}.org/p", "2024-03-04T05:06:07Z", body)
+                      for i in range(6)],
+                     str(tmp_path / "seg.cdx"))
+    out = str(tmp_path / "out")
+    stats = run_pipeline(spark, str(tmp_path), out, n_buckets=2,
+                         input_format="warc_cdx",
+                         cdx_index=str(tmp_path / "seg.cdx"))
+    assert stats["buckets_done"] == 2
+    kept = spark.read.parquet(out + "/kept")
+    assert kept.count() == stats["rows_kept"] > 0
+    assert "text_scrubbed" in kept.columns
+
+    with pytest.raises(ValueError, match="cdx_index"):
+        run_pipeline(spark, str(tmp_path), str(tmp_path / "out2"),
+                     n_buckets=2, input_format="warc_cdx")
