@@ -1329,6 +1329,71 @@ def py_host_of(url: str) -> str:
 
 
 # ---------------------------------------------------------------------------
+# bad-words document gate (C4's first content filter)
+# ---------------------------------------------------------------------------
+
+# Tiny spam/adult seed list. C4's production stage uses the full "List of
+# Dirty, Naughty, Obscene and Otherwise Bad Words"; the list itself is
+# curated content, not algorithm — pass it in. ASCII lowercase words only:
+# the match is (?i) word-boundary over [A-Za-z0-9_] word chars, identical
+# in Java regex (Spark) and RE2 (DuckDB oracle); non-ASCII case folding is
+# engine-divergent and deliberately out of contract.
+BADWORDS_DEFAULT = ("casino", "escort", "nude", "porn", "viagra", "xxx")
+
+
+def _badwords_pattern(words) -> str:
+    """One compiled case-insensitive word-boundary alternation — shared
+    verbatim by the Column path and the SQL oracle twin."""
+    ws = sorted(set(w.lower() for w in words))
+    if not ws:
+        raise ValueError("badwords list is empty")
+    for w in ws:
+        if not w.isascii() or not all(c.isalnum() or c == "_" for c in w):
+            raise ValueError(
+                f"badword {w!r} outside the [A-Za-z0-9_] ASCII contract "
+                "(word-boundary semantics diverge across engines otherwise)"
+            )
+    return r"(?i)\b(?:" + "|".join(ws) + r")\b"
+
+
+def badwords_counts(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    words=BADWORDS_DEFAULT,
+) -> DataFrame:
+    """Per-document blocklist-word occurrences + flag — the audit/metrics
+    twin of the C4 bad-words gate (corpora report what the gate WOULD drop
+    before flipping it on). ONE regexp scan per row, map-only, pure
+    codegen; a ~400-word production list compiles into the same single
+    alternation. NULL-text docs produce no row (pii_counts convention)."""
+    pat = _badwords_pattern(words)
+    n = F.size(F.regexp_extract_all(F.col(text_col), F.lit(pat), 0))
+    # stage the count as its own alias so the flag derives from it instead
+    # of re-running the regex (CollapseProject keeps non-cheap
+    # multi-referenced aliases; NOTES.md invariant)
+    return (
+        df.where(F.col(text_col).isNotNull())
+        .select(F.col(id_col), n.alias("n_badwords"))
+        .withColumn("has_badwords", F.col("n_badwords") > 0)
+    )
+
+
+def badwords_drop(
+    df: DataFrame,
+    text_col: str,
+    words=BADWORDS_DEFAULT,
+) -> DataFrame:
+    """The gate itself: KEEP documents containing no blocklist word (C4
+    drops the whole page on any hit). NULL text passes — emptiness is the
+    heuristic stage's verdict, not this one's. Map-only rlike; the filter
+    pushes to the scan when this is the first stage after the read."""
+    pat = _badwords_pattern(words)
+    t = F.col(text_col)
+    return df.where(t.isNull() | ~t.rlike(pat))
+
+
+# ---------------------------------------------------------------------------
 # PII audit counts (the reporting twin of the scrub stage)
 # ---------------------------------------------------------------------------
 

@@ -1329,6 +1329,44 @@ def q_text_pii_counts(spark, sf_dir):
     return T.pii_counts(seeded, "doc_id", "text")
 
 
+def q_text_badwords(spark, sf_dir):
+    """C4-style bad-words audit (textops.badwords_counts) over
+    blocklist-seeded text: deterministic snippets per doc_id exercise
+    multiple hits, case-insensitive hits, and the word-boundary non-match
+    ('casinos' must NOT count as 'casino') identically in both engines."""
+    docs = _t(spark, sf_dir, "documents")
+    extra = (
+        F.when(F.col("doc_id") % 5 == 0,
+               F.lit(" visit our casino, best casino around"))
+        .when(F.col("doc_id") % 5 == 1, F.lit(" cheap Viagra XXX deals"))
+        .when(F.col("doc_id") % 5 == 2, F.lit(" casinos are unrelated"))
+        .otherwise(F.lit(""))
+    )
+    seeded = docs.select(
+        "doc_id", F.concat(F.col("text"), extra).alias("text")
+    )
+    return T.badwords_counts(seeded, "doc_id", "text")
+
+
+def _sql_text_badwords() -> str:
+    pat = T._badwords_pattern(T.BADWORDS_DEFAULT)
+    return f"""
+WITH seeded AS (
+  SELECT doc_id,
+         text || CASE doc_id % 5
+           WHEN 0 THEN ' visit our casino, best casino around'
+           WHEN 1 THEN ' cheap Viagra XXX deals'
+           WHEN 2 THEN ' casinos are unrelated'
+           ELSE '' END AS text
+  FROM documents WHERE text IS NOT NULL
+)
+SELECT doc_id,
+       len(regexp_extract_all(text, '{pat}'))::INT AS n_badwords,
+       len(regexp_extract_all(text, '{pat}')) > 0 AS has_badwords
+FROM seeded
+"""
+
+
 def _sql_text_pii_counts() -> str:
     from data_quality_spark.functions.scrub import SCRUB_PATTERNS
 
@@ -2631,6 +2669,7 @@ OPS_QUERIES = {
     "dedup_semantic_drop": q_dedup_semantic_drop,
     "text_url_blocklist": q_text_url_blocklist,
     "text_pii_counts": q_text_pii_counts,
+    "text_badwords": q_text_badwords,
     "text_dsir_weights": q_text_dsir_weights,
     "text_clf_score": q_text_clf_score,
     "text_clf_inrow": q_text_clf_inrow,
@@ -2696,6 +2735,7 @@ OPS_ORACLES = {
     "dedup_semantic_drop": _sql_dedup_semantic_drop(),
     "text_url_blocklist": _sql_text_url_blocklist(),
     "text_pii_counts": _sql_text_pii_counts(),
+    "text_badwords": _sql_text_badwords(),
     "text_dsir_weights": _sql_text_dsir_weights(),
     "text_clf_score": _sql_text_clf_score(),
     "text_clf_inrow": _sql_text_clf_score(),

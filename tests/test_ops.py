@@ -1621,6 +1621,40 @@ def test_read_warc_to_pipeline(spark, tmp_path):
     assert W.parse_warc_bytes(raw) == []
 
 
+def test_badwords_gate(spark):
+    """C4 bad-words gate: word-boundary hits (no substring matches),
+    case-insensitive, NULL text passes the drop but yields no audit row,
+    and non-contract word lists are rejected."""
+    import pytest
+
+    from data_quality_spark.ops import textops as T
+
+    df = spark.createDataFrame(
+        [
+            (1, "visit our casino, best CASINO around"),   # 2 hits, mixed case
+            (2, "casinos are a different word entirely"),  # boundary: 0 hits
+            (3, "perfectly ordinary document text"),
+            (4, None),
+            (5, "xxx"),                                    # whole-string hit
+        ],
+        "doc_id bigint, text string",
+    )
+    audit = {r["doc_id"]: r for r in
+             T.badwords_counts(df, "doc_id", "text").collect()}
+    assert audit[1]["n_badwords"] == 2 and audit[1]["has_badwords"]
+    assert audit[2]["n_badwords"] == 0 and not audit[2]["has_badwords"]
+    assert audit[5]["n_badwords"] == 1
+    assert 4 not in audit  # NULL text: no audit row
+
+    kept = {r["doc_id"] for r in T.badwords_drop(df, "text").collect()}
+    assert kept == {2, 3, 4}  # NULL passes the gate
+
+    with pytest.raises(ValueError, match="empty"):
+        T.badwords_drop(df, "text", words=[])
+    with pytest.raises(ValueError, match="ASCII"):
+        T.badwords_drop(df, "text", words=["two words"])
+
+
 def test_read_warc_cdx_ranged(spark, tmp_path):
     """CDX-indexed ranged reads: byte fidelity per record, index-level
     filter pushdown (rejected records' archive bytes never read), and
