@@ -46,6 +46,7 @@ HEADLINE = [
     "sim_lsh_pairs",
     "sim_ivf_topk",
     "sim_ivf_kmeans_topk",   # k-means training + probe search
+    "sim_pq_topk",           # PQ codebook train + compressed ADC search
     "match_dimension_floatkey",
     "text_contamination",    # broadcast probe semi-join
     "host_quota",            # per-host rank window

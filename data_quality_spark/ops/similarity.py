@@ -674,3 +674,191 @@ def semantic_dedup_drop(
 
     pairs = semantic_dedup_pairs(df, id_col, vec_col, centroids, threshold)
     return drop_near_dups(df, id_col, pairs, policy=policy)
+
+
+# ---------------------------------------------------------------------------
+# product quantization (FAISS IndexPQ-style compressed ANN)
+# ---------------------------------------------------------------------------
+
+PQ_M = 8      # subspaces: 64-dim embeddings -> 8 sub-vectors of 8 dims
+PQ_K = 16     # codes per subspace -> one uint8-sized code per sub-vector
+PQ_ITER = 2
+
+
+def _pq_shape(codebooks) -> tuple:
+    C = np.asarray(codebooks, dtype=np.float64)
+    if C.ndim != 3:
+        raise ValueError("codebooks must be [m][k][d_sub]")
+    return C, C.shape[0], C.shape[1], C.shape[2]
+
+
+def _pq_codes_udf(codebooks):
+    """Arrow-batched PQ encoder: embedding -> array<int> of m code ids.
+    Per subspace, squared-L2 to every code accumulates DIM-ORDERED
+    (dist += diff*diff per dim) — the same left-associated IEEE addition
+    sequence the SQL oracle's rendered `(v[i]-c[i])*(v[i]-c[i]) + ...`
+    chain performs, so the argmin needs no rounding to agree across
+    engines. Ties take the lowest code (numpy argmin = first minimum);
+    NULL vectors encode as the zero vector's codes (kmeans convention)."""
+    C, m, k, dsub = _pq_shape(codebooks)
+
+    @F.pandas_udf("array<int>")
+    def enc(vs: pd.Series) -> pd.Series:
+        rows = [
+            np.zeros(m * dsub) if v is None else np.asarray(v, np.float64)
+            for v in vs
+        ]
+        V = np.stack(rows) if rows else np.zeros((0, m * dsub))
+        codes = np.zeros((len(V), m), dtype=np.int32)
+        for s in range(m):
+            sub = V[:, s * dsub:(s + 1) * dsub]
+            dist = np.zeros((len(V), k))
+            for d in range(dsub):
+                diff = sub[:, d, None] - C[None, s, :, d]
+                dist += diff * diff
+            codes[:, s] = np.argmin(dist, axis=1)
+        return pd.Series(list(codes))
+
+    return enc
+
+
+def pq_encode(
+    df: DataFrame, id_col: str, vec_col: str, codebooks
+) -> DataFrame:
+    """The compressed vector index: DataFrame(id, codes array<int>, one
+    code per subspace). m uint8-sized codes replace m*d_sub doubles — 64×
+    smaller at the library default (8 bytes vs 512) — and this table, not
+    the embeddings, is what ADC search scans. Map-only (codebooks
+    broadcast inside the Arrow UDF); persist it like a model artifact."""
+    _pq_shape(codebooks)
+    return df.select(
+        F.col(id_col),
+        _pq_codes_udf(codebooks)(_as_double(F.col(vec_col))).alias("codes"),
+    )
+
+
+def train_pq(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    m: int = PQ_M,
+    k: int = PQ_K,
+    n_iter: int = PQ_ITER,
+    dim: int = EMB_DIM,
+) -> list:
+    """Deterministic per-subspace Lloyd's — the PQ codebooks [m][k][d_sub].
+    Init = sub-slices of the k smallest-id vectors (no RNG, the
+    train_kmeans_cells convention). Each iteration: ONE encode scan (all
+    subspaces assigned in a single Arrow pass), then posexplode to
+    (sub, code, sub-vector) and recompute means as d_sub codegen'd avg
+    aggregates rounded 6dp — map-side partial agg means the shuffle
+    carries only m*k partial sums per task, never rows. Empty codes keep
+    their previous centroid. Only the m*k*d_sub codebook reaches the
+    driver; at 10^12 vectors train on a deterministic sample (orderBy id
+    limit n) — the encode-scan shape is unchanged."""
+    if dim % m != 0:
+        raise ValueError(f"dim {dim} not divisible by m {m}")
+    dsub = dim // m
+    v = _as_double(F.col(vec_col))
+    seeds = (
+        df.select(F.col(id_col), v.alias("__v")).orderBy(id_col).limit(k)
+        .collect()
+    )
+    if len(seeds) < k:
+        raise ValueError(f"need >= {k} vectors to seed {k} codes")
+    books = [
+        [[float(x) for x in r["__v"][s * dsub:(s + 1) * dsub]]
+         for r in seeds]
+        for s in range(m)
+    ]
+    from data_quality_spark.ops.util import spread_narrow
+
+    df = spread_narrow(df)
+    for _ in range(n_iter):
+        enc = _pq_codes_udf(books)
+        assigned = df.select(
+            F.posexplode(enc(v)).alias("__sub", "__code"),
+            v.alias("__v"),
+        ).select(
+            "__sub", "__code",
+            F.slice(F.col("__v"), F.col("__sub") * dsub + 1, dsub)
+            .alias("__sv"),
+        )
+        aggs = [
+            F.round(F.avg(F.element_at(F.col("__sv"), i + 1)), 6)
+            .alias(f"c{i}")
+            for i in range(dsub)
+        ]
+        rows = {
+            (r["__sub"], r["__code"]): [r[f"c{i}"] for i in range(dsub)]
+            for r in assigned.groupBy("__sub", "__code").agg(*aggs).collect()
+        }
+        books = [
+            [rows.get((s, j), books[s][j]) for j in range(k)]
+            for s in range(m)
+        ]
+    return books
+
+
+def pq_codebooks_to_df(spark, codebooks) -> DataFrame:
+    rows = [
+        (s, j, p, float(val))
+        for s, book in enumerate(codebooks)
+        for j, c in enumerate(book)
+        for p, val in enumerate(c)
+    ]
+    return spark.createDataFrame(rows, "sub int, code int, pos int, val double")
+
+
+def pq_topk_adc(
+    codes_df: DataFrame,
+    id_col: str,
+    codebooks,
+    query: list,
+    k: int = 10,
+) -> DataFrame:
+    """Asymmetric-distance top-k over the COMPRESSED index: the query's
+    per-(subspace, code) squared-L2 table is computed once driver-side and
+    broadcast; each corpus row costs m integer table lookups + an exact
+    int64 sum (entries are 6dp micro-units, so the sum is associativity-
+    independent and the SQL oracle's SUM() reproduces it bit-for-bit).
+    TakeOrderedAndProject keeps only k rows per partition — no global
+    sort, and the embeddings table is never touched at query time: this
+    is the 100 TB read-path win (scan m bytes/vector instead of
+    8*dim). Returns (id, adc_dist) — approximate distances; exactness is
+    the documented PQ recall trade (re-rank survivors against true
+    vectors when needed)."""
+    from data_quality_spark.pipeline.expected import round_half_up
+
+    C, m, kk, dsub = _pq_shape(codebooks)
+    q = [float(x) for x in query]
+    if len(q) != m * dsub:
+        raise ValueError(f"query dim {len(q)} != {m * dsub}")
+    table = np.zeros((m, kk), dtype=np.int64)
+    for s in range(m):
+        for j in range(kk):
+            acc = 0.0
+            for d in range(dsub):
+                diff = C[s, j, d] - q[s * dsub + d]
+                acc += diff * diff
+            table[s, j] = int(round_half_up(acc * 1e6, 0))
+
+    @F.pandas_udf("long")
+    def adc(codes: pd.Series) -> pd.Series:
+        M = np.stack([np.asarray(c, dtype=np.int64) for c in codes]) \
+            if len(codes) else np.zeros((0, m), dtype=np.int64)
+        total = np.zeros(len(M), dtype=np.int64)
+        for s in range(m):
+            total += table[s][M[:, s]]
+        return pd.Series(total)
+
+    scored = codes_df.select(
+        F.col(id_col), adc(F.col("codes")).alias("__t")
+    )
+    return (
+        scored.orderBy("__t", id_col).limit(k)
+        .select(
+            F.col(id_col),
+            (F.col("__t") / F.lit(1000000.0)).alias("adc_dist"),
+        )
+    )

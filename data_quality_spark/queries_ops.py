@@ -1160,6 +1160,109 @@ SELECT vec_id, cos_sim FROM scored ORDER BY cos_sim DESC, vec_id LIMIT {TOPK}
 
 
 # ---------------------------------------------------------------------------
+# similarity 5b — product quantization (compressed-index ADC search)
+# ---------------------------------------------------------------------------
+
+
+def _pq_path() -> str:
+    import os
+
+    from data_quality_spark.pipeline.expected import EXPECTED_DIR
+
+    return os.path.join(EXPECTED_DIR, "pq_codebooks.parquet")
+
+
+_PQ_CACHE: dict[str, list] = {}
+
+
+def _train_and_persist_pq(spark, sf_dir) -> list:
+    """Deterministic PQ codebooks, persisted for the SQL oracle (the
+    _train_and_persist_kmeans contract: training pinned by pytest, the
+    encode/ADC search side verified independently by the oracle)."""
+    import os
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    if sf_dir in _PQ_CACHE:
+        books = _PQ_CACHE[sf_dir]
+    else:
+        emb = _t(spark, sf_dir, "embeddings")
+        books = S.train_pq(emb, "vec_id", "embedding")
+    tbl = pa.Table.from_pylist(
+        [
+            {"sub": s, "code": j, "pos": p, "val": float(val)}
+            for s, book in enumerate(books)
+            for j, c in enumerate(book)
+            for p, val in enumerate(c)
+        ],
+        schema=pa.schema(
+            [("sub", pa.int32()), ("code", pa.int32()),
+             ("pos", pa.int32()), ("val", pa.float64())]
+        ),
+    )
+    os.makedirs(os.path.dirname(_pq_path()), exist_ok=True)
+    pq.write_table(tbl, _pq_path())
+    _PQ_CACHE[sf_dir] = books
+    return books
+
+
+def q_sim_pq_topk(spark, sf_dir):
+    """PQ ADC top-k (similarity.pq_encode + pq_topk_adc): the corpus is
+    encoded to m code ids per vector and searched via the broadcast
+    query-distance table — the embeddings are never read at query time."""
+    books = _train_and_persist_pq(spark, sf_dir)
+    emb = _t(spark, sf_dir, "embeddings")
+    codes = S.pq_encode(emb, "vec_id", "embedding", books)
+    return S.pq_topk_adc(codes, "vec_id", books, _query_vec(spark, sf_dir),
+                         TOPK)
+
+
+def _pq_l2_chain(vec: str) -> str:
+    """Squared-L2 of one sub-vector vs a codebook entry `c`, rendered as an
+    explicit left-associated `+` chain — the SAME IEEE addition sequence as
+    the engine's dim-ordered numpy accumulation, so encode argmins agree
+    with no rounding. `sub` is 0-based; DuckDB lists are 1-indexed."""
+    dsub = S.EMB_DIM // S.PQ_M
+    return " + ".join(
+        f"({vec}[sub*{dsub}+{i}] - c[{i}]) * ({vec}[sub*{dsub}+{i}] - c[{i}])"
+        for i in range(1, dsub + 1)
+    )
+
+
+def _sql_pq_topk() -> str:
+    return f"""
+WITH cb AS (
+  SELECT sub, code, list(val ORDER BY pos) AS c
+  FROM read_parquet('{_pq_path()}') GROUP BY 1, 2
+),
+e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+q0 AS (SELECT v AS q FROM e WHERE vec_id = {QUERY_VEC_ID}),
+codes AS (
+  SELECT vec_id, sub, code FROM (
+    SELECT e.vec_id, cb.sub, cb.code,
+           row_number() OVER (
+             PARTITION BY e.vec_id, cb.sub
+             ORDER BY {_pq_l2_chain('v')} ASC, cb.code
+           ) AS rn
+    FROM e, cb
+  ) WHERE rn = 1
+),
+qt AS (
+  SELECT cb.sub, cb.code,
+         CAST(round(({_pq_l2_chain('q')}) * 1000000, 0) AS BIGINT) AS t6
+  FROM cb, q0
+),
+adc AS (
+  SELECT codes.vec_id, SUM(qt.t6) AS t
+  FROM codes JOIN qt USING (sub, code) GROUP BY 1
+)
+SELECT vec_id, t / 1000000.0 AS adc_dist
+FROM adc ORDER BY t, vec_id LIMIT {TOPK}
+"""
+
+
+# ---------------------------------------------------------------------------
 # similarity 6 — SemDeDup semantic dedup over the trained k-means cells
 # ---------------------------------------------------------------------------
 
@@ -2665,6 +2768,7 @@ OPS_QUERIES = {
     "sim_ivf_topk": q_sim_ivf_topk,
     "sim_kmeans_centroids": q_sim_kmeans_centroids,
     "sim_ivf_kmeans_topk": q_sim_ivf_kmeans_topk,
+    "sim_pq_topk": q_sim_pq_topk,
     "dedup_semantic": q_dedup_semantic,
     "dedup_semantic_drop": q_dedup_semantic_drop,
     "text_url_blocklist": q_text_url_blocklist,
@@ -2731,6 +2835,7 @@ OPS_ORACLES = {
     "sim_ivf_topk": SQL_SIM_IVF_TOPK,
     "sim_kmeans_centroids": _sql_kmeans_centroids(),
     "sim_ivf_kmeans_topk": _sql_ivf_kmeans_topk(),
+    "sim_pq_topk": _sql_pq_topk(),
     "dedup_semantic": _sql_dedup_semantic(),
     "dedup_semantic_drop": _sql_dedup_semantic_drop(),
     "text_url_blocklist": _sql_text_url_blocklist(),

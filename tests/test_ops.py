@@ -696,6 +696,55 @@ def test_ivf_kmeans_recall(spark, sf_dir):
     assert recall >= 0.7, recall
 
 
+def test_pq_encode_and_adc_exact(spark):
+    """With hand-built codebooks, encode picks the nearest sub-centroid
+    (lowest code on ties) and ADC distances equal the hand-computed
+    6dp-micro-unit table sums; ordering ties break by id."""
+    # dim 4, m=2 subspaces of d_sub=2, k=2 codes each
+    books = [
+        [[0.0, 0.0], [10.0, 10.0]],   # subspace 0
+        [[0.0, 0.0], [10.0, 10.0]],   # subspace 1
+    ]
+    df = spark.createDataFrame(
+        [
+            (1, [0.1, 0.0, 9.9, 10.0]),   # codes (0, 1)
+            (2, [9.9, 10.0, 0.1, 0.0]),   # codes (1, 0)
+            (3, [5.0, 5.0, 5.0, 5.0]),    # equidistant -> ties -> (0, 0)
+        ],
+        "vec_id bigint, embedding array<double>",
+    )
+    codes = {r["vec_id"]: list(r["codes"]) for r in
+             S.pq_encode(df, "vec_id", "embedding", books).collect()}
+    assert codes == {1: [0, 1], 2: [1, 0], 3: [0, 0]}
+
+    q = [0.0, 0.0, 0.0, 0.0]
+    res = S.pq_topk_adc(
+        S.pq_encode(df, "vec_id", "embedding", books), "vec_id", books, q,
+        k=3,
+    ).collect()
+    # table: sub dist to code0 = 0, to code1 = 200 -> micro-units 0 / 2e8
+    got = [(r["vec_id"], r["adc_dist"]) for r in res]
+    assert got == [(3, 0.0), (1, 200.0), (2, 200.0)]  # tie 1<2 by id
+
+
+def test_train_pq_deterministic(spark, sf_dir):
+    """Codebook training is RNG-free: two runs produce identical books,
+    and encode emits one in-range code per subspace."""
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    b1 = S.train_pq(emb, "vec_id", "embedding")
+    b2 = S.train_pq(emb, "vec_id", "embedding")
+    assert b1 == b2
+    assert len(b1) == S.PQ_M and all(len(bk) == S.PQ_K for bk in b1)
+    row = S.pq_encode(emb, "vec_id", "embedding", b1).first()
+    assert len(row["codes"]) == S.PQ_M
+    assert all(0 <= c < S.PQ_K for c in row["codes"])
+
+    import pytest
+
+    with pytest.raises(ValueError, match="divisible"):
+        S.train_pq(emb, "vec_id", "embedding", m=7)
+
+
 def test_label_centroids_values(spark):
     df = spark.createDataFrame(
         [(1, [1.0, 3.0], 0), (2, [3.0, 5.0], 0), (3, [10.0, 0.0], 1)],
