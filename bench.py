@@ -47,6 +47,7 @@ HEADLINE = [
     "sim_ivf_topk",
     "sim_ivf_kmeans_topk",   # k-means training + probe search
     "sim_pq_topk",           # PQ codebook train + compressed ADC search
+    "sim_pq_rerank",         # ADC nominate + exact-cosine re-rank
     "match_dimension_floatkey",
     "text_contamination",    # broadcast probe semi-join
     "host_quota",            # per-host rank window

@@ -862,3 +862,31 @@ def pq_topk_adc(
             (F.col("__t") / F.lit(1000000.0)).alias("adc_dist"),
         )
     )
+
+
+def pq_topk_rerank(
+    codes_df: DataFrame,
+    emb_df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    codebooks,
+    query: list,
+    k: int = 10,
+    n_candidates: int = 50,
+) -> DataFrame:
+    """Two-stage retrieval (the standard production ANN shape): the
+    compressed codes table nominates n_candidates by ADC, then ONLY those
+    rows' true embeddings are scored with exact cosine and the top k
+    returned — PQ's recall loss is confined to candidates ranked past
+    n_candidates. Plan: the ADC stage is the pq_topk_adc single-scan
+    TakeOrdered; its ≤n_candidates ids broadcast into a hash join against
+    the embeddings scan (no shuffle of either table), then a second
+    TakeOrdered. Output matches topk_cosine's (id, cos_sim) contract."""
+    cand = pq_topk_adc(codes_df, id_col, codebooks, query, k=n_candidates)
+    hits = emb_df.join(F.broadcast(cand.select(id_col)), id_col)
+    q = _lit_vec([float(x) for x in query])
+    scored = hits.select(
+        F.col(id_col),
+        F.round(cosine(_as_double(F.col(vec_col)), q), 6).alias("cos_sim"),
+    )
+    return scored.orderBy(F.col("cos_sim").desc(), F.col(id_col)).limit(k)

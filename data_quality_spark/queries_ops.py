@@ -1262,6 +1262,58 @@ FROM adc ORDER BY t, vec_id LIMIT {TOPK}
 """
 
 
+PQ_RERANK_CAND = 50
+
+
+def q_sim_pq_rerank(spark, sf_dir):
+    """Two-stage PQ retrieval (similarity.pq_topk_rerank): ADC nominates
+    PQ_RERANK_CAND candidates from the compressed codes, exact cosine
+    re-ranks only those rows."""
+    books = _train_and_persist_pq(spark, sf_dir)
+    emb = _t(spark, sf_dir, "embeddings")
+    codes = S.pq_encode(emb, "vec_id", "embedding", books)
+    return S.pq_topk_rerank(codes, emb, "vec_id", "embedding", books,
+                            _query_vec(spark, sf_dir), TOPK,
+                            n_candidates=PQ_RERANK_CAND)
+
+
+def _sql_pq_rerank() -> str:
+    return f"""
+WITH cb AS (
+  SELECT sub, code, list(val ORDER BY pos) AS c
+  FROM read_parquet('{_pq_path()}') GROUP BY 1, 2
+),
+e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+q0 AS (SELECT v AS q FROM e WHERE vec_id = {QUERY_VEC_ID}),
+codes AS (
+  SELECT vec_id, sub, code FROM (
+    SELECT e.vec_id, cb.sub, cb.code,
+           row_number() OVER (
+             PARTITION BY e.vec_id, cb.sub
+             ORDER BY {_pq_l2_chain('v')} ASC, cb.code
+           ) AS rn
+    FROM e, cb
+  ) WHERE rn = 1
+),
+qt AS (
+  SELECT cb.sub, cb.code,
+         CAST(round(({_pq_l2_chain('q')}) * 1000000, 0) AS BIGINT) AS t6
+  FROM cb, q0
+),
+cand AS (
+  SELECT codes.vec_id, SUM(qt.t6) AS t
+  FROM codes JOIN qt USING (sub, code) GROUP BY 1
+  ORDER BY t, vec_id LIMIT {PQ_RERANK_CAND}
+),
+scored AS (
+  SELECT e.vec_id, {SQL_COSINE} AS cos_sim
+  FROM e JOIN cand USING (vec_id), q0
+)
+SELECT vec_id, cos_sim FROM scored
+ORDER BY cos_sim DESC, vec_id LIMIT {TOPK}
+"""
+
+
 # ---------------------------------------------------------------------------
 # similarity 6 — SemDeDup semantic dedup over the trained k-means cells
 # ---------------------------------------------------------------------------
@@ -2769,6 +2821,7 @@ OPS_QUERIES = {
     "sim_kmeans_centroids": q_sim_kmeans_centroids,
     "sim_ivf_kmeans_topk": q_sim_ivf_kmeans_topk,
     "sim_pq_topk": q_sim_pq_topk,
+    "sim_pq_rerank": q_sim_pq_rerank,
     "dedup_semantic": q_dedup_semantic,
     "dedup_semantic_drop": q_dedup_semantic_drop,
     "text_url_blocklist": q_text_url_blocklist,
@@ -2836,6 +2889,7 @@ OPS_ORACLES = {
     "sim_kmeans_centroids": _sql_kmeans_centroids(),
     "sim_ivf_kmeans_topk": _sql_ivf_kmeans_topk(),
     "sim_pq_topk": _sql_pq_topk(),
+    "sim_pq_rerank": _sql_pq_rerank(),
     "dedup_semantic": _sql_dedup_semantic(),
     "dedup_semantic_drop": _sql_dedup_semantic_drop(),
     "text_url_blocklist": _sql_text_url_blocklist(),

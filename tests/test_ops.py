@@ -745,6 +745,26 @@ def test_train_pq_deterministic(spark, sf_dir):
         S.train_pq(emb, "vec_id", "embedding", m=7)
 
 
+def test_pq_rerank_recall(spark, sf_dir):
+    """ADC-nominate + exact-cosine re-rank must beat raw ADC's recall of
+    the exact top-10 (the point of the second stage) and return the
+    topk_cosine output contract."""
+    from data_quality_spark.queries_ops import _query_vec
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    q = _query_vec(spark, sf_dir)
+    books = S.train_pq(emb, "vec_id", "embedding")
+    codes = S.pq_encode(emb, "vec_id", "embedding", books)
+    rer = S.pq_topk_rerank(codes, emb, "vec_id", "embedding", books, q,
+                           k=10, n_candidates=50)
+    assert rer.columns == ["vec_id", "cos_sim"]
+    got = {r["vec_id"] for r in rer.collect()}
+    exact = {r["vec_id"] for r in
+             S.topk_cosine(emb, "vec_id", "embedding", q, k=10).collect()}
+    recall = len(got & exact) / len(exact)
+    assert recall >= 0.7, recall
+
+
 def test_label_centroids_values(spark):
     df = spark.createDataFrame(
         [(1, [1.0, 3.0], 0), (2, [3.0, 5.0], 0), (3, [10.0, 0.0], 1)],
