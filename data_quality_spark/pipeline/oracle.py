@@ -52,6 +52,15 @@ def annotate_pandas(pdf: pd.DataFrame, cfg: QFConfig = DEFAULT_CONFIG) -> pd.Dat
 
     url_counts = Counter(str(u) for u in out["url"] if not _is_empty(u))
     blocked_set = {b.lower() for b in (cfg.blocked_hosts or ())}
+    bad_re = None
+    if cfg.badwords:
+        import re
+
+        from data_quality_spark.ops.textops import _badwords_pattern
+
+        # re.ASCII pins \b and (?i) to the ASCII word/case semantics that
+        # Java regex (engine rlike) and RE2 use by default
+        bad_re = re.compile(_badwords_pattern(cfg.badwords), re.ASCII)
 
     if cfg.clf_weights_path:
         import math
@@ -116,6 +125,9 @@ def annotate_pandas(pdf: pd.DataFrame, cfg: QFConfig = DEFAULT_CONFIG) -> pd.Dat
             h = py_host_of(str(row["url"]))
             if h and any(h == b or h.endswith("." + b) for b in blocked_set):
                 fired.append("host_blocklisted")
+        if (bad_re is not None and not empty
+                and bad_re.search(row["text_extracted"])):
+            fired.append("badwords_found")
         if cfg.clf_weights_path and not empty:
             sc = row["clf_score"]
             if sc is not None and sc < cfg.clf_threshold:

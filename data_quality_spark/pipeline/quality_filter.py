@@ -71,6 +71,11 @@ class QFConfig:
     # Map-only arrays_overlap against a literal array — no join, no model
     # or extraction cost spent on rows it fires for.
     blocked_hosts: tuple[str, ...] | None = None
+    # C4-style bad-words content gate: drop pages whose extracted text
+    # contains any listed word (word-boundary, case-insensitive — the
+    # textops.badwords_* ASCII-word contract). None = stage off (default
+    # rule set stable). Map-only rlike of ONE compiled alternation.
+    badwords: tuple[str, ...] | None = None
     # fineweb-edu / DCLM-style classifier gate: path of a persisted (b, w)
     # weights parquet (train_nb_classifier artifact). None = stage off.
     # Scoring FUSES into the langid/perplexity Arrow stage (zero extra
@@ -162,6 +167,14 @@ def quality_rules(
                          _host_suffixes(host_of(F.col("url"))), blocked
                      ),
                      F.lit(False))))
+    if cfg.badwords:
+        from data_quality_spark.ops.textops import _badwords_pattern
+
+        R.append(
+            Rule("badwords_found",
+                 "text contains a blocklisted word",
+                 fired(F.col("text_extracted").rlike(
+                     _badwords_pattern(cfg.badwords)))))
     if cfg.clf_weights_path:
         # zero-token docs have NULL clf_score — fired() coalesces to False
         # (no evidence, no verdict; text_not_empty covers the empty case)
@@ -172,7 +185,7 @@ def quality_rules(
     # precondition: content rules only apply when text is non-empty
     content = {"word_count", "mean_word_len", "symbol_ratio", "repeated_lines",
                "stopword_density", "perplexity", "lang_mismatch",
-               "lang_low_confidence", "clf_low_quality"}
+               "lang_low_confidence", "badwords_found", "clf_low_quality"}
     for r in R:
         if r.rule_id in content:
             r.violation = (~is_empty("text_extracted")) & r.violation

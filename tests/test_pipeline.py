@@ -556,6 +556,47 @@ def test_host_blocklist_rule(spark, fixture_path):
     assert mism <= 2  # same tolerance as the full-corpus fired-rules test
 
 
+def test_badwords_rule(spark, fixture_path):
+    """Optional C4-style bad-words gate: listing a real corpus word fires a
+    FAIL rule on exactly the rows whose extracted text contains it as a
+    whole word, engine and pandas oracle agreeing; default config (stage
+    off) is unchanged."""
+    import re
+
+    import pyarrow.parquet as pq
+
+    from data_quality_spark.pipeline.quality_filter import QFConfig
+
+    df = spark.read.parquet(fixture_path).limit(300)
+    # pick a real corpus word so the rule fires on some rows
+    base = annotate_pages(df).where(
+        "text_extracted IS NOT NULL AND length(text_extracted) > 20"
+    ).select("text_extracted").first()
+    word = next(w.lower() for w in base["text_extracted"].split()
+                if len(w) >= 4 and w.isascii() and w.isalnum())
+    cfg = QFConfig(badwords=(word,))
+
+    rows = annotate_pages(df, cfg).select(
+        "url", "text_extracted", "fired_rules", "keep").collect()
+    hit = [r for r in rows if "badwords_found" in r["fired_rules"]]
+    assert hit and all(not r["keep"] for r in hit)  # fail severity drops
+    rx = re.compile(r"(?i)\b(?:" + word + r")\b", re.ASCII)
+    for r in rows:
+        expect = bool(r["text_extracted"]) and bool(
+            rx.search(r["text_extracted"]))
+        assert ("badwords_found" in r["fired_rules"]) == expect, r["url"]
+
+    pdf = pq.read_table(fixture_path).to_pandas().head(300)
+    ora = O.annotate_pandas(pdf, cfg)
+    multi = set(ora["url"][ora["url"].duplicated(keep=False)])
+    exp = {u: list(f) for u, f in zip(ora["url"], ora["fired_rules"])}
+    mism = sum(
+        1 for r in rows
+        if r["url"] not in multi and list(r["fired_rules"]) != exp[r["url"]]
+    )
+    assert mism <= 2  # same tolerance as the full-corpus fired-rules test
+
+
 def test_run_pipeline_warc_input(spark, tmp_path):
     from data_quality_spark.pipeline.quality_filter import run_pipeline
     from data_quality_spark.sources import warc as W
