@@ -48,6 +48,7 @@ HEADLINE = [
     "sim_ivf_kmeans_topk",   # k-means training + probe search
     "sim_pq_topk",           # PQ codebook train + compressed ADC search
     "sim_pq_rerank",         # ADC nominate + exact-cosine re-rank
+    "sim_ivfpq_topk",        # coarse-probe-pruned ADC over the PQ index
     "match_dimension_floatkey",
     "text_contamination",    # broadcast probe semi-join
     "host_quota",            # per-host rank window

@@ -890,3 +890,56 @@ def pq_topk_rerank(
         F.round(cosine(_as_double(F.col(vec_col)), q), 6).alias("cos_sim"),
     )
     return scored.orderBy(F.col("cos_sim").desc(), F.col(id_col)).limit(k)
+
+
+def pq_encode_with_cells(
+    df: DataFrame, id_col: str, vec_col: str, codebooks, centroids
+) -> DataFrame:
+    """The IVF-PQ index table (id, cell, codes) in ONE pass — the coarse
+    assignment and PQ encoder are both Arrow UDFs over the same input and
+    fuse into a single ArrowEvalPython stage (one JVM→Python crossing).
+    Persist it PARTITIONED BY cell: probe filters then prune whole files
+    and the read path touches n_probe/k_cells of a 64×-compressed table."""
+    v = _as_double(F.col(vec_col))
+    return df.select(
+        F.col(id_col),
+        assign_cells(v, centroids).alias("cell"),
+        _pq_codes_udf(codebooks)(v).alias("codes"),
+    )
+
+
+def ivfpq_topk(
+    codes_df: DataFrame,
+    id_col: str,
+    codebooks,
+    centroids: list[list[float]],
+    query: list,
+    k: int = 10,
+    n_probe: int = 1,
+) -> DataFrame:
+    """IVF-PQ search: rank cells by cosine(query, centroid) driver-side
+    (the ivf_topk_trained contract — 6dp HALF_UP so the oracle's ranking
+    agrees), then ADC only over probed cells' rows of the (id, cell,
+    codes) index. Codes quantize the RAW vectors (the IVFPQ-flat variant;
+    residual encoding would be a drop-in change of the encode and table
+    inputs, not of this plan shape). Recall < 1 twice over — cell pruning
+    and PQ distortion — which is the documented trade; compose with
+    pq_topk_rerank-style exact re-ranking when it matters."""
+    import math
+
+    from data_quality_spark.pipeline.expected import round_half_up
+
+    def cos(c: list) -> float:
+        d = na = nb = 0.0
+        for a, b in zip(c, query):
+            d += a * b
+            na += a * a
+            nb += b * b
+        na, nb = math.sqrt(na), math.sqrt(nb)
+        return round_half_up(d / (na * nb), 6) if na > 0 and nb > 0 else 0.0
+
+    ranked = sorted(range(len(centroids)), key=lambda i: (-cos(centroids[i]), i))
+    probe = ranked[:n_probe]
+    return pq_topk_adc(
+        codes_df.where(F.col("cell").isin(probe)), id_col, codebooks, query, k
+    )

@@ -1119,18 +1119,23 @@ def q_sim_ivf_kmeans_topk(spark, sf_dir):
     )
 
 
-def _sql_ivf_kmeans_topk() -> str:
-    # cosine over a centroid list `c` (already DOUBLE[]) vs query q,
-    # rounded 6dp like the in-plan assignment expression
-    cos_cq = """
+def _sql_cent_cos(rhs: str) -> str:
+    """Cosine of a centroid list `c` (already DOUBLE[]) vs vector `rhs`,
+    rounded 6dp like the in-plan assignment expression — shared by the
+    trained-IVF and IVF-PQ oracles."""
+    return f"""
       round(CASE WHEN sqrt(list_sum([c[i]*c[i] for i in range(1, len(c)+1)])) > 0
-                  AND sqrt(list_sum([q[i]*q[i] for i in range(1, len(q)+1)])) > 0
-                 THEN list_sum([c[i]*q[i] for i in range(1, len(c)+1)])
+                  AND sqrt(list_sum([{rhs}[i]*{rhs}[i] for i in range(1, len({rhs})+1)])) > 0
+                 THEN list_sum([c[i]*{rhs}[i] for i in range(1, len(c)+1)])
                       / (sqrt(list_sum([c[i]*c[i] for i in range(1, len(c)+1)]))
-                         * sqrt(list_sum([q[i]*q[i] for i in range(1, len(q)+1)])))
+                         * sqrt(list_sum([{rhs}[i]*{rhs}[i] for i in range(1, len({rhs})+1)])))
                  ELSE 0.0 END, 6)
     """
-    cos_cv = cos_cq.replace("q[", "v[").replace("len(q)", "len(v)")
+
+
+def _sql_ivf_kmeans_topk() -> str:
+    cos_cq = _sql_cent_cos("q")
+    cos_cv = _sql_cent_cos("v")
     return f"""
 WITH cent AS (
   SELECT cell, list(val ORDER BY pos) AS c
@@ -1256,6 +1261,72 @@ qt AS (
 adc AS (
   SELECT codes.vec_id, SUM(qt.t6) AS t
   FROM codes JOIN qt USING (sub, code) GROUP BY 1
+)
+SELECT vec_id, t / 1000000.0 AS adc_dist
+FROM adc ORDER BY t, vec_id LIMIT {TOPK}
+"""
+
+
+def q_sim_ivfpq_topk(spark, sf_dir):
+    """IVF-PQ search (similarity.pq_encode_with_cells + ivfpq_topk): the
+    trained coarse quantizer prunes to IVF_KM_NPROBE cells, ADC scores only
+    those cells' compressed codes."""
+    cents = _train_and_persist_kmeans(spark, sf_dir)
+    books = _train_and_persist_pq(spark, sf_dir)
+    emb = _t(spark, sf_dir, "embeddings")
+    idx = S.pq_encode_with_cells(emb, "vec_id", "embedding", books, cents)
+    return S.ivfpq_topk(idx, "vec_id", books, cents,
+                        _query_vec(spark, sf_dir), TOPK,
+                        n_probe=IVF_KM_NPROBE)
+
+
+def _sql_ivfpq_topk() -> str:
+    return f"""
+WITH cent AS (
+  SELECT cell, list(val ORDER BY pos) AS c
+  FROM read_parquet('{_kmeans_path()}') GROUP BY 1
+),
+cb AS (
+  SELECT sub, code, list(val ORDER BY pos) AS c
+  FROM read_parquet('{_pq_path()}') GROUP BY 1, 2
+),
+e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+q0 AS (SELECT v AS q FROM e WHERE vec_id = {QUERY_VEC_ID}),
+probe AS (
+  SELECT cell FROM cent, q0
+  ORDER BY {_sql_cent_cos('q')} DESC, cell LIMIT {IVF_KM_NPROBE}
+),
+assign AS (
+  SELECT vec_id, cell FROM (
+    SELECT e.vec_id, cent.cell,
+           row_number() OVER (
+             PARTITION BY e.vec_id ORDER BY {_sql_cent_cos('v')} DESC, cent.cell
+           ) AS rn
+    FROM e, cent
+  ) WHERE rn = 1
+),
+codes AS (
+  SELECT vec_id, sub, code FROM (
+    SELECT e.vec_id, cb.sub, cb.code,
+           row_number() OVER (
+             PARTITION BY e.vec_id, cb.sub
+             ORDER BY {_pq_l2_chain('v')} ASC, cb.code
+           ) AS rn
+    FROM e, cb
+  ) WHERE rn = 1
+),
+qt AS (
+  SELECT cb.sub, cb.code,
+         CAST(round(({_pq_l2_chain('q')}) * 1000000, 0) AS BIGINT) AS t6
+  FROM cb, q0
+),
+adc AS (
+  SELECT codes.vec_id, SUM(qt.t6) AS t
+  FROM codes
+  JOIN qt USING (sub, code)
+  JOIN assign ON assign.vec_id = codes.vec_id
+  WHERE assign.cell IN (SELECT cell FROM probe)
+  GROUP BY 1
 )
 SELECT vec_id, t / 1000000.0 AS adc_dist
 FROM adc ORDER BY t, vec_id LIMIT {TOPK}
@@ -2822,6 +2893,7 @@ OPS_QUERIES = {
     "sim_ivf_kmeans_topk": q_sim_ivf_kmeans_topk,
     "sim_pq_topk": q_sim_pq_topk,
     "sim_pq_rerank": q_sim_pq_rerank,
+    "sim_ivfpq_topk": q_sim_ivfpq_topk,
     "dedup_semantic": q_dedup_semantic,
     "dedup_semantic_drop": q_dedup_semantic_drop,
     "text_url_blocklist": q_text_url_blocklist,
@@ -2890,6 +2962,7 @@ OPS_ORACLES = {
     "sim_ivf_kmeans_topk": _sql_ivf_kmeans_topk(),
     "sim_pq_topk": _sql_pq_topk(),
     "sim_pq_rerank": _sql_pq_rerank(),
+    "sim_ivfpq_topk": _sql_ivfpq_topk(),
     "dedup_semantic": _sql_dedup_semantic(),
     "dedup_semantic_drop": _sql_dedup_semantic_drop(),
     "text_url_blocklist": _sql_text_url_blocklist(),

@@ -765,6 +765,43 @@ def test_pq_rerank_recall(spark, sf_dir):
     assert recall >= 0.7, recall
 
 
+def test_ivfpq_index_fusion_and_pruning(spark, sf_dir):
+    """The (cell, codes) index builds in ONE Arrow stage, and IVF-PQ search
+    equals plain ADC search restricted to the probed cells (the pruning is
+    a filter, not a different scorer)."""
+    from data_quality_spark.queries_ops import _query_vec
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    q = _query_vec(spark, sf_dir)
+    cents = S.train_kmeans_cells(emb, "vec_id", "embedding", 8, 3)
+    books = S.train_pq(emb, "vec_id", "embedding")
+    idx = S.pq_encode_with_cells(emb, "vec_id", "embedding", books, cents)
+    plan = idx._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("ArrowEvalPython") == 1  # cell + codes fused
+
+    got = [(r["vec_id"], r["adc_dist"]) for r in
+           S.ivfpq_topk(idx, "vec_id", books, cents, q, k=5,
+                        n_probe=2).collect()]
+    import math
+
+    from data_quality_spark.pipeline.expected import round_half_up
+
+    def cos(c):
+        d = na = nb = 0.0
+        for a, b in zip(c, q):
+            d += a * b
+            na += a * a
+            nb += b * b
+        na, nb = math.sqrt(na), math.sqrt(nb)
+        return round_half_up(d / (na * nb), 6) if na > 0 and nb > 0 else 0.0
+
+    probe = sorted(range(len(cents)), key=lambda i: (-cos(cents[i]), i))[:2]
+    manual = [(r["vec_id"], r["adc_dist"]) for r in
+              S.pq_topk_adc(idx.where(F.col("cell").isin(probe)), "vec_id",
+                            books, q, k=5).collect()]
+    assert got == manual and len(got) == 5
+
+
 def test_label_centroids_values(spark):
     df = spark.createDataFrame(
         [(1, [1.0, 3.0], 0), (2, [3.0, 5.0], 0), (3, [10.0, 0.0], 1)],
