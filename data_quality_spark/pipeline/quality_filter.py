@@ -633,9 +633,36 @@ def main():  # pragma: no cover
                     help="path of the cross-run kept-text Bloom filter")
     ap.add_argument("--bloom-m", type=int, default=None,
                     help="filter size in bits (default ops.dedup.BLOOM_M)")
+    # optional QFConfig stages — reachable from spark-submit without code
+    ap.add_argument("--blocked-hosts", default=None,
+                    help="comma-separated host blocklist "
+                         "(QFConfig.blocked_hosts)")
+    ap.add_argument("--badwords", default=None,
+                    help="comma-separated bad-words list (QFConfig.badwords)")
+    ap.add_argument("--clf-weights", default=None,
+                    help="persisted classifier weights parquet "
+                         "(QFConfig.clf_weights_path)")
+    ap.add_argument("--clf-threshold", type=float, default=None,
+                    help="classifier keep threshold (with --clf-weights)")
     a = ap.parse_args()
+    cfg = DEFAULT_CONFIG
+    overrides = {}
+    if a.blocked_hosts:
+        overrides["blocked_hosts"] = tuple(
+            h.strip() for h in a.blocked_hosts.split(",") if h.strip())
+    if a.badwords:
+        overrides["badwords"] = tuple(
+            w.strip() for w in a.badwords.split(",") if w.strip())
+    if a.clf_weights:
+        overrides["clf_weights_path"] = a.clf_weights
+    if a.clf_threshold is not None:
+        overrides["clf_threshold"] = a.clf_threshold
+    if overrides:
+        import dataclasses
+
+        cfg = dataclasses.replace(cfg, **overrides)
     spark = get_spark(app_name="quality_filter")
-    print(json.dumps(run_pipeline(spark, a.input, a.out,
+    print(json.dumps(run_pipeline(spark, a.input, a.out, cfg=cfg,
                                   n_buckets=a.buckets, resume=not a.no_resume,
                                   dedup=a.dedup,
                                   input_format=a.input_format,
