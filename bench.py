@@ -49,6 +49,7 @@ HEADLINE = [
     "sim_pq_topk",           # PQ codebook train + compressed ADC search
     "sim_pq_rerank",         # ADC nominate + exact-cosine re-rank
     "sim_ivfpq_topk",        # coarse-probe-pruned ADC over the PQ index
+    "sim_ivfpq_res_topk",    # residual IVF-PQ (per-probed-cell ADC tables)
     "match_dimension_floatkey",
     "text_contamination",    # broadcast probe semi-join
     "host_quota",            # per-host rank window

@@ -321,47 +321,61 @@ def _assign_cells_udf(centroids: list[list[float]]):
     float addition order as the fold), the cosine is rounded with the same
     shortest-repr HALF_UP rule F.round applies, ties take the lowest cell,
     and NULL/zero-norm vectors score 0.0 for every cell → cell 0."""
-    import math
-
     from pyspark.sql.functions import pandas_udf
+
+    C = np.asarray(centroids, dtype=np.float64)
+
+    @pandas_udf("int")
+    def assign(vs: pd.Series) -> pd.Series:
+        V = _stack_vecs(vs, C.shape[1])
+        return pd.Series(_assign_rows(V, C), dtype="int32")
+
+    return assign
+
+
+def _stack_vecs(vs: pd.Series, dim: int) -> np.ndarray:
+    """(n, dim) float64 matrix; NULL vectors become zeros (the assignment
+    convention — zero-norm scores 0.0 for every cell → cell 0)."""
+    rows = [
+        np.zeros(dim) if v is None else np.asarray(v, dtype=np.float64)
+        for v in vs
+    ]
+    return np.stack(rows) if rows else np.zeros((0, dim))
+
+
+def _assign_rows(V: np.ndarray, C: np.ndarray) -> list:
+    """Cell ids for a stacked batch — THE one definition of the assignment
+    contract (dim-ordered accumulation, 6dp HALF_UP cosine, lowest-cell
+    tie), shared by _assign_cells_udf and the combined residual-index
+    encoder so the two can never drift."""
+    import math
 
     from data_quality_spark.pipeline.expected import round_half_up
 
-    C = np.asarray(centroids, dtype=np.float64)
     cnorms = []
     for c in C:
         acc = 0.0
         for x in c:
             acc += x * x
         cnorms.append(math.sqrt(acc))
-
-    @pandas_udf("int")
-    def assign(vs: pd.Series) -> pd.Series:
-        rows = [
-            np.zeros(C.shape[1]) if v is None else np.asarray(v, dtype=np.float64)
-            for v in vs
-        ]
-        V = np.stack(rows) if rows else np.zeros((0, C.shape[1]))
-        dots = np.zeros((len(V), len(C)))
-        vsq = np.zeros(len(V))
-        for d in range(C.shape[1]):  # dim-ordered like the fold
-            dots += V[:, d, None] * C[None, :, d]
-            vsq += V[:, d] * V[:, d]
-        vnorm = np.sqrt(vsq)
-        out = []
-        for i in range(len(V)):
-            best_cs, best_ci = None, 0
-            for ci in range(len(C)):
-                if vnorm[i] > 0 and cnorms[ci] > 0:
-                    cs = round_half_up(dots[i, ci] / (vnorm[i] * cnorms[ci]), 6)
-                else:
-                    cs = 0.0
-                if best_cs is None or cs > best_cs:
-                    best_cs, best_ci = cs, ci
-            out.append(best_ci)
-        return pd.Series(out, dtype="int32")
-
-    return assign
+    dots = np.zeros((len(V), len(C)))
+    vsq = np.zeros(len(V))
+    for d in range(C.shape[1]):  # dim-ordered like the fold
+        dots += V[:, d, None] * C[None, :, d]
+        vsq += V[:, d] * V[:, d]
+    vnorm = np.sqrt(vsq)
+    out = []
+    for i in range(len(V)):
+        best_cs, best_ci = None, 0
+        for ci in range(len(C)):
+            if vnorm[i] > 0 and cnorms[ci] > 0:
+                cs = round_half_up(dots[i, ci] / (vnorm[i] * cnorms[ci]), 6)
+            else:
+                cs = 0.0
+            if best_cs is None or cs > best_cs:
+                best_cs, best_ci = cs, ci
+        out.append(best_ci)
+    return out
 
 
 def assign_cells(vec: Column, centroids: list[list[float]],
@@ -942,4 +956,157 @@ def ivfpq_topk(
     probe = ranked[:n_probe]
     return pq_topk_adc(
         codes_df.where(F.col("cell").isin(probe)), id_col, codebooks, query, k
+    )
+
+
+def _pq_residual_index_udf(codebooks, centroids):
+    """Combined residual IVF-PQ indexer: ONE Arrow crossing emits a
+    struct(cell, codes) per vector — the coarse assignment (via the shared
+    _assign_rows contract, so it can never drift from _assign_cells_udf)
+    and the residual PQ codes quantizing (v − centroid[cell]). Chained
+    separate UDFs would NOT fuse (the encoder consumes the assignment's
+    output, and Spark only batches independent Python UDFs), so the
+    combination is explicit. Residual subtraction is elementwise — no
+    association-order concern; code argmin keeps the dim-ordered /
+    lowest-code contract of _pq_codes_udf."""
+    C, m, k, dsub = _pq_shape(codebooks)
+    CC = np.asarray(centroids, dtype=np.float64)
+
+    @F.pandas_udf("struct<cell:int, codes:array<int>>")
+    def enc(vs: pd.Series) -> pd.DataFrame:
+        V = _stack_vecs(vs, m * dsub)
+        cells = np.asarray(_assign_rows(V, CC), dtype=np.int64)
+        R = V - CC[cells] if len(V) else V
+        codes = np.zeros((len(V), m), dtype=np.int32)
+        for s in range(m):
+            sub = R[:, s * dsub:(s + 1) * dsub]
+            dist = np.zeros((len(V), k))
+            for d in range(dsub):
+                diff = sub[:, d, None] - C[None, s, :, d]
+                dist += diff * diff
+            codes[:, s] = np.argmin(dist, axis=1)
+        return pd.DataFrame(
+            {"cell": pd.Series(cells, dtype="int32"),
+             "codes": list(codes)}
+        )
+
+    return enc
+
+
+def pq_encode_residual(
+    df: DataFrame, id_col: str, vec_col: str, codebooks, centroids
+) -> DataFrame:
+    """The residual IVF-PQ index table (id, cell, codes): coarse cell plus
+    codes of the residual vs that cell's centroid, in ONE Arrow stage
+    (combined struct UDF). Persist partitioned by cell
+    (pq_encode_with_cells contract)."""
+    v = _as_double(F.col(vec_col))
+    ix = _pq_residual_index_udf(codebooks, centroids)(v).alias("__ix")
+    return df.select(F.col(id_col), ix).select(
+        F.col(id_col),
+        F.col("__ix.cell").alias("cell"),
+        F.col("__ix.codes").alias("codes"),
+    )
+
+
+def train_pq_residual(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    centroids: list[list[float]],
+    m: int = PQ_M,
+    k: int = PQ_K,
+    n_iter: int = PQ_ITER,
+    dim: int = EMB_DIM,
+) -> list:
+    """PQ codebooks trained on the coarse-quantizer residuals (v −
+    centroid[cell]) — what ivfpq_residual_topk's index needs. One extra
+    Arrow stage materializes the residual column for the training scans;
+    the Lloyd's loop is train_pq's, unchanged."""
+    C = np.asarray(centroids, dtype=np.float64)
+    v = _as_double(F.col(vec_col))
+
+    @F.pandas_udf("array<double>")
+    def res(vs: pd.Series, cells: pd.Series) -> pd.Series:
+        rows = [
+            np.zeros(C.shape[1]) if x is None else np.asarray(x, np.float64)
+            for x in vs
+        ]
+        V = np.stack(rows) if rows else np.zeros((0, C.shape[1]))
+        R = V - C[cells.to_numpy(dtype=np.int64)] if len(V) else V
+        return pd.Series(list(R))
+
+    staged = df.select(
+        F.col(id_col),
+        res(v, assign_cells(v, centroids)).alias("__res"),
+    )
+    return train_pq(staged, id_col, "__res", m=m, k=k, n_iter=n_iter, dim=dim)
+
+
+def ivfpq_residual_topk(
+    codes_df: DataFrame,
+    id_col: str,
+    codebooks,
+    centroids: list[list[float]],
+    query: list,
+    k: int = 10,
+    n_probe: int = 1,
+) -> DataFrame:
+    """Residual IVF-PQ search: one ADC table PER PROBED CELL (the query's
+    residual differs per cell), n_probe·m·k integer micro-unit entries
+    broadcast inside the UDF; each probed row costs m lookups in its
+    cell's table + an exact int64 sum. Same single-scan TakeOrdered plan
+    as pq_topk_adc behind a pushable cell filter."""
+    import math
+
+    from data_quality_spark.pipeline.expected import round_half_up
+
+    C, m, kk, dsub = _pq_shape(codebooks)
+    q = [float(x) for x in query]
+
+    def cos(c: list) -> float:
+        d = na = nb = 0.0
+        for a, b in zip(c, q):
+            d += a * b
+            na += a * a
+            nb += b * b
+        na, nb = math.sqrt(na), math.sqrt(nb)
+        return round_half_up(d / (na * nb), 6) if na > 0 and nb > 0 else 0.0
+
+    ranked = sorted(range(len(centroids)), key=lambda i: (-cos(centroids[i]), i))
+    probe = ranked[:n_probe]
+    # per-cell tables: residual query (q − centroid[cell]) vs each code
+    tables = np.zeros((len(probe), m, kk), dtype=np.int64)
+    cell_slot = {c: i for i, c in enumerate(probe)}
+    for slot, c in enumerate(probe):
+        for s in range(m):
+            for j in range(kk):
+                acc = 0.0
+                for d in range(dsub):
+                    i = s * dsub + d
+                    diff = (q[i] - centroids[c][i]) - C[s, j, d]
+                    acc += diff * diff
+                tables[slot, s, j] = int(round_half_up(acc * 1e6, 0))
+
+    @F.pandas_udf("long")
+    def adc(cells: pd.Series, codes: pd.Series) -> pd.Series:
+        n = len(cells)
+        if not n:
+            return pd.Series(np.zeros(0, dtype=np.int64))
+        slots = cells.map(cell_slot).to_numpy(dtype=np.int64)
+        M = np.stack([np.asarray(c, dtype=np.int64) for c in codes])
+        total = np.zeros(n, dtype=np.int64)
+        for s in range(m):
+            total += tables[slots, s, M[:, s]]
+        return pd.Series(total)
+
+    scored = codes_df.where(F.col("cell").isin(probe)).select(
+        F.col(id_col), adc(F.col("cell"), F.col("codes")).alias("__t")
+    )
+    return (
+        scored.orderBy("__t", id_col).limit(k)
+        .select(
+            F.col(id_col),
+            (F.col("__t") / F.lit(1000000.0)).alias("adc_dist"),
+        )
     )

@@ -1333,6 +1333,130 @@ FROM adc ORDER BY t, vec_id LIMIT {TOPK}
 """
 
 
+def _pq_res_path() -> str:
+    import os
+
+    from data_quality_spark.pipeline.expected import EXPECTED_DIR
+
+    return os.path.join(EXPECTED_DIR, "pq_res_codebooks.parquet")
+
+
+_PQ_RES_CACHE: dict[str, list] = {}
+
+
+def _train_and_persist_pq_residual(spark, sf_dir) -> list:
+    """Residual PQ codebooks (trained on v − centroid[cell] of the
+    persisted coarse quantizer), persisted for the SQL oracle."""
+    import os
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    cents = _train_and_persist_kmeans(spark, sf_dir)
+    if sf_dir in _PQ_RES_CACHE:
+        books = _PQ_RES_CACHE[sf_dir]
+    else:
+        emb = _t(spark, sf_dir, "embeddings")
+        books = S.train_pq_residual(emb, "vec_id", "embedding", cents)
+    tbl = pa.Table.from_pylist(
+        [
+            {"sub": s, "code": j, "pos": p, "val": float(val)}
+            for s, book in enumerate(books)
+            for j, c in enumerate(book)
+            for p, val in enumerate(c)
+        ],
+        schema=pa.schema(
+            [("sub", pa.int32()), ("code", pa.int32()),
+             ("pos", pa.int32()), ("val", pa.float64())]
+        ),
+    )
+    os.makedirs(os.path.dirname(_pq_res_path()), exist_ok=True)
+    pq.write_table(tbl, _pq_res_path())
+    _PQ_RES_CACHE[sf_dir] = books
+    return books
+
+
+def q_sim_ivfpq_res_topk(spark, sf_dir):
+    """Residual IVF-PQ (similarity.pq_encode_residual +
+    ivfpq_residual_topk): codes quantize the residual vs the assigned
+    coarse centroid; search uses one ADC table per probed cell."""
+    cents = _train_and_persist_kmeans(spark, sf_dir)
+    books = _train_and_persist_pq_residual(spark, sf_dir)
+    emb = _t(spark, sf_dir, "embeddings")
+    idx = S.pq_encode_residual(emb, "vec_id", "embedding", books, cents)
+    return S.ivfpq_residual_topk(idx, "vec_id", books, cents,
+                                 _query_vec(spark, sf_dir), TOPK,
+                                 n_probe=IVF_KM_NPROBE)
+
+
+def _pq_res_l2_chain(vec: str) -> str:
+    """Squared-L2 of one RESIDUAL sub-vector ((vec − cc) sliced) vs a
+    codebook entry `c`, left-associated like _pq_l2_chain; `cc` is the
+    assigned (or probed) cell's centroid list."""
+    dsub = S.EMB_DIM // S.PQ_M
+    t = lambda i: (f"(({vec}[sub*{dsub}+{i}] - cc[sub*{dsub}+{i}]) - c[{i}])")
+    return " + ".join(f"{t(i)} * {t(i)}" for i in range(1, dsub + 1))
+
+
+def _sql_ivfpq_res_topk() -> str:
+    return f"""
+WITH cent AS (
+  SELECT cell, list(val ORDER BY pos) AS c
+  FROM read_parquet('{_kmeans_path()}') GROUP BY 1
+),
+cbr AS (
+  SELECT sub, code, list(val ORDER BY pos) AS c
+  FROM read_parquet('{_pq_res_path()}') GROUP BY 1, 2
+),
+e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+q0 AS (SELECT v AS q FROM e WHERE vec_id = {QUERY_VEC_ID}),
+probe AS (
+  SELECT cell FROM cent, q0
+  ORDER BY {_sql_cent_cos('q')} DESC, cell LIMIT {IVF_KM_NPROBE}
+),
+assign AS (
+  SELECT vec_id, cell FROM (
+    SELECT e.vec_id, cent.cell,
+           row_number() OVER (
+             PARTITION BY e.vec_id ORDER BY {_sql_cent_cos('v')} DESC, cent.cell
+           ) AS rn
+    FROM e, cent
+  ) WHERE rn = 1
+),
+centcc AS (SELECT cell, c AS cc FROM cent),
+codes AS (
+  SELECT vec_id, cell, sub, code FROM (
+    SELECT e.vec_id, assign.cell, cbr.sub, cbr.code,
+           row_number() OVER (
+             PARTITION BY e.vec_id, cbr.sub
+             ORDER BY {_pq_res_l2_chain('v')} ASC, cbr.code
+           ) AS rn
+    FROM e
+    JOIN assign USING (vec_id)
+    JOIN centcc ON centcc.cell = assign.cell
+    CROSS JOIN cbr
+  ) WHERE rn = 1
+),
+qt AS (
+  SELECT centcc.cell, cbr.sub, cbr.code,
+         CAST(round(({_pq_res_l2_chain('q')}) * 1000000, 0) AS BIGINT) AS t6
+  FROM centcc
+  JOIN probe USING (cell)
+  CROSS JOIN cbr
+  CROSS JOIN q0
+),
+adc AS (
+  SELECT codes.vec_id, SUM(qt.t6) AS t
+  FROM codes
+  JOIN qt ON qt.cell = codes.cell AND qt.sub = codes.sub
+         AND qt.code = codes.code
+  GROUP BY 1
+)
+SELECT vec_id, t / 1000000.0 AS adc_dist
+FROM adc ORDER BY t, vec_id LIMIT {TOPK}
+"""
+
+
 PQ_RERANK_CAND = 50
 
 
@@ -2894,6 +3018,7 @@ OPS_QUERIES = {
     "sim_pq_topk": q_sim_pq_topk,
     "sim_pq_rerank": q_sim_pq_rerank,
     "sim_ivfpq_topk": q_sim_ivfpq_topk,
+    "sim_ivfpq_res_topk": q_sim_ivfpq_res_topk,
     "dedup_semantic": q_dedup_semantic,
     "dedup_semantic_drop": q_dedup_semantic_drop,
     "text_url_blocklist": q_text_url_blocklist,
@@ -2963,6 +3088,7 @@ OPS_ORACLES = {
     "sim_pq_topk": _sql_pq_topk(),
     "sim_pq_rerank": _sql_pq_rerank(),
     "sim_ivfpq_topk": _sql_ivfpq_topk(),
+    "sim_ivfpq_res_topk": _sql_ivfpq_res_topk(),
     "dedup_semantic": _sql_dedup_semantic(),
     "dedup_semantic_drop": _sql_dedup_semantic_drop(),
     "text_url_blocklist": _sql_text_url_blocklist(),

@@ -802,6 +802,54 @@ def test_ivfpq_index_fusion_and_pruning(spark, sf_dir):
     assert got == manual and len(got) == 5
 
 
+def test_residual_pq_fuses_and_tightens_error(spark, sf_dir):
+    """The residual index builds in one fused Arrow stage, and residual
+    codes reconstruct the corpus with no worse mean squared error than
+    raw-vector codes (the reason IVF-PQ encodes residuals). Deterministic
+    data + RNG-free training make this a fixed comparison, not a flake."""
+    import numpy as np
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    cents = S.train_kmeans_cells(emb, "vec_id", "embedding", 8, 3)
+    books_raw = S.train_pq(emb, "vec_id", "embedding")
+    books_res = S.train_pq_residual(emb, "vec_id", "embedding", cents)
+
+    idx_res = S.pq_encode_residual(emb, "vec_id", "embedding", books_res,
+                                   cents)
+    plan = idx_res._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("ArrowEvalPython") == 1  # assign + residual-encode
+
+    V = {r["vec_id"]: np.asarray(r["embedding"], float) for r in
+         emb.select("vec_id", "embedding").collect()}
+    C = np.asarray(cents)
+    BR, BS = np.asarray(books_raw), np.asarray(books_res)
+    dsub = S.EMB_DIM // S.PQ_M
+
+    def mse(index_rows, books, use_cell):
+        errs = []
+        for r in index_rows:
+            rec = np.concatenate([books[s][r["codes"][s]]
+                                  for s in range(S.PQ_M)])
+            if use_cell:
+                rec = rec + C[r["cell"]]
+            errs.append(float(((V[r["vec_id"]] - rec) ** 2).sum()))
+        return sum(errs) / len(errs)
+
+    raw_rows = S.pq_encode_with_cells(emb, "vec_id", "embedding", books_raw,
+                                      cents).collect()
+    res_rows = idx_res.collect()
+    assert dsub * S.PQ_M == S.EMB_DIM
+    assert mse(res_rows, BS, True) <= mse(raw_rows, BR, False)
+
+    # search returns k rows from probed cells only
+    from data_quality_spark.queries_ops import _query_vec
+
+    q = _query_vec(spark, sf_dir)
+    out = S.ivfpq_residual_topk(idx_res, "vec_id", books_res, cents, q,
+                                k=5, n_probe=2).collect()
+    assert len(out) == 5 and out[0]["adc_dist"] <= out[-1]["adc_dist"]
+
+
 def test_label_centroids_values(spark):
     df = spark.createDataFrame(
         [(1, [1.0, 3.0], 0), (2, [3.0, 5.0], 0), (3, [10.0, 0.0], 1)],
