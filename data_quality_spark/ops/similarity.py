@@ -444,24 +444,18 @@ def centroids_to_df(spark, centroids: list[list[float]]) -> DataFrame:
     return spark.createDataFrame(rows, "cell int, pos int, val double")
 
 
-def ivf_topk_trained(
-    df: DataFrame,
-    id_col: str,
-    vec_col: str,
-    centroids: list[list[float]],
-    query_vec: list[float],
-    k: int = 10,
-    n_probe: int = 1,
-) -> DataFrame:
-    """IVF search against TRAINED centroids: rank cells by cosine(query,
-    centroid) driver-side (k×dim floats — no Spark job), then scan only rows
-    whose assigned cell is probed. With the corpus written partitioned by
-    cell, the probe filter prunes at the file level."""
+def _rank_probe_cells(
+    centroids: list[list[float]], query_vec: list, n_probe: int
+) -> list:
+    """Driver-side probe selection (k×dim floats — no Spark job) — THE one
+    definition of the cell-ranking contract (dim-ordered fold, 6dp HALF_UP
+    cosine, lowest-cell tie), shared by every IVF variant so the engines
+    cannot drift (the SQL twins share _sql_cent_cos the same way)."""
     import math
 
     from data_quality_spark.pipeline.expected import round_half_up
 
-    def cos(c: list[float]) -> float:
+    def cos(c: list) -> float:
         d = na = nb = 0.0
         for a, b in zip(c, query_vec):
             d += a * b
@@ -473,7 +467,23 @@ def ivf_topk_trained(
         return round_half_up(d / (na * nb), 6) if na > 0 and nb > 0 else 0.0
 
     ranked = sorted(range(len(centroids)), key=lambda i: (-cos(centroids[i]), i))
-    probe = ranked[:n_probe]
+    return ranked[:n_probe]
+
+
+def ivf_topk_trained(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    centroids: list[list[float]],
+    query_vec: list[float],
+    k: int = 10,
+    n_probe: int = 1,
+) -> DataFrame:
+    """IVF search against TRAINED centroids: rank cells driver-side
+    (_rank_probe_cells), then scan only rows whose assigned cell is probed.
+    With the corpus written partitioned by cell, the probe filter prunes at
+    the file level."""
+    probe = _rank_probe_cells(centroids, query_vec, n_probe)
     v = _as_double(F.col(vec_col))
     cand = df.where(assign_cells(v, centroids).isin(probe))
     return topk_cosine(cand, id_col, vec_col, query_vec, k)
@@ -939,21 +949,7 @@ def ivfpq_topk(
     inputs, not of this plan shape). Recall < 1 twice over — cell pruning
     and PQ distortion — which is the documented trade; compose with
     pq_topk_rerank-style exact re-ranking when it matters."""
-    import math
-
-    from data_quality_spark.pipeline.expected import round_half_up
-
-    def cos(c: list) -> float:
-        d = na = nb = 0.0
-        for a, b in zip(c, query):
-            d += a * b
-            na += a * a
-            nb += b * b
-        na, nb = math.sqrt(na), math.sqrt(nb)
-        return round_half_up(d / (na * nb), 6) if na > 0 and nb > 0 else 0.0
-
-    ranked = sorted(range(len(centroids)), key=lambda i: (-cos(centroids[i]), i))
-    probe = ranked[:n_probe]
+    probe = _rank_probe_cells(centroids, query, n_probe)
     return pq_topk_adc(
         codes_df.where(F.col("cell").isin(probe)), id_col, codebooks, query, k
     )
@@ -1036,11 +1032,20 @@ def train_pq_residual(
         R = V - C[cells.to_numpy(dtype=np.int64)] if len(V) else V
         return pd.Series(list(R))
 
+    # assign→res are CHAINED python UDFs (no fusion), so recomputing them
+    # on the seed collect + every Lloyd iteration would cost 2 crossings ×
+    # (n_iter+1) corpus scans. Persist for the training job's duration —
+    # a bounded training intermediate (id + dim doubles per row), the NB
+    # classifier trainer's contract.
     staged = df.select(
         F.col(id_col),
         res(v, assign_cells(v, centroids)).alias("__res"),
-    )
-    return train_pq(staged, id_col, "__res", m=m, k=k, n_iter=n_iter, dim=dim)
+    ).persist()
+    try:
+        return train_pq(staged, id_col, "__res", m=m, k=k, n_iter=n_iter,
+                        dim=dim)
+    finally:
+        staged.unpersist()
 
 
 def ivfpq_residual_topk(
@@ -1057,24 +1062,11 @@ def ivfpq_residual_topk(
     broadcast inside the UDF; each probed row costs m lookups in its
     cell's table + an exact int64 sum. Same single-scan TakeOrdered plan
     as pq_topk_adc behind a pushable cell filter."""
-    import math
-
     from data_quality_spark.pipeline.expected import round_half_up
 
     C, m, kk, dsub = _pq_shape(codebooks)
     q = [float(x) for x in query]
-
-    def cos(c: list) -> float:
-        d = na = nb = 0.0
-        for a, b in zip(c, q):
-            d += a * b
-            na += a * a
-            nb += b * b
-        na, nb = math.sqrt(na), math.sqrt(nb)
-        return round_half_up(d / (na * nb), 6) if na > 0 and nb > 0 else 0.0
-
-    ranked = sorted(range(len(centroids)), key=lambda i: (-cos(centroids[i]), i))
-    probe = ranked[:n_probe]
+    probe = _rank_probe_cells(centroids, q, n_probe)
     # per-cell tables: residual query (q − centroid[cell]) vs each code
     tables = np.zeros((len(probe), m, kk), dtype=np.int64)
     cell_slot = {c: i for i, c in enumerate(probe)}

@@ -398,7 +398,24 @@ def _resolve_bloom_m(path: str, bloom_m: int | None, k: int) -> int:
                 "rebuild the index."
             )
         return int(meta["m"])
-    return bloom_m if bloom_m is not None else PIPELINE_BLOOM_M
+    if bloom_m is not None:
+        return bloom_m
+    # a bitmap already on disk but no sidecar = a legacy (or crash-orphaned)
+    # artifact whose m is UNKNOWN. Guessing a default here would probe mod
+    # the wrong modulus — dedup silently off — and the next bit_or merge
+    # would mix positions from two moduli, corrupting the index for good.
+    # Demand the m it was built with instead.
+    import glob
+
+    if glob.glob(os.path.join(path, "*.parquet")):
+        raise ValueError(
+            f"Bloom index at {path} predates the (m, k) sidecar and no "
+            "bloom_m was passed — its modulus is unknown, and probing or "
+            "merging with a guessed m silently disables then corrupts "
+            "dedup. Pass the bloom_m it was built with (older runs "
+            "defaulted to ops.dedup.BLOOM_M = 2**20) or rebuild the index."
+        )
+    return PIPELINE_BLOOM_M
 
 
 def _read_bloom(spark: SparkSession, path: str):
@@ -632,7 +649,8 @@ def main():  # pragma: no cover
     ap.add_argument("--bloom-index", default=None,
                     help="path of the cross-run kept-text Bloom filter")
     ap.add_argument("--bloom-m", type=int, default=None,
-                    help="filter size in bits (default ops.dedup.BLOOM_M)")
+                    help="filter size in bits; default = the index's "
+                         "recorded m, else 2**27 for a new index")
     # optional QFConfig stages — reachable from spark-submit without code
     ap.add_argument("--blocked-hosts", default=None,
                     help="comma-separated host blocklist "

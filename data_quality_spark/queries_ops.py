@@ -1223,6 +1223,16 @@ def q_sim_pq_topk(spark, sf_dir):
                          TOPK)
 
 
+def _sql_pq_ev_cte() -> str:
+    """Zero-coalesced embedding CTE for the PQ encode twins: the engine's
+    encoders stack NULL vectors as zeros (_stack_vecs convention), so the
+    SQL side must encode the same zero vector, not propagate NULL through
+    the l2 chain (which would tie every code and always pick code 0)."""
+    zeros = "[" + ", ".join(["0.0"] * S.EMB_DIM) + "]"
+    return (f"ev AS (SELECT vec_id, COALESCE(embedding::DOUBLE[], {zeros})"
+            " AS v FROM embeddings)")
+
+
 def _pq_l2_chain(vec: str) -> str:
     """Squared-L2 of one sub-vector vs a codebook entry `c`, rendered as an
     explicit left-associated `+` chain — the SAME IEEE addition sequence as
@@ -1242,15 +1252,16 @@ WITH cb AS (
   FROM read_parquet('{_pq_path()}') GROUP BY 1, 2
 ),
 e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+{_sql_pq_ev_cte()},
 q0 AS (SELECT v AS q FROM e WHERE vec_id = {QUERY_VEC_ID}),
 codes AS (
   SELECT vec_id, sub, code FROM (
-    SELECT e.vec_id, cb.sub, cb.code,
+    SELECT ev.vec_id, cb.sub, cb.code,
            row_number() OVER (
-             PARTITION BY e.vec_id, cb.sub
+             PARTITION BY ev.vec_id, cb.sub
              ORDER BY {_pq_l2_chain('v')} ASC, cb.code
            ) AS rn
-    FROM e, cb
+    FROM ev, cb
   ) WHERE rn = 1
 ),
 qt AS (
@@ -1291,6 +1302,7 @@ cb AS (
   FROM read_parquet('{_pq_path()}') GROUP BY 1, 2
 ),
 e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+{_sql_pq_ev_cte()},
 q0 AS (SELECT v AS q FROM e WHERE vec_id = {QUERY_VEC_ID}),
 probe AS (
   SELECT cell FROM cent, q0
@@ -1307,12 +1319,12 @@ assign AS (
 ),
 codes AS (
   SELECT vec_id, sub, code FROM (
-    SELECT e.vec_id, cb.sub, cb.code,
+    SELECT ev.vec_id, cb.sub, cb.code,
            row_number() OVER (
-             PARTITION BY e.vec_id, cb.sub
+             PARTITION BY ev.vec_id, cb.sub
              ORDER BY {_pq_l2_chain('v')} ASC, cb.code
            ) AS rn
-    FROM e, cb
+    FROM ev, cb
   ) WHERE rn = 1
 ),
 qt AS (
@@ -1409,6 +1421,7 @@ cbr AS (
   FROM read_parquet('{_pq_res_path()}') GROUP BY 1, 2
 ),
 e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+{_sql_pq_ev_cte()},
 q0 AS (SELECT v AS q FROM e WHERE vec_id = {QUERY_VEC_ID}),
 probe AS (
   SELECT cell FROM cent, q0
@@ -1426,12 +1439,12 @@ assign AS (
 centcc AS (SELECT cell, c AS cc FROM cent),
 codes AS (
   SELECT vec_id, cell, sub, code FROM (
-    SELECT e.vec_id, assign.cell, cbr.sub, cbr.code,
+    SELECT ev.vec_id, assign.cell, cbr.sub, cbr.code,
            row_number() OVER (
-             PARTITION BY e.vec_id, cbr.sub
+             PARTITION BY ev.vec_id, cbr.sub
              ORDER BY {_pq_res_l2_chain('v')} ASC, cbr.code
            ) AS rn
-    FROM e
+    FROM ev
     JOIN assign USING (vec_id)
     JOIN centcc ON centcc.cell = assign.cell
     CROSS JOIN cbr
@@ -1479,15 +1492,16 @@ WITH cb AS (
   FROM read_parquet('{_pq_path()}') GROUP BY 1, 2
 ),
 e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+{_sql_pq_ev_cte()},
 q0 AS (SELECT v AS q FROM e WHERE vec_id = {QUERY_VEC_ID}),
 codes AS (
   SELECT vec_id, sub, code FROM (
-    SELECT e.vec_id, cb.sub, cb.code,
+    SELECT ev.vec_id, cb.sub, cb.code,
            row_number() OVER (
-             PARTITION BY e.vec_id, cb.sub
+             PARTITION BY ev.vec_id, cb.sub
              ORDER BY {_pq_l2_chain('v')} ASC, cb.code
            ) AS rn
-    FROM e, cb
+    FROM ev, cb
   ) WHERE rn = 1
 ),
 qt AS (

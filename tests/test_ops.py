@@ -850,6 +850,54 @@ def test_residual_pq_fuses_and_tightens_error(spark, sf_dir):
     assert len(out) == 5 and out[0]["adc_dist"] <= out[-1]["adc_dist"]
 
 
+def test_pq_null_embedding_parity(spark, tmp_path, monkeypatch):
+    """A NULL embedding encodes as the ZERO vector on both engines: the
+    engine stacks NULLs as zeros (_stack_vecs), and the SQL twin's
+    zero-coalescing ev CTE must reproduce the same codes/ADC result —
+    without it the l2 chain is all-NULL and every code ties to 0."""
+    import duckdb
+    import numpy as np
+    import pandas as pd
+
+    from data_quality_spark import queries_ops as Q
+    from data_quality_spark.pipeline import expected as E
+
+    monkeypatch.setattr(E, "EXPECTED_DIR", str(tmp_path))
+
+    # hand codebooks: 8 subs x 2 codes x 8 dims — code 0 = ones, code 1 = 3s
+    books = [[[1.0] * 8, [3.0] * 8] for _ in range(8)]
+    pd.DataFrame(
+        [(s, j, p, v) for s, bk in enumerate(books)
+         for j, c in enumerate(bk) for p, v in enumerate(c)],
+        columns=["sub", "code", "pos", "val"],
+    ).to_parquet(Q._pq_path())
+
+    rows = [
+        (Q.QUERY_VEC_ID, [1.0] * 64),          # query: near code 0
+        (100, None),                           # NULL -> zero vector
+        (101, [0.0] * 64),                     # explicit zeros: same codes
+        (102, [3.0] * 64),                     # near code 1
+    ]
+    sdf = spark.createDataFrame(rows, "vec_id bigint, embedding array<double>")
+    codes = {r["vec_id"]: list(r["codes"]) for r in
+             S.pq_encode(sdf, "vec_id", "embedding", books).collect()}
+    assert codes[100] == codes[101]  # NULL == zero vector
+
+    eng = [(r["vec_id"], r["adc_dist"]) for r in
+           S.pq_topk_adc(S.pq_encode(sdf, "vec_id", "embedding", books),
+                         "vec_id", books, [1.0] * 64, k=4).collect()]
+
+    con = duckdb.connect()
+    pdf = pd.DataFrame(
+        {"vec_id": [r[0] for r in rows],
+         "embedding": [np.asarray(r[1], dtype=np.float32)
+                       if r[1] is not None else None for r in rows]}
+    )
+    con.register("embeddings", pdf)
+    ora = [tuple(r) for r in con.execute(Q._sql_pq_topk()).fetchall()]
+    assert eng == ora, (eng, ora)
+
+
 def test_label_centroids_values(spark):
     df = spark.createDataFrame(
         [(1, [1.0, 3.0], 0), (2, [3.0, 5.0], 0), (3, [10.0, 0.0], 1)],

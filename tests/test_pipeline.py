@@ -392,6 +392,31 @@ def test_pipeline_bloom_meta_pins_geometry(spark, fixture_path, tmp_path):
                      bloom_index=idx, bloom_m=1 << 21)
 
 
+def test_bloom_legacy_index_requires_explicit_m(spark, fixture_path, tmp_path):
+    """A bitmap on disk WITHOUT the (m, k) sidecar — legacy artifact or a
+    crash orphaned between the parquet overwrite and the sidecar write —
+    must demand an explicit bloom_m: guessing a default probes mod the
+    wrong modulus (dedup silently off) and the next merge corrupts the
+    index permanently."""
+    import pytest
+
+    from data_quality_spark.ops import dedup as D
+    from data_quality_spark.pipeline.quality_filter import run_pipeline
+
+    idx = str(tmp_path / "legacy_idx")
+    df = spark.createDataFrame([(i, f"text {i}") for i in range(50)],
+                               "id bigint, t string")
+    D.bloom_build(df, "t", m=1 << 20).coalesce(1).write.parquet(idx)
+
+    with pytest.raises(ValueError, match="predates"):
+        run_pipeline(spark, fixture_path, str(tmp_path / "o1"), n_buckets=2,
+                     bloom_index=idx)
+    # explicit m unblocks the legacy artifact (and stamps the sidecar)
+    s = run_pipeline(spark, fixture_path, str(tmp_path / "o2"), n_buckets=2,
+                     bloom_index=idx, bloom_m=1 << 20)
+    assert s["buckets_done"] == 2
+
+
 def test_bloom_probe_rejects_larger_m_artifact(spark):
     """Probing a filter built under a LARGER m than the probe's m raises a
     clear error (previously an opaque numpy IndexError)."""
