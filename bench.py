@@ -69,6 +69,7 @@ HEADLINE = [
     "text_url_blocklist",     # map-only host-suffix blocklist filter
     "text_pii_counts",        # per-type PII audit counts (map-only regex)
     "text_badwords",          # C4 bad-words gate audit (map-only regex)
+    "text_pr_curve",          # threshold calibration (one-scan agg)
     "text_clf_score",         # NB train + hashed-linear classifier filter
     "text_decontaminate",     # benchmark n-gram decontamination anti-join
     "dedup_minhash_incr",     # cross-batch near-dup vs signature index

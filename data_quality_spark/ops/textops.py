@@ -1741,3 +1741,53 @@ def classifier_score_inrow(
         .withColumn("clf_score", sc)
         .withColumn("clf_keep", F.col("clf_score") >= F.lit(threshold))
     )
+
+
+# ---------------------------------------------------------------------------
+# precision/recall curve (score-threshold calibration)
+# ---------------------------------------------------------------------------
+
+
+def pr_curve(
+    df: DataFrame,
+    label: Column,
+    score: Column,
+    n_thresholds: int = 21,
+) -> DataFrame:
+    """Precision/recall/F1 at evenly spaced score thresholds — how a
+    quality-classifier operating point is picked (e.g. QFConfig's
+    clf_threshold) before gating a corpus on it.
+
+    ONE corpus scan: 2·n+1 conditional sums in a single partial-aggregated
+    agg (predicted-positive and true-positive counts per threshold, plus
+    the positive total); the curve itself is assembled driver-side from
+    that 1-row result — nothing else leaves the executors. NULL scores
+    count toward no prediction at any threshold (CASE NULL → 0, mirrored
+    in the oracle); F1 uses the 2·TP/(pred+actual) identity so both
+    engines compute ONE rounded division per cell, not a composition of
+    rounded intermediates."""
+    spark = df.sparkSession
+    n = n_thresholds
+    aggs = []
+    for i in range(n):
+        t = i / (n - 1)
+        aggs.append(F.sum(F.when(score >= t, 1).otherwise(0))
+                    .alias(f"__pp{i}"))
+        aggs.append(F.sum(F.when((score >= t) & label, 1).otherwise(0))
+                    .alias(f"__tp{i}"))
+    aggs.append(F.sum(F.when(label, 1).otherwise(0)).alias("__pos"))
+    row = df.agg(*aggs).collect()[0]
+    pos = int(row["__pos"] or 0)
+    local = spark.createDataFrame(
+        [(i / (n - 1), int(row[f"__pp{i}"] or 0), int(row[f"__tp{i}"] or 0),
+          pos) for i in range(n)],
+        "threshold double, n_pred bigint, n_tp bigint, n_pos bigint",
+    )
+    tp, npd, npos = F.col("n_tp"), F.col("n_pred"), F.col("n_pos")
+    return local.select(
+        "threshold", "n_pred", "n_tp", "n_pos",
+        F.when(npd > 0, F.round(tp / npd, 6)).alias("precision"),
+        F.when(npos > 0, F.round(tp / npos, 6)).alias("recall"),
+        F.when(npd + npos > 0, F.round(2 * tp / (npd + npos), 6))
+        .alias("f1"),
+    )

@@ -2151,6 +2151,48 @@ FROM g
 """
 
 
+PR_CURVE_N = 21
+
+
+def q_text_pr_curve(spark, sf_dir):
+    """Score-threshold calibration (textops.pr_curve): precision/recall/F1
+    of the heuristic quality score as a predictor of the corpus's
+    classifier-label language, at 21 evenly spaced thresholds — the query
+    a user runs before picking a gate threshold."""
+    docs = _t(spark, sf_dir, "documents")
+    return T.pr_curve(
+        docs,
+        F.col("lang") == CLF_LABEL_LANG,
+        T.quality_score(F.col("text")),
+        n_thresholds=PR_CURVE_N,
+    )
+
+
+def _sql_text_pr_curve() -> str:
+    d = PR_CURVE_N - 1
+    return f"""
+WITH scored AS ({_sql_quality_score("lang")}),
+th AS (SELECT unnest(range({PR_CURVE_N}))::INT AS i),
+agg AS (
+  SELECT i,
+         SUM(CASE WHEN q_score >= i::DOUBLE / {d}.0 THEN 1 ELSE 0 END)
+           AS n_pred,
+         SUM(CASE WHEN q_score >= i::DOUBLE / {d}.0
+                   AND lang = '{CLF_LABEL_LANG}' THEN 1 ELSE 0 END) AS n_tp,
+         SUM(CASE WHEN lang = '{CLF_LABEL_LANG}' THEN 1 ELSE 0 END) AS n_pos
+  FROM th CROSS JOIN scored GROUP BY 1
+)
+SELECT i::DOUBLE / {d}.0 AS threshold,
+       n_pred::BIGINT AS n_pred, n_tp::BIGINT AS n_tp,
+       n_pos::BIGINT AS n_pos,
+       CASE WHEN n_pred > 0 THEN round(n_tp / n_pred, 6) END AS precision,
+       CASE WHEN n_pos > 0 THEN round(n_tp / n_pos, 6) END AS recall,
+       CASE WHEN n_pred + n_pos > 0
+            THEN round(2 * n_tp / (n_pred + n_pos), 6) END AS f1
+FROM agg
+"""
+
+
 TOPFRAC = 0.3
 
 
@@ -3049,6 +3091,7 @@ OPS_QUERIES = {
     "text_token_hist": q_text_token_hist,
     "text_langid_heur": q_text_langid_heur,
     "text_quality_score": q_text_quality_score,
+    "text_pr_curve": q_text_pr_curve,
     "text_quality_topfrac": q_text_quality_topfrac,
     "text_shard_pack": q_text_shard_pack,
     "text_token_counts": q_text_token_counts,
@@ -3119,6 +3162,7 @@ OPS_ORACLES = {
     "text_token_hist": _sql_text_token_hist(),
     "text_langid_heur": _sql_langid_heur(),
     "text_quality_score": _sql_quality_score(),
+    "text_pr_curve": _sql_text_pr_curve(),
     "text_quality_topfrac": _sql_quality_topfrac(),
     "text_shard_pack": _sql_shard_pack(),
     "text_token_counts": SQL_TOKEN_COUNTS,

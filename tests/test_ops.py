@@ -1823,6 +1823,32 @@ def test_read_warc_to_pipeline(spark, tmp_path):
     assert W.parse_warc_bytes(raw) == []
 
 
+def test_pr_curve_semantics(spark):
+    """PR curve: threshold 0 catches everything (recall 1, precision =
+    base rate), counts are monotone non-increasing in the threshold, NULL
+    scores never predict, and F1 matches 2TP/(pred+pos)."""
+    from data_quality_spark.ops import textops as T
+
+    df = spark.createDataFrame(
+        [(1, 0.9, True), (2, 0.8, False), (3, 0.4, True), (4, 0.1, False),
+         (5, None, True)],
+        "id bigint, score double, label boolean",
+    )
+    rows = {r["threshold"]: r for r in
+            T.pr_curve(df, F.col("label"), F.col("score"),
+                       n_thresholds=11).collect()}
+    assert len(rows) == 11
+    r0 = rows[0.0]
+    assert r0["n_pred"] == 4          # NULL score predicts at no threshold
+    assert r0["n_tp"] == 2 and r0["n_pos"] == 3
+    assert r0["recall"] == round(2 / 3, 6)
+    preds = [rows[i / 10]["n_pred"] for i in range(11)]
+    assert preds == sorted(preds, reverse=True)
+    r05 = rows[0.5]
+    assert (r05["n_pred"], r05["n_tp"]) == (2, 1)
+    assert r05["precision"] == 0.5 and r05["f1"] == 0.4  # 2*1/(2+3)
+
+
 def test_badwords_gate(spark):
     """C4 bad-words gate: word-boundary hits (no substring matches),
     case-insensitive, NULL text passes the drop but yields no audit row,
