@@ -65,7 +65,7 @@ def pages_from_documents_pandas(docs: pd.DataFrame) -> pd.DataFrame:
 
 def write_qf_expected(sf_dir: str, out_path: str = QF_EXPECTED_PATH) -> str:
     """Run the pandas reference pipeline over sf_dir/documents and persist
-    the expected (url, keep, lang_pred, ppl_r, n_fired) frame."""
+    the expected (url, keep, lang_pred, ppl_r, n_fired, fired) frame."""
     import pyarrow as pa
     import pyarrow.parquet as pq
 
@@ -82,6 +82,7 @@ def write_qf_expected(sf_dir: str, out_path: str = QF_EXPECTED_PATH) -> str:
             "lang_pred": ann["lang_pred"].values,
             "ppl_r": [round_half_up(p) for p in ann["ppl"]],
             "n_fired": [len(f) for f in ann["fired_rules"]],
+            "fired": [list(f) for f in ann["fired_rules"]],
         }
     )
     schema = pa.schema(
@@ -91,6 +92,7 @@ def write_qf_expected(sf_dir: str, out_path: str = QF_EXPECTED_PATH) -> str:
             ("lang_pred", pa.string()),
             ("ppl_r", pa.float64()),
             ("n_fired", pa.int32()),
+            ("fired", pa.list_(pa.string())),
         ]
     )
     os.makedirs(EXPECTED_DIR, exist_ok=True)

@@ -330,6 +330,24 @@ def metrics_by_partition(
     return ann.groupBy(*(group_cols or ["part_id"])).agg(*aggs)
 
 
+def rule_ablation(ann: DataFrame) -> DataFrame:
+    """Per-rule gate telemetry over an annotated frame: for each rule, how
+    many documents fire it at all (`n_fired`) and for how many it is the
+    SOLE firing rule (`n_sole` — the documents that rule alone removes;
+    relaxing it recovers exactly those). The standard curation question
+    before loosening or tightening a gate. ONE pass over the annotated
+    frame: explode fired_rules alongside its size, then a partial-
+    aggregated groupBy on the (tiny) rule-id key."""
+    ex = ann.select(
+        F.size("fired_rules").alias("__n"),
+        F.explode("fired_rules").alias("rule"),
+    )
+    return ex.groupBy("rule").agg(
+        F.count("*").alias("n_fired"),
+        F.sum(F.when(F.col("__n") == 1, 1).otherwise(0)).alias("n_sole"),
+    )
+
+
 def dedup_kept(kept: DataFrame, mode: str | None) -> DataFrame:
     """Optional dedup stage over the kept rows (url = document id).
 

@@ -2926,13 +2926,10 @@ SELECT doc_id, {expr} AS scrubbed FROM p
 # ---------------------------------------------------------------------------
 
 
-def q_qf_pipeline_annotate(spark, sf_dir):
+def _qf_pages(spark, sf_dir):
+    """documents → the pages-table shape both qf harness queries annotate
+    (same construction the pandas reference's pages_from_documents uses)."""
     from data_quality_spark.pipeline import expected as EXP
-    from data_quality_spark.pipeline.quality_filter import annotate_pages
-
-    # refresh the materialized oracle for THIS sf_dir (runs the pandas
-    # reference pipeline, not Spark) before the driver executes the SQL side
-    EXP.write_qf_expected(sf_dir)
 
     docs = _t(spark, sf_dir, "documents")
     esc = F.replace(
@@ -2944,7 +2941,7 @@ def q_qf_pipeline_annotate(spark, sf_dir):
         F.lit(">"),
         F.lit("&gt;"),
     )
-    pages = docs.select(
+    return docs.select(
         F.concat(F.lit(EXP.URL_PREFIX), F.col("doc_id").cast("string")).alias("url"),
         F.lit("2024-01-01 00:00:00").cast("timestamp").alias("warc_ts"),
         F.encode(
@@ -2953,11 +2950,51 @@ def q_qf_pipeline_annotate(spark, sf_dir):
         F.col("text"),
         F.col("lang"),
     )
-    ann = annotate_pages(pages)
+
+
+def q_qf_pipeline_annotate(spark, sf_dir):
+    from data_quality_spark.pipeline import expected as EXP
+    from data_quality_spark.pipeline.quality_filter import annotate_pages
+
+    # refresh the materialized oracle for THIS sf_dir (runs the pandas
+    # reference pipeline, not Spark) before the driver executes the SQL side
+    EXP.write_qf_expected(sf_dir)
+
+    ann = annotate_pages(_qf_pages(spark, sf_dir))
     return ann.select(
         "url", "keep", "lang_pred", F.round("ppl", 4).alias("ppl_r"),
         F.size("fired_rules").alias("n_fired"),
     )
+
+
+def q_qf_rule_ablation(spark, sf_dir):
+    """Per-rule gate telemetry (pipeline.quality_filter.rule_ablation):
+    for each rule, total firing documents and sole-firing documents — the
+    count a curator recovers by relaxing exactly that gate. Oracle = the
+    same materialized pandas-reference frame the qf family verifies
+    against (fired list column)."""
+    from data_quality_spark.pipeline import expected as EXP
+    from data_quality_spark.pipeline.quality_filter import (
+        annotate_pages,
+        rule_ablation,
+    )
+
+    EXP.write_qf_expected(sf_dir)
+    return rule_ablation(annotate_pages(_qf_pages(spark, sf_dir)))
+
+
+def _sql_qf_rule_ablation() -> str:
+    from data_quality_spark.pipeline.expected import QF_EXPECTED_PATH
+
+    return f"""
+WITH ex AS (
+  SELECT len(fired) AS n, unnest(fired) AS rule
+  FROM read_parquet('{QF_EXPECTED_PATH}')
+)
+SELECT rule, COUNT(*)::BIGINT AS n_fired,
+       SUM(CASE WHEN n = 1 THEN 1 ELSE 0 END)::BIGINT AS n_sole
+FROM ex GROUP BY 1
+"""
 
 
 def _sql_qf_pipeline_annotate() -> str:
@@ -3116,6 +3153,7 @@ OPS_QUERIES = {
     "qf_heuristic_keep": q_qf_heuristic_keep,
     "qf_scrub": q_qf_scrub,
     "qf_pipeline_annotate": q_qf_pipeline_annotate,
+    "qf_rule_ablation": q_qf_rule_ablation,
 }
 
 OPS_ORACLES = {
@@ -3187,4 +3225,5 @@ OPS_ORACLES = {
     "qf_heuristic_keep": _sql_qf_heuristic_keep(),
     "qf_scrub": _sql_qf_scrub(),
     "qf_pipeline_annotate": _sql_qf_pipeline_annotate(),
+    "qf_rule_ablation": _sql_qf_rule_ablation(),
 }

@@ -581,6 +581,21 @@ def test_host_blocklist_rule(spark, fixture_path):
     assert mism <= 2  # same tolerance as the full-corpus fired-rules test
 
 
+def test_rule_ablation_counts(spark):
+    """Per-rule ablation: n_fired counts every firing doc, n_sole only
+    docs where that rule fires alone; clean docs contribute nothing."""
+    from data_quality_spark.pipeline.quality_filter import rule_ablation
+
+    df = spark.createDataFrame(
+        [(1, ["word_count"]), (2, ["word_count", "perplexity"]),
+         (3, ["perplexity"]), (4, []), (5, ["word_count"])],
+        "id bigint, fired_rules array<string>",
+    )
+    got = {r["rule"]: (r["n_fired"], r["n_sole"]) for r in
+           rule_ablation(df).collect()}
+    assert got == {"word_count": (3, 2), "perplexity": (2, 1)}
+
+
 def test_badwords_rule(spark, fixture_path):
     """Optional C4-style bad-words gate: listing a real corpus word fires a
     FAIL rule on exactly the rows whose extracted text contains it as a
