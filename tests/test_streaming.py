@@ -288,3 +288,38 @@ def test_stream_clf_stage_matches_batch(spark, stream_in, tmp_path):
         "clf_low_quality" in r["fired_rules"]
         for r in batch.select("fired_rules").collect()
     )
+
+
+def test_stream_badwords_rule(spark, stream_in, tmp_path):
+    """QFConfig.badwords composes into the stream unchanged (stateless
+    rlike rule): a blocklist word drawn from the batch-kept corpus drops
+    those pages from the streamed kept set."""
+    from data_quality_spark.pipeline.quality_filter import QFConfig
+
+    base = str(tmp_path / "kept_base")
+    q = stream_quality_filter(
+        spark, stream_in, base, str(tmp_path / "cb"), available_now=True
+    )
+    q.awaitTermination(300)
+    kept = spark.read.parquet(base)
+    text = kept.where("length(text_scrubbed) > 20").first()["text_scrubbed"]
+    word = next(w.lower() for w in text.split()
+                if len(w) >= 4 and w.isascii() and w.isalnum())
+
+    out = str(tmp_path / "kept_bw")
+    q2 = stream_quality_filter(
+        spark, stream_in, out, str(tmp_path / "cw"), available_now=True,
+        cfg=QFConfig(badwords=(word,)),
+    )
+    q2.awaitTermination(300)
+    import glob
+    import re
+
+    got = (spark.read.parquet(out)
+           if glob.glob(os.path.join(out, "*.parquet"))
+           else spark.createDataFrame([], kept.schema))
+    rx = re.compile(r"(?i)\b(?:" + word + r")\b", re.ASCII)
+    # every surviving text is clean, and at least the sampled doc dropped
+    assert got.count() < kept.count()
+    for r in got.select("text_scrubbed").collect():
+        assert not rx.search(r["text_scrubbed"] or "")
