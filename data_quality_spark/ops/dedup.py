@@ -95,6 +95,24 @@ def exact_dup_groups(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     )
 
 
+def dup_group_sizes(df: DataFrame, text_col: str) -> DataFrame:
+    """(group_size, n_groups): the duplication profile of a corpus — how
+    many distinct texts occur exactly k times (k=1 = unique). The first
+    number a curation report quotes ("x% of the corpus is copies") and the
+    input to choosing a dedup strategy. Two partial-aggregated shuffles on
+    strictly shrinking keys: (md5 → count), then (count → count); no text
+    ever shuffles. NULL texts are excluded (they are emptiness, not
+    content)."""
+    per_text = (
+        df.where(F.col(text_col).isNotNull())
+        .groupBy(F.md5(F.col(text_col)).alias("__h"))
+        .agg(F.count(F.lit(1)).alias("group_size"))
+    )
+    return per_text.groupBy("group_size").agg(
+        F.count(F.lit(1)).alias("n_groups")
+    )
+
+
 def drop_exact_dups(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     """Keep one row (min id) per distinct text; null-text rows all kept.
     Implemented as groupBy-min + semi join so the wide frame never shuffles

@@ -91,6 +91,22 @@ GROUP BY 1 HAVING count(*) > 1
 """
 
 
+def q_dedup_group_sizes(spark, sf_dir):
+    """Corpus duplication profile (dedup.dup_group_sizes) over the seeded
+    exact-dup corpus: distinct-text count per occurrence multiplicity."""
+    return D.dup_group_sizes(_exact_dup_corpus(spark, sf_dir), "text")
+
+
+SQL_DEDUP_GROUP_SIZES = f"""
+WITH corpus AS ({SQL_EXACT_CORPUS}),
+per_text AS (
+  SELECT md5(text) AS h, count(*) AS group_size
+  FROM corpus WHERE text IS NOT NULL GROUP BY 1
+)
+SELECT group_size, count(*) AS n_groups FROM per_text GROUP BY 1
+"""
+
+
 def q_dedup_exact_drop(spark, sf_dir):
     """Survivor set after exact dedup (min doc_id per distinct text;
     null-text rows pass through)."""
@@ -3086,6 +3102,7 @@ GROUP BY w.doc_id
 
 OPS_QUERIES = {
     "dedup_exact": q_dedup_exact,
+    "dedup_group_sizes": q_dedup_group_sizes,
     "dedup_incremental": q_dedup_incremental,
     "dedup_bloom": q_dedup_bloom,
     "dedup_para_bloom": q_dedup_bloom_paras,
@@ -3158,6 +3175,7 @@ OPS_QUERIES = {
 
 OPS_ORACLES = {
     "dedup_exact": SQL_DEDUP_EXACT,
+    "dedup_group_sizes": SQL_DEDUP_GROUP_SIZES,
     "dedup_incremental": _sql_dedup_incremental(),
     "dedup_bloom": _sql_dedup_bloom(),
     "dedup_para_bloom": _sql_dedup_bloom_paras(),

@@ -1849,6 +1849,19 @@ def test_pr_curve_semantics(spark):
     assert r05["precision"] == 0.5 and r05["f1"] == 0.4  # 2*1/(2+3)
 
 
+def test_dup_group_sizes(spark):
+    """Duplication profile: 3 copies of one text + 2 of another + 1 unique
+    → histogram {1: 1, 2: 1, 3: 1}; NULL text excluded."""
+    df = spark.createDataFrame(
+        [(1, "aaa"), (2, "aaa"), (3, "aaa"), (4, "bbb"), (5, "bbb"),
+         (6, "ccc"), (7, None)],
+        "id bigint, text string",
+    )
+    got = {r["group_size"]: r["n_groups"] for r in
+           D.dup_group_sizes(df, "text").collect()}
+    assert got == {1: 1, 2: 1, 3: 1}
+
+
 def test_badwords_gate(spark):
     """C4 bad-words gate: word-boundary hits (no substring matches),
     case-insensitive, NULL text passes the drop but yields no audit row,
