@@ -1102,3 +1102,35 @@ def ivfpq_residual_topk(
             (F.col("__t") / F.lit(1000000.0)).alias("adc_dist"),
         )
     )
+
+
+def ivfpq_rerank(
+    codes_df: DataFrame,
+    emb_df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    codebooks,
+    centroids: list[list[float]],
+    query: list,
+    k: int = 10,
+    n_probe: int = 1,
+    n_candidates: int = 50,
+) -> DataFrame:
+    """The full production IVF-PQ search path: coarse probe → residual ADC
+    over the compressed index nominates n_candidates → exact cosine on only
+    those rows' true embeddings → top k. Combines both recall mitigations
+    (more probes recover cell-pruning misses, re-ranking absorbs PQ
+    distortion); plan = the residual ADC single-scan TakeOrdered + one
+    candidate BroadcastExchange into the embeddings scan + a second
+    TakeOrdered. Output matches topk_cosine's (id, cos_sim) contract."""
+    cand = ivfpq_residual_topk(
+        codes_df, id_col, codebooks, centroids, query, k=n_candidates,
+        n_probe=n_probe,
+    )
+    hits = emb_df.join(F.broadcast(cand.select(id_col)), id_col)
+    q = _lit_vec([float(x) for x in query])
+    scored = hits.select(
+        F.col(id_col),
+        F.round(cosine(_as_double(F.col(vec_col)), q), 6).alias("cos_sim"),
+    )
+    return scored.orderBy(F.col("cos_sim").desc(), F.col(id_col)).limit(k)

@@ -1486,6 +1486,84 @@ FROM adc ORDER BY t, vec_id LIMIT {TOPK}
 """
 
 
+def q_sim_ivfpq_rerank(spark, sf_dir):
+    """Full production IVF-PQ search (similarity.ivfpq_rerank): coarse
+    probe → residual ADC nominates candidates from the compressed index →
+    exact cosine re-rank on only those embeddings."""
+    cents = _train_and_persist_kmeans(spark, sf_dir)
+    books = _train_and_persist_pq_residual(spark, sf_dir)
+    emb = _t(spark, sf_dir, "embeddings")
+    idx = S.pq_encode_residual(emb, "vec_id", "embedding", books, cents)
+    return S.ivfpq_rerank(idx, emb, "vec_id", "embedding", books, cents,
+                          _query_vec(spark, sf_dir), TOPK,
+                          n_probe=IVF_KM_NPROBE, n_candidates=PQ_RERANK_CAND)
+
+
+def _sql_ivfpq_rerank() -> str:
+    return f"""
+WITH cent AS (
+  SELECT cell, list(val ORDER BY pos) AS c
+  FROM read_parquet('{_kmeans_path()}') GROUP BY 1
+),
+cbr AS (
+  SELECT sub, code, list(val ORDER BY pos) AS c
+  FROM read_parquet('{_pq_res_path()}') GROUP BY 1, 2
+),
+e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+{_sql_pq_ev_cte()},
+q0 AS (SELECT v AS q FROM e WHERE vec_id = {QUERY_VEC_ID}),
+probe AS (
+  SELECT cell FROM cent, q0
+  ORDER BY {_sql_cent_cos('q')} DESC, cell LIMIT {IVF_KM_NPROBE}
+),
+assign AS (
+  SELECT vec_id, cell FROM (
+    SELECT e.vec_id, cent.cell,
+           row_number() OVER (
+             PARTITION BY e.vec_id ORDER BY {_sql_cent_cos('v')} DESC, cent.cell
+           ) AS rn
+    FROM e, cent
+  ) WHERE rn = 1
+),
+centcc AS (SELECT cell, c AS cc FROM cent),
+codes AS (
+  SELECT vec_id, cell, sub, code FROM (
+    SELECT ev.vec_id, assign.cell, cbr.sub, cbr.code,
+           row_number() OVER (
+             PARTITION BY ev.vec_id, cbr.sub
+             ORDER BY {_pq_res_l2_chain('v')} ASC, cbr.code
+           ) AS rn
+    FROM ev
+    JOIN assign USING (vec_id)
+    JOIN centcc ON centcc.cell = assign.cell
+    CROSS JOIN cbr
+  ) WHERE rn = 1
+),
+qt AS (
+  SELECT centcc.cell, cbr.sub, cbr.code,
+         CAST(round(({_pq_res_l2_chain('q')}) * 1000000, 0) AS BIGINT) AS t6
+  FROM centcc
+  JOIN probe USING (cell)
+  CROSS JOIN cbr
+  CROSS JOIN q0
+),
+cand AS (
+  SELECT codes.vec_id, SUM(qt.t6) AS t
+  FROM codes
+  JOIN qt ON qt.cell = codes.cell AND qt.sub = codes.sub
+         AND qt.code = codes.code
+  GROUP BY 1
+  ORDER BY t, vec_id LIMIT {PQ_RERANK_CAND}
+),
+scored AS (
+  SELECT e.vec_id, {SQL_COSINE} AS cos_sim
+  FROM e JOIN cand USING (vec_id), q0
+)
+SELECT vec_id, cos_sim FROM scored
+ORDER BY cos_sim DESC, vec_id LIMIT {TOPK}
+"""
+
+
 PQ_RERANK_CAND = 50
 
 
@@ -3129,6 +3207,7 @@ OPS_QUERIES = {
     "sim_pq_rerank": q_sim_pq_rerank,
     "sim_ivfpq_topk": q_sim_ivfpq_topk,
     "sim_ivfpq_res_topk": q_sim_ivfpq_res_topk,
+    "sim_ivfpq_rerank": q_sim_ivfpq_rerank,
     "dedup_semantic": q_dedup_semantic,
     "dedup_semantic_drop": q_dedup_semantic_drop,
     "text_url_blocklist": q_text_url_blocklist,
@@ -3202,6 +3281,7 @@ OPS_ORACLES = {
     "sim_pq_rerank": _sql_pq_rerank(),
     "sim_ivfpq_topk": _sql_ivfpq_topk(),
     "sim_ivfpq_res_topk": _sql_ivfpq_res_topk(),
+    "sim_ivfpq_rerank": _sql_ivfpq_rerank(),
     "dedup_semantic": _sql_dedup_semantic(),
     "dedup_semantic_drop": _sql_dedup_semantic_drop(),
     "text_url_blocklist": _sql_text_url_blocklist(),

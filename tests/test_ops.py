@@ -898,6 +898,26 @@ def test_pq_null_embedding_parity(spark, tmp_path, monkeypatch):
     assert eng == ora, (eng, ora)
 
 
+def test_ivfpq_rerank_recall(spark, sf_dir):
+    """Probe + residual ADC + exact re-rank recovers most of the exact
+    top-10 (both recall mitigations active) and keeps the topk_cosine
+    output contract."""
+    from data_quality_spark.queries_ops import _query_vec
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    q = _query_vec(spark, sf_dir)
+    cents = S.train_kmeans_cells(emb, "vec_id", "embedding", 8, 3)
+    books = S.train_pq_residual(emb, "vec_id", "embedding", cents)
+    idx = S.pq_encode_residual(emb, "vec_id", "embedding", books, cents)
+    out = S.ivfpq_rerank(idx, emb, "vec_id", "embedding", books, cents, q,
+                         k=10, n_probe=2, n_candidates=50)
+    assert out.columns == ["vec_id", "cos_sim"]
+    got = {r["vec_id"] for r in out.collect()}
+    exact = {r["vec_id"] for r in
+             S.topk_cosine(emb, "vec_id", "embedding", q, k=10).collect()}
+    assert len(got & exact) / len(exact) >= 0.7
+
+
 def test_label_centroids_values(spark):
     df = spark.createDataFrame(
         [(1, [1.0, 3.0], 0), (2, [3.0, 5.0], 0), (3, [10.0, 0.0], 1)],
