@@ -50,6 +50,7 @@ HEADLINE = [
     "sim_pq_rerank",         # ADC nominate + exact-cosine re-rank
     "sim_ivfpq_topk",        # coarse-probe-pruned ADC over the PQ index
     "sim_ivfpq_res_topk",    # residual IVF-PQ (per-probed-cell ADC tables)
+    "sim_ivfpq_rerank",      # full search path: probe + ADC + exact re-rank
     "match_dimension_floatkey",
     "text_contamination",    # broadcast probe semi-join
     "host_quota",            # per-host rank window

@@ -907,6 +907,22 @@ def pq_topk_rerank(
     the embeddings scan (no shuffle of either table), then a second
     TakeOrdered. Output matches topk_cosine's (id, cos_sim) contract."""
     cand = pq_topk_adc(codes_df, id_col, codebooks, query, k=n_candidates)
+    return _exact_rerank(emb_df, id_col, vec_col, cand, query, k)
+
+
+def _exact_rerank(
+    emb_df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    cand: DataFrame,
+    query: list,
+    k: int,
+) -> DataFrame:
+    """THE exact re-rank tail shared by every candidate-nomination search
+    (pq_topk_rerank, ivfpq_rerank): broadcast the candidate ids into a hash
+    join against the embeddings scan, exact 6dp-rounded cosine, TakeOrdered
+    top-k with the topk_cosine tie-break — one definition so the re-rank
+    contract cannot drift between paths."""
     hits = emb_df.join(F.broadcast(cand.select(id_col)), id_col)
     q = _lit_vec([float(x) for x in query])
     scored = hits.select(
@@ -1127,10 +1143,4 @@ def ivfpq_rerank(
         codes_df, id_col, codebooks, centroids, query, k=n_candidates,
         n_probe=n_probe,
     )
-    hits = emb_df.join(F.broadcast(cand.select(id_col)), id_col)
-    q = _lit_vec([float(x) for x in query])
-    scored = hits.select(
-        F.col(id_col),
-        F.round(cosine(_as_double(F.col(vec_col)), q), 6).alias("cos_sim"),
-    )
-    return scored.orderBy(F.col("cos_sim").desc(), F.col(id_col)).limit(k)
+    return _exact_rerank(emb_df, id_col, vec_col, cand, query, k)

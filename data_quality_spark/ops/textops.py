@@ -1765,23 +1765,33 @@ def pr_curve(
     count toward no prediction at any threshold (CASE NULL → 0, mirrored
     in the oracle); F1 uses the 2·TP/(pred+actual) identity so both
     engines compute ONE rounded division per cell, not a composition of
-    rounded intermediates."""
+    rounded intermediates. An EMPTY input yields an empty curve (the SQL
+    twin's CROSS JOIN produces no groups — parity over convenience)."""
+    if n_thresholds < 2:
+        raise ValueError(f"n_thresholds must be >= 2, got {n_thresholds}")
     spark = df.sparkSession
     n = n_thresholds
-    aggs = []
+    # project the (possibly expensive) score/label expressions ONCE per
+    # row; the 2n+1 conditional sums then reference plain columns instead
+    # of re-embedding the expression in every CASE branch
+    staged = df.select(score.alias("__s"), label.alias("__l"))
+    s, lab = F.col("__s"), F.col("__l")
+    aggs = [F.count(F.lit(1)).alias("__total")]
     for i in range(n):
         t = i / (n - 1)
-        aggs.append(F.sum(F.when(score >= t, 1).otherwise(0))
+        aggs.append(F.sum(F.when(s >= t, 1).otherwise(0))
                     .alias(f"__pp{i}"))
-        aggs.append(F.sum(F.when((score >= t) & label, 1).otherwise(0))
+        aggs.append(F.sum(F.when((s >= t) & lab, 1).otherwise(0))
                     .alias(f"__tp{i}"))
-    aggs.append(F.sum(F.when(label, 1).otherwise(0)).alias("__pos"))
-    row = df.agg(*aggs).collect()[0]
+    aggs.append(F.sum(F.when(lab, 1).otherwise(0)).alias("__pos"))
+    row = staged.agg(*aggs).collect()[0]
     pos = int(row["__pos"] or 0)
+    rows = [] if int(row["__total"]) == 0 else [
+        (i / (n - 1), int(row[f"__pp{i}"] or 0), int(row[f"__tp{i}"] or 0),
+         pos) for i in range(n)
+    ]
     local = spark.createDataFrame(
-        [(i / (n - 1), int(row[f"__pp{i}"] or 0), int(row[f"__tp{i}"] or 0),
-          pos) for i in range(n)],
-        "threshold double, n_pred bigint, n_tp bigint, n_pos bigint",
+        rows, "threshold double, n_pred bigint, n_tp bigint, n_pos bigint",
     )
     tp, npd, npos = F.col("n_tp"), F.col("n_pred"), F.col("n_pos")
     return local.select(

@@ -1426,7 +1426,11 @@ def _pq_res_l2_chain(vec: str) -> str:
     return " + ".join(f"{t(i)} * {t(i)}" for i in range(1, dsub + 1))
 
 
-def _sql_ivfpq_res_topk() -> str:
+def _sql_ivfpq_res_ctes() -> str:
+    """The shared CTE chain of the residual IVF-PQ oracles (codebooks,
+    zero-coalesced embeddings, probe, coarse assignment, residual encode,
+    per-probed-cell integer ADC tables) — ONE definition so a fix to any
+    CTE (e.g. the NULL-embedding ev coalesce) applies to both twins."""
     return f"""
 WITH cent AS (
   SELECT cell, list(val ORDER BY pos) AS c
@@ -1473,7 +1477,12 @@ qt AS (
   JOIN probe USING (cell)
   CROSS JOIN cbr
   CROSS JOIN q0
-),
+)"""
+
+
+def _sql_ivfpq_res_topk() -> str:
+    return f"""
+{_sql_ivfpq_res_ctes()},
 adc AS (
   SELECT codes.vec_id, SUM(qt.t6) AS t
   FROM codes
@@ -1501,52 +1510,7 @@ def q_sim_ivfpq_rerank(spark, sf_dir):
 
 def _sql_ivfpq_rerank() -> str:
     return f"""
-WITH cent AS (
-  SELECT cell, list(val ORDER BY pos) AS c
-  FROM read_parquet('{_kmeans_path()}') GROUP BY 1
-),
-cbr AS (
-  SELECT sub, code, list(val ORDER BY pos) AS c
-  FROM read_parquet('{_pq_res_path()}') GROUP BY 1, 2
-),
-e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
-{_sql_pq_ev_cte()},
-q0 AS (SELECT v AS q FROM e WHERE vec_id = {QUERY_VEC_ID}),
-probe AS (
-  SELECT cell FROM cent, q0
-  ORDER BY {_sql_cent_cos('q')} DESC, cell LIMIT {IVF_KM_NPROBE}
-),
-assign AS (
-  SELECT vec_id, cell FROM (
-    SELECT e.vec_id, cent.cell,
-           row_number() OVER (
-             PARTITION BY e.vec_id ORDER BY {_sql_cent_cos('v')} DESC, cent.cell
-           ) AS rn
-    FROM e, cent
-  ) WHERE rn = 1
-),
-centcc AS (SELECT cell, c AS cc FROM cent),
-codes AS (
-  SELECT vec_id, cell, sub, code FROM (
-    SELECT ev.vec_id, assign.cell, cbr.sub, cbr.code,
-           row_number() OVER (
-             PARTITION BY ev.vec_id, cbr.sub
-             ORDER BY {_pq_res_l2_chain('v')} ASC, cbr.code
-           ) AS rn
-    FROM ev
-    JOIN assign USING (vec_id)
-    JOIN centcc ON centcc.cell = assign.cell
-    CROSS JOIN cbr
-  ) WHERE rn = 1
-),
-qt AS (
-  SELECT centcc.cell, cbr.sub, cbr.code,
-         CAST(round(({_pq_res_l2_chain('q')}) * 1000000, 0) AS BIGINT) AS t6
-  FROM centcc
-  JOIN probe USING (cell)
-  CROSS JOIN cbr
-  CROSS JOIN q0
-),
+{_sql_ivfpq_res_ctes()},
 cand AS (
   SELECT codes.vec_id, SUM(qt.t6) AS t
   FROM codes
@@ -3046,14 +3010,26 @@ def _qf_pages(spark, sf_dir):
     )
 
 
-def q_qf_pipeline_annotate(spark, sf_dir):
+_QF_EXPECTED_FOR: list = [None]
+
+
+def _refresh_qf_expected(sf_dir):
+    """Materialize the pandas-reference oracle for THIS sf_dir — shared by
+    every qf harness query so a gate run pays the full reference pipeline
+    (langid + perplexity over the corpus) once per sf, not once per query.
+    Rewritten when the sf changes (the parquet path is shared across sfs,
+    the kmeans-persistence contract)."""
     from data_quality_spark.pipeline import expected as EXP
+
+    if _QF_EXPECTED_FOR[0] != sf_dir:
+        EXP.write_qf_expected(sf_dir)
+        _QF_EXPECTED_FOR[0] = sf_dir
+
+
+def q_qf_pipeline_annotate(spark, sf_dir):
     from data_quality_spark.pipeline.quality_filter import annotate_pages
 
-    # refresh the materialized oracle for THIS sf_dir (runs the pandas
-    # reference pipeline, not Spark) before the driver executes the SQL side
-    EXP.write_qf_expected(sf_dir)
-
+    _refresh_qf_expected(sf_dir)
     ann = annotate_pages(_qf_pages(spark, sf_dir))
     return ann.select(
         "url", "keep", "lang_pred", F.round("ppl", 4).alias("ppl_r"),
@@ -3067,13 +3043,12 @@ def q_qf_rule_ablation(spark, sf_dir):
     count a curator recovers by relaxing exactly that gate. Oracle = the
     same materialized pandas-reference frame the qf family verifies
     against (fired list column)."""
-    from data_quality_spark.pipeline import expected as EXP
     from data_quality_spark.pipeline.quality_filter import (
         annotate_pages,
         rule_ablation,
     )
 
-    EXP.write_qf_expected(sf_dir)
+    _refresh_qf_expected(sf_dir)
     return rule_ablation(annotate_pages(_qf_pages(spark, sf_dir)))
 
 

@@ -1868,6 +1868,14 @@ def test_pr_curve_semantics(spark):
     assert (r05["n_pred"], r05["n_tp"]) == (2, 1)
     assert r05["precision"] == 0.5 and r05["f1"] == 0.4  # 2*1/(2+3)
 
+    # empty input → empty curve (SQL-twin parity: no groups from the join)
+    assert T.pr_curve(df.where("id < 0"), F.col("label"), F.col("score"),
+                      n_thresholds=11).count() == 0
+    import pytest
+
+    with pytest.raises(ValueError, match="n_thresholds"):
+        T.pr_curve(df, F.col("label"), F.col("score"), n_thresholds=1)
+
 
 def test_dup_group_sizes(spark):
     """Duplication profile: 3 copies of one text + 2 of another + 1 unique
