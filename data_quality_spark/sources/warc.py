@@ -159,6 +159,13 @@ def read_warc_cdx(
     uses stdlib open() — local/NFS paths in this sandbox; an object-store
     deployment swaps the opener for a ranged-GET client (single seam,
     documented rather than hidden).
+
+    Gzipped indexes (`.cdx.gz`, the Common-Crawl distribution format) work
+    transparently (Spark's text source decompresses by extension) but a
+    gzip member is NOT splittable — one task per index FILE. Common Crawl
+    ships ~300 cdx-NNNNN.gz shards per crawl, so file-grain parallelism
+    over the index is ample; decompress to plain text only if a single
+    huge index file becomes the bottleneck.
     """
     idx = spark.read.text(cdx_path)
     meta = F.from_json(

@@ -1963,3 +1963,15 @@ def test_read_warc_cdx_ranged(spark, tmp_path):
         fh.write("garbage line without json\n\n")
     assert W.read_warc_cdx(spark, str(tmp_path),
                            str(tmp_path) + "/*.cdx").count() == 6
+
+    # gzipped index (the Common-Crawl distribution format) reads
+    # transparently — one task per index file, documented trade
+    import gzip as _gz
+
+    with open(tmp_path / "seg2.cdx", "rb") as fh:
+        (tmp_path / "gz").mkdir()
+        with open(tmp_path / "gz" / "seg2.cdx.gz", "wb") as out:
+            out.write(_gz.compress(fh.read()))
+    gz = W.read_warc_cdx(spark, str(tmp_path),
+                         str(tmp_path / "gz") + "/*.cdx.gz")
+    assert [r["url"] for r in gz.collect()] == ["https://b.example/big"]
