@@ -260,19 +260,30 @@ def _collect_bitmap(bloom: DataFrame, m: int) -> np.ndarray:
     return bitmap
 
 
-def bloom_fill_ratio(bitmap: np.ndarray) -> float:
+def bloom_fill_ratio(
+    bitmap: np.ndarray, max_sample_words: int = 1 << 17
+) -> float:
     """Fraction of bits set — the saturation gauge of a collected filter.
     FP rate ≈ fill**k, so fill 0.5 with k=4 is already ~6% of genuinely-new
-    documents dropped. Chunked unpackbits popcount (numpy here lacks
-    bitwise_count): peak extra memory is one 8 MiB chunk, not 8× the
-    bitmap."""
-    u8 = bitmap.view(np.uint8)
+    documents dropped. Small bitmaps are popcounted exactly; past
+    max_sample_words (default 128Ki words = 1 MiB) an evenly-strided sample
+    is used instead — the saturation warning needs ~2 significant digits,
+    and an exact sweep at the documented 2^33 production ceiling would
+    churn 8 GiB of unpacked bytes per probe call (r3 advice). Sampled
+    8M+ bits put the estimate's standard error below 0.02% of fill."""
+    words = len(bitmap)
+    if words > max_sample_words:
+        stride = -(-words // max_sample_words)  # ceil: ≤ max_sample_words
+        sel = np.ascontiguousarray(bitmap[::stride])
+    else:
+        sel = bitmap
+    u8 = sel.view(np.uint8)
     step = 1 << 20
     set_bits = sum(
         int(np.unpackbits(u8[i : i + step]).sum())
         for i in range(0, len(u8), step)
     )
-    return set_bits / (len(bitmap) * 64)
+    return set_bits / (len(sel) * 64)
 
 
 def _warn_if_saturated(bitmap: np.ndarray, m: int, k: int) -> None:
@@ -609,8 +620,21 @@ def with_minhash(
 
 
 def _band_key(mh: Column, band: int, rows: int = LSH_ROWS) -> Column:
+    """ONE bigint band key: the portable 60-bit hash of the band's row
+    values (prefixed by the band index). The band exchange previously
+    carried the '_'-joined value string (~20-40 bytes/row×band); the packed
+    key is 8 bytes on the wire — the exchange payload for the MinHash
+    family's shuffles (r3 verdict task #6). A 60-bit collision can merge
+    two buckets, which only ADDS candidate pairs that exact verification
+    rejects; the SQL oracles pack with the same md5 scheme, so buckets —
+    and bucket-cap decisions — match bit-exact across engines."""
+    from data_quality_spark.ops.hashing import portable_hash64
+
     vals = [F.element_at(mh, band * rows + j + 1) for j in range(rows)]
-    return F.concat_ws("_", F.lit(str(band)), *[v.cast("string") for v in vals])
+    joined = F.concat_ws(
+        "_", F.lit(str(band)), *[v.cast("string") for v in vals]
+    )
+    return portable_hash64(joined)
 
 
 def jaccard(a: Column, b: Column) -> Column:

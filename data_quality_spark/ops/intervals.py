@@ -54,6 +54,8 @@ def overlapping_periods_global(
     tiebreak_cols: list[str] | None = None,
     extremes_exclude: bool = False,
     num_partitions: int | None = None,
+    state: dict | None = None,
+    state_path: str | None = None,
 ) -> DataFrame:
     """Rows participating in a global period overlap (KO rows): a row is KO
     if it overlaps its predecessor in the (start, end, tiebreak) total
@@ -64,6 +66,7 @@ def overlapping_periods_global(
     flagged = overlap_flags_global(
         df, start_col, end_col, tiebreak_cols, extremes_exclude,
         num_partitions, flag_col="__overlap_ko",
+        state=state, state_path=state_path,
     )
     return flagged.where(F.col("__overlap_ko")).drop("__overlap_ko")
 
@@ -128,29 +131,20 @@ def pid_expr(
     return out
 
 
-def overlap_flags_global(
+def compute_overlap_state(
     df: DataFrame,
     start_col: str,
     end_col: str,
     tiebreak_cols: list[str] | None = None,
-    extremes_exclude: bool = False,
     num_partitions: int | None = None,
-    flag_col: str = "__overlap_ko",
-    shuffle_partitions: int | None = None,
-) -> DataFrame:
-    """Same computation, but ANNOTATES every row with a boolean `flag_col`
-    instead of filtering — the shape the Rule engine needs (a rule's
-    violation is a boolean column over a 1:1-preserved frame, so the
-    un-keyed period check can route here via `prepare` instead of funnelling
-    the table through Window.partitionBy(lit(1))'s single task).
-
-    COST NOTE: constructing this plan runs ONE slim column-pruned driver
-    job in the common case (range-sample the key columns; the same job's
-    per-partition min/max double as the stitch table, because pid provably
-    equals the sampled partition's rank — see below). Only when null key
-    FIELDS spread beyond the first sampled partition does a second slim
-    stitch job run. The wide frame itself is traversed once, by the final
-    flag pass — no checkpoint/cache/materialization anywhere."""
+) -> dict:
+    """Run the slim sampling job(s) ONCE and return the reusable plan state:
+    literal range boundaries + the per-pid stitch table (first/last key rows
+    and counts).  Repeat calls on the same input can pass this back via
+    ``overlap_flags_global(state=...)`` (or persist it with
+    ``save_overlap_state`` and pass ``state_path=``, the same reuse shape as
+    ``ivf_topk(centroids_path=...)``) and skip the sampling job entirely —
+    the flag pass is then the only job that touches the table."""
     tiebreak_cols = tiebreak_cols or []
     sort_cols = [start_col, end_col, *tiebreak_cols]
     n = num_partitions or df.sparkSession.sparkContext.defaultParallelism * 2
@@ -192,6 +186,126 @@ def overlap_flags_global(
             .collect()
         )
         info = {r["__pid"]: r for r in bounds}
+
+    return {
+        "sort_cols": sort_cols,
+        "boundaries": [{c: b[c] for c in sort_cols} for b in boundaries],
+        "info": {
+            int(p): {
+                "first": {c: r["__first"][c] for c in sort_cols},
+                "last": {c: r["__last"][c] for c in sort_cols},
+                "n": int(r["__n"]),
+            }
+            for p, r in info.items()
+        },
+    }
+
+
+def _encode_state_value(v):
+    if hasattr(v, "isoformat"):  # datetime / date / pd.Timestamp
+        return {"__dt__": v.isoformat()}
+    return v
+
+
+def _decode_state_value(v):
+    if isinstance(v, dict) and "__dt__" in v:
+        return pd.Timestamp(v["__dt__"])
+    return v
+
+
+def save_overlap_state(state: dict, path: str) -> None:
+    """Persist an overlap plan state as JSON (timestamps ISO-tagged)."""
+    import json
+
+    def enc(d: dict) -> dict:
+        return {k: _encode_state_value(v) for k, v in d.items()}
+
+    doc = {
+        "sort_cols": state["sort_cols"],
+        "boundaries": [enc(b) for b in state["boundaries"]],
+        "info": {
+            str(p): {"first": enc(r["first"]), "last": enc(r["last"]),
+                     "n": r["n"]}
+            for p, r in state["info"].items()
+        },
+    }
+    with open(path, "w") as fh:
+        json.dump(doc, fh)
+
+
+def load_overlap_state(path: str) -> dict:
+    import json
+
+    with open(path) as fh:
+        doc = json.load(fh)
+
+    def dec(d: dict) -> dict:
+        return {k: _decode_state_value(v) for k, v in d.items()}
+
+    return {
+        "sort_cols": doc["sort_cols"],
+        "boundaries": [dec(b) for b in doc["boundaries"]],
+        "info": {
+            int(p): {"first": dec(r["first"]), "last": dec(r["last"]),
+                     "n": r["n"]}
+            for p, r in doc["info"].items()
+        },
+    }
+
+
+def overlap_flags_global(
+    df: DataFrame,
+    start_col: str,
+    end_col: str,
+    tiebreak_cols: list[str] | None = None,
+    extremes_exclude: bool = False,
+    num_partitions: int | None = None,
+    flag_col: str = "__overlap_ko",
+    shuffle_partitions: int | None = None,
+    state: dict | None = None,
+    state_path: str | None = None,
+) -> DataFrame:
+    """Same computation, but ANNOTATES every row with a boolean `flag_col`
+    instead of filtering — the shape the Rule engine needs (a rule's
+    violation is a boolean column over a 1:1-preserved frame, so the
+    un-keyed period check can route here via `prepare` instead of funnelling
+    the table through Window.partitionBy(lit(1))'s single task).
+
+    COST NOTE: constructing this plan runs ONE slim column-pruned driver
+    job in the common case (range-sample the key columns; the same job's
+    per-partition min/max double as the stitch table, because pid provably
+    equals the sampled partition's rank — see compute_overlap_state). Only
+    when null key FIELDS spread beyond the first sampled partition does a
+    second slim stitch job run. The wide frame itself is traversed once, by
+    the final flag pass — no checkpoint/cache/materialization anywhere.
+    Repeat callers skip even the slim job by passing ``state=`` (from
+    ``compute_overlap_state``) or ``state_path=`` (a JSON file previously
+    written by ``save_overlap_state``; if the file does not exist yet, the
+    freshly computed state is saved there for the next caller)."""
+    tiebreak_cols = tiebreak_cols or []
+    sort_cols = [start_col, end_col, *tiebreak_cols]
+
+    import os
+
+    if state is None and state_path is not None and os.path.exists(state_path):
+        state = load_overlap_state(state_path)
+    if state is None:
+        state = compute_overlap_state(
+            df, start_col, end_col, tiebreak_cols, num_partitions
+        )
+        if state_path is not None:
+            save_overlap_state(state, state_path)
+    if state["sort_cols"] != sort_cols:
+        raise ValueError(
+            f"overlap state was computed for sort columns "
+            f"{state['sort_cols']}, not {sort_cols} — recompute it with "
+            f"compute_overlap_state on this input"
+        )
+    boundaries = state["boundaries"]
+    info = {
+        p: {"__first": r["first"], "__last": r["last"], "__n": r["n"]}
+        for p, r in state["info"].items()
+    }
 
     pid = pid_expr(boundaries, sort_cols, df.schema)
 

@@ -236,6 +236,89 @@ def load_centroids(path: str) -> list[dict]:
     return out
 
 
+def save_codebooks(path: str, books) -> str:
+    """Persist PQ codebooks ([m][k][d_sub] nested lists) as slim long-format
+    parquet (sub, code, pos, val) plus a `<path>.meta.json` sidecar pinning
+    the geometry (m, k, d_sub, dim) — the Bloom `_bloom_meta.json`
+    convention: encoding or ADC-scoring against a codebook of the wrong
+    geometry produces garbage silently, so later loads validate the
+    recorded shape instead of trusting the caller's constants."""
+    import json
+    import os
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    m = len(books)
+    k = len(books[0])
+    dsub = len(books[0][0])
+    tbl = pa.Table.from_pylist(
+        [
+            {"sub": s, "code": j, "pos": p, "val": float(val)}
+            for s, book in enumerate(books)
+            for j, c in enumerate(book)
+            for p, val in enumerate(c)
+        ],
+        schema=pa.schema(
+            [("sub", pa.int32()), ("code", pa.int32()),
+             ("pos", pa.int32()), ("val", pa.float64())]
+        ),
+    )
+    os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
+    pq.write_table(tbl, path)
+    with open(path + ".meta.json", "w") as fh:
+        json.dump({"m": m, "k": k, "d_sub": dsub, "dim": m * dsub}, fh)
+    return path
+
+
+def load_codebooks(
+    path: str,
+    m: int | None = None,
+    k: int | None = None,
+    dim: int | None = None,
+) -> list:
+    """Inverse of save_codebooks (pure pyarrow, NO Spark job). Any expected
+    geometry passed (m/k/dim) is validated against the artifact's recorded
+    sidecar (falling back to the table's actual shape for pre-sidecar
+    artifacts) — a stale model fails loudly naming both geometries instead
+    of scoring garbage."""
+    import json
+    import os
+
+    import pyarrow.parquet as pq
+
+    pdf = pq.read_table(path).to_pandas()
+    am = int(pdf["sub"].max()) + 1
+    ak = int(pdf["code"].max()) + 1
+    adsub = int(pdf["pos"].max()) + 1
+    rec = {"m": am, "k": ak, "d_sub": adsub, "dim": am * adsub}
+    if os.path.exists(path + ".meta.json"):
+        meta = json.load(open(path + ".meta.json"))
+        if {k_: meta.get(k_) for k_ in rec} != rec:
+            raise ValueError(
+                f"PQ codebook at {path} is inconsistent: sidecar records "
+                f"{meta}, table shape is {rec} — the artifact is corrupt "
+                "or partially overwritten; retrain it."
+            )
+    for name, expect, actual in (
+        ("m", m, rec["m"]), ("k", k, rec["k"]), ("dim", dim, rec["dim"])
+    ):
+        if expect is not None and expect != actual:
+            raise ValueError(
+                f"PQ codebook at {path} was trained with {name}={actual} "
+                f"(recorded geometry {rec}), but this search expects "
+                f"{name}={expect} — encode/ADC against mismatched "
+                "geometry is silent garbage; retrain or pass the recorded "
+                "geometry."
+            )
+    books = [
+        [[0.0] * adsub for _ in range(ak)] for _ in range(am)
+    ]
+    for r in pdf.itertuples(index=False):
+        books[r.sub][r.code][r.pos] = float(r.val)
+    return books
+
+
 def ivf_topk(
     df: DataFrame,
     id_col: str,
@@ -408,12 +491,18 @@ def train_kmeans_cells(
 
     Empty cells keep their previous centroid (classic Lloyd's fallback)."""
     v = _as_double(F.col(vec_col))
+    # NULL embeddings can't seed a centroid (elsewhere they follow the
+    # NULL→zero-vector assignment convention; here they'd raise an opaque
+    # TypeError on the slice) — seed from the k smallest-id NON-NULL rows
     seeds = (
-        df.select(F.col(id_col), v.alias("__v"))
+        df.where(F.col(vec_col).isNotNull())
+        .select(F.col(id_col), v.alias("__v"))
         .orderBy(id_col)
         .limit(k)
         .collect()
     )
+    if len(seeds) < k:
+        raise ValueError(f"need >= {k} non-NULL vectors to seed {k} cells")
     cents = [[float(x) for x in r["__v"]] for r in seeds]
     if strategy == "udf":
         from data_quality_spark.ops.util import spread_narrow
@@ -784,12 +873,15 @@ def train_pq(
         raise ValueError(f"dim {dim} not divisible by m {m}")
     dsub = dim // m
     v = _as_double(F.col(vec_col))
+    # same NULL-seed guard as train_kmeans_cells: NULL embeddings follow the
+    # zero-vector convention in the encoder but cannot seed codebook slices
     seeds = (
-        df.select(F.col(id_col), v.alias("__v")).orderBy(id_col).limit(k)
+        df.where(F.col(vec_col).isNotNull())
+        .select(F.col(id_col), v.alias("__v")).orderBy(id_col).limit(k)
         .collect()
     )
     if len(seeds) < k:
-        raise ValueError(f"need >= {k} vectors to seed {k} codes")
+        raise ValueError(f"need >= {k} non-NULL vectors to seed {k} codes")
     books = [
         [[float(x) for x in r["__v"][s * dsub:(s + 1) * dsub]]
          for r in seeds]

@@ -1529,6 +1529,84 @@ def train_nb_classifier(
     return df.sparkSession.createDataFrame(rows, "b int, w double")
 
 
+def save_nb_weights(path: str, weights: DataFrame, buckets: int) -> str:
+    """Persist a trained classifier weights table as parquet plus a
+    `<path>.meta.json` sidecar pinning the hash geometry (buckets,
+    bias_bucket) — the Bloom `_bloom_meta.json` convention. Scoring with a
+    model hashed into a different bucket count produces garbage silently
+    (every token lands on the wrong weight row), so loads validate the
+    recorded geometry instead of trusting the caller's constant."""
+    import json
+    import os
+
+    rows = weights.collect()  # ≤ buckets+1 rows by contract — bounded
+    n_w = sum(1 for r in rows if r["b"] >= 0)
+    if n_w != buckets:
+        raise ValueError(
+            f"weights table carries {n_w} bucket rows but buckets={buckets} "
+            "was declared — persist the model with the geometry it was "
+            "trained under"
+        )
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
+    pq.write_table(
+        pa.Table.from_pylist(
+            [{"b": int(r["b"]), "w": float(r["w"])} for r in rows],
+            schema=pa.schema([("b", pa.int32()), ("w", pa.float64())]),
+        ),
+        path,
+    )
+    with open(path + ".meta.json", "w") as fh:
+        json.dump({"buckets": buckets, "bias_bucket": CLF_BIAS_BUCKET}, fh)
+    return path
+
+
+def load_nb_weights(
+    spark, path: str, buckets: int = CLF_BUCKETS
+) -> DataFrame:
+    """Inverse of save_nb_weights. The artifact's recorded bucket count
+    governs: a caller expecting a different geometry fails loudly (stale
+    model vs. new pipeline constant), and pre-sidecar artifacts are
+    validated against the table's actual bucket-row count."""
+    import json
+    import os
+
+    import pyarrow.parquet as pq
+
+    pdf = pq.read_table(path).to_pandas()
+    actual = int((pdf["b"] >= 0).sum())
+    recorded = actual
+    if os.path.exists(path + ".meta.json"):
+        meta = json.load(open(path + ".meta.json"))
+        recorded = int(meta["buckets"])
+        if recorded != actual:
+            raise ValueError(
+                f"NB weights at {path} are inconsistent: sidecar records "
+                f"buckets={recorded} but the table has {actual} bucket "
+                "rows — the artifact is corrupt or partially overwritten; "
+                "retrain it."
+            )
+        if int(meta.get("bias_bucket", CLF_BIAS_BUCKET)) != CLF_BIAS_BUCKET:
+            raise ValueError(
+                f"NB weights at {path} use bias_bucket="
+                f"{meta['bias_bucket']}, this build uses {CLF_BIAS_BUCKET} "
+                "— retrain the model or match the convention."
+            )
+    if buckets != recorded:
+        raise ValueError(
+            f"NB weights at {path} were trained with buckets={recorded}, "
+            f"but scoring was requested with buckets={buckets} — hashed "
+            "tokens would land on the wrong weight rows (silent garbage). "
+            "Pass the recorded bucket count or retrain."
+        )
+    return spark.createDataFrame(
+        [(int(r.b), float(r.w)) for r in pdf.itertuples(index=False)],
+        "b int, w double",
+    )
+
+
 def classifier_score(
     df: DataFrame,
     id_col: str,

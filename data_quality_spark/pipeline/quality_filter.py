@@ -388,6 +388,29 @@ def dedup_kept(kept: DataFrame, mode: str | None) -> DataFrame:
 PIPELINE_BLOOM_M = 1 << 27
 
 
+def _require_local(path: str, what: str) -> str:
+    """The pipeline's resume/index machinery (manifest, bucket cleanup, the
+    Bloom (m,k) sidecar) is driver-local-filesystem based: for a remote URI
+    (hdfs://, s3a://, ...) the sidecar/manifest existence checks would
+    silently miss — e.g. a populated remote Bloom index resolving to the
+    default m and probing mod the wrong modulus, the exact silent-dedup-off
+    failure the sidecar exists to prevent (r3 advice). Until those paths go
+    through the Hadoop FS API, demand a local path loudly. file:// URIs are
+    accepted and stripped."""
+    if path.startswith("file://"):
+        return path[len("file://"):]
+    scheme = path.split("://", 1)
+    if len(scheme) == 2 and scheme[0] and not os.path.isabs(path):
+        raise ValueError(
+            f"{what}={path!r} is a remote URI, but the pipeline's "
+            "checkpoint/index metadata (manifest, _bloom_meta.json) is "
+            "read with driver-local filesystem calls — a remote index "
+            "would silently resolve to default geometry and disable "
+            "dedup. Mount it locally or pass a file:// path."
+        )
+    return path
+
+
 def _bloom_meta_path(path: str) -> str:
     return os.path.join(path, "_bloom_meta.json")
 
@@ -528,6 +551,9 @@ def run_pipeline(
     it writes, never completed ones). The round-1 shape — a filter+write
     loop per bucket — re-scanned the input n_buckets times (8 buckets = 8×
     read amplification of a 100 TB table)."""
+    out_dir = _require_local(out_dir, "out_dir")
+    if bloom_index is not None:
+        bloom_index = _require_local(bloom_index, "bloom_index")
     os.makedirs(out_dir, exist_ok=True)
     manifest_path = os.path.join(out_dir, "_manifest.json")
     done: dict = {}

@@ -374,6 +374,41 @@ class QualityTable:
             " n_ko long, n_rows long, flag_ko boolean",
         )
 
+    # -- rollup predicates (reference table.py:173-190) ----------------------
+    def passed_all_checks(self, consider_warnings: bool = False) -> bool:
+        """True iff no evaluated check failed (reference table.py:173-177).
+
+        Deviation, documented: the reference body returns ``len(failed) > 0``
+        and, for consider_warnings=False, drops the flag_ko filter — evident
+        dead/buggy code (the method is shadowed by the bool attribute set at
+        reference table.py:67 and never called). We implement the truth
+        table the name and signature promise: a fail-severity KO always
+        fails the table; a warning-severity KO fails it only when
+        consider_warnings=True."""
+        failed = [c for c in self.check_list if c.flag_ko]
+        if not consider_warnings:
+            failed = [c for c in failed if c.severity != "warning"]
+        return len(failed) == 0
+
+    def over_n_max_rows_output(self, consider_warnings: bool = False) -> bool:
+        """True iff any check's KO-row sample hit its max_rows cap
+        (reference table.py:179-183): warnings count only when
+        consider_warnings=True."""
+        ck = self.check_list
+        if not consider_warnings:
+            ck = [c for c in ck if c.severity != "warning"]
+        return any(c.flag_over_max_rows for c in ck)
+
+    def any_warning(self, flag_only_fail: bool = True) -> bool:
+        """True iff any warning-severity check exists (flag_only_fail=False)
+        or actually fired (flag_only_fail=True) — reference
+        table.py:185-189 (its `flag_only_fail: True` annotation is read as
+        the intended default)."""
+        warns = [c for c in self.check_list if c.severity == "warning"]
+        if flag_only_fail:
+            warns = [c for c in warns if c.n_ko > 0]
+        return len(warns) > 0
+
     # -- rollups (reference table.py:151-165) --------------------------------
     def calculate_result_info(self) -> dict:
         ck = self.check_list

@@ -104,11 +104,54 @@ def parse_warc_bytes(raw: bytes):
     return out
 
 
-def read_warc(spark: SparkSession, path: str) -> DataFrame:
+# Raw segments above this size trigger a loud warning naming the CDX path.
+# Parallelism of read_warc is FILE-grain: a few huge .warc.gz segments
+# serialize, and binaryFile materializes each whole file in one task's
+# memory. Splitting within a gzipped segment would require finding member
+# boundaries, and gzip member boundaries cannot be located without a full
+# sequential decompress of everything before them (magic-byte scans
+# false-positive inside compressed data) — i.e. the "split scan" costs the
+# same pass the reader already does, so it buys nothing. The real scale
+# path is the CDX index (record-grain offsets precomputed at crawl time).
+WARN_SEGMENT_BYTES = 256 << 20
+
+
+def read_warc(
+    spark: SparkSession,
+    path: str,
+    warn_segment_bytes: int = WARN_SEGMENT_BYTES,
+) -> DataFrame:
     """DataFrame(url, warc_ts, html, text, lang) from .warc/.warc.gz files
     at `path` (glob ok). text/lang are NULL — the pipeline's extraction and
-    langid stages fill them; feed the result straight to annotate_pages."""
-    files = spark.read.format("binaryFile").load(path).select("content")
+    langid stages fill them; feed the result straight to annotate_pages.
+
+    Parallel grain is one task per FILE (see WARN_SEGMENT_BYTES): segments
+    larger than `warn_segment_bytes` raise a RuntimeWarning pointing at
+    read_warc_cdx, which reads record-grain byte ranges instead. The size
+    probe is metadata-only (binaryFile prunes the content column)."""
+    listing = spark.read.format("binaryFile").load(path)
+    big = (
+        listing.select("path", "length")
+        .where(F.col("length") > warn_segment_bytes)
+        .limit(5)
+        .collect()
+    )
+    if big:
+        import warnings
+
+        names = ", ".join(
+            f"{r['path']} ({r['length'] >> 20} MiB)" for r in big
+        )
+        warnings.warn(
+            f"read_warc parallelism is one task per file and each file is "
+            f"materialized whole in task memory; segment(s) exceed "
+            f"{warn_segment_bytes >> 20} MiB: {names}. Use read_warc_cdx "
+            "with the crawl's CDX index for record-grain ranged reads "
+            "(bounded memory, record-level parallelism).",
+            RuntimeWarning,
+            stacklevel=2,
+        )
+    files = listing.select("content")
 
     def parse(batches):
         for pdf in batches:
@@ -133,6 +176,7 @@ def read_warc_cdx(
     warc_dir: str,
     cdx_path: str,
     where=None,
+    num_tasks: int | None = None,
 ) -> DataFrame:
     """DataFrame(url, warc_ts, html, text, lang) planned from a CDX(J)
     index instead of whole segment files — the scale path past read_warc's
@@ -190,9 +234,20 @@ def read_warc_cdx(
     if where is not None:
         parsed = parsed.where(where)
     # group ranged reads per file, sequential within it; the shuffled rows
-    # are ~5 small columns of index metadata, never archive bytes
-    plan = parsed.select("filename", "offset", "length").repartition(
-        F.col("filename")
+    # are ~5 small columns of index metadata, never archive bytes.
+    # Task count matches the distinct FILE count (one slim index-only job
+    # when num_tasks is not given): hash-repartitioning into the session
+    # default (200) left mostly-empty tasks on small indexes and let hash
+    # collisions pile several large files onto one task while others idled
+    # (r3 advice). Range partitioning by (filename, offset) gives each task
+    # a contiguous run of files — ~1 file/task at n == n_files, and
+    # same-file ranges stay together for sequential access.
+    sel = parsed.select("filename", "offset", "length")
+    n = num_tasks or max(
+        1, sel.agg(F.countDistinct("filename")).collect()[0][0]
+    )
+    plan = sel.repartitionByRange(
+        n, F.col("filename"), F.col("offset")
     ).sortWithinPartitions("filename", "offset")
 
     def fetch(batches):

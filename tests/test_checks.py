@@ -477,3 +477,50 @@ def test_norm_key_type_gate_is_noop(spark):
     # while an ungated one does
     plan_full = df.select(C.composite_key(["l"]).alias("k"))._jdf.queryExecution().analyzed().toString()
     assert "regexp_replace" in plan_full
+
+
+def test_rollup_predicates_truth_table(spark):
+    """Reference rollup predicates passed_all_checks /
+    over_n_max_rows_output / any_warning (reference table.py:173-190),
+    exercised across the fail × warning × over-cap combinations. The
+    reference body of passed_all_checks is shadowed dead code (bool attr at
+    its table.py:67) — parity here is with the documented intended truth
+    table."""
+    from data_quality_spark.rules.core import CheckResult
+    from data_quality_spark.rules.table import QualityTable
+
+    df = spark.createDataFrame([(1,)], "id int")
+
+    def mk(sev, n_ko, over=False):
+        return CheckResult(
+            rule_id=f"r_{sev}_{n_ko}_{over}", description="d", severity=sev,
+            n_ko=n_ko, n_rows=1, flag_ko=n_ko > 0, flag_over_max_rows=over,
+        )
+
+    # all green
+    t = QualityTable(df)
+    t.check_list = [mk("fail", 0), mk("warning", 0)]
+    assert t.passed_all_checks() and t.passed_all_checks(True)
+    assert not t.any_warning(flag_only_fail=True)
+    assert t.any_warning(flag_only_fail=False)  # a warning check EXISTS
+    assert not t.over_n_max_rows_output() and not t.over_n_max_rows_output(True)
+
+    # warning fired, no fail
+    t.check_list = [mk("fail", 0), mk("warning", 3)]
+    assert t.passed_all_checks()                  # warnings ignored
+    assert not t.passed_all_checks(True)          # counted when asked
+    assert t.any_warning(flag_only_fail=True)
+
+    # fail fired
+    t.check_list = [mk("fail", 2), mk("warning", 0)]
+    assert not t.passed_all_checks() and not t.passed_all_checks(True)
+    assert not t.any_warning(flag_only_fail=True)
+
+    # over-cap only on the warning check
+    t.check_list = [mk("fail", 1), mk("warning", 5, over=True)]
+    assert not t.over_n_max_rows_output()         # fail checks under cap
+    assert t.over_n_max_rows_output(True)
+
+    # over-cap on a fail check
+    t.check_list = [mk("fail", 200, over=True)]
+    assert t.over_n_max_rows_output() and t.over_n_max_rows_output(True)
