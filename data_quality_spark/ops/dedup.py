@@ -1073,18 +1073,19 @@ def simhash_pairs(
     base = df.select(
         id_col, _simhash_udf(n, bits)(F.col(text_col)).alias("simhash")
     ).where(F.col("simhash").isNotNull())
+    # packed bigint band key: band_idx·2^bits + band value — exact (no
+    # hashing; band values are < 2^band_bits), 8 B on the wire instead of
+    # a "b_value" string; the SQL oracle packs identically
     banded = base.select(
         id_col,
         "simhash",
         F.explode(
             F.array(
                 *[
-                    F.concat_ws(
-                        "_",
-                        F.lit(str(b)),
-                        F.shiftright(F.col("simhash"), b * band_bits)
+                    (
+                        F.lit(b * (1 << bits)).cast("long")
+                        + F.shiftright(F.col("simhash"), b * band_bits)
                         .bitwiseAND(F.lit(mask).cast("long"))
-                        .cast("string"),
                     )
                     for b in range(bands)
                 ]

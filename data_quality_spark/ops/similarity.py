@@ -619,7 +619,9 @@ def _pair_band_keys_udf(tables: list[list[list[float]]]):
         o += m.shape[0]
     thresh = float(-5e-7)
 
-    @pandas_udf("array<string>")
+    # packed bigint band key: table_idx·2^32 + signature — exact (sig <
+    # 2^planes « 2^32), 8 B on the exchange instead of a "t_sig" string
+    @pandas_udf("array<long>")
     def band_keys(vs: pd.Series) -> pd.Series:
         null_mask = np.array([v is None for v in vs], dtype=bool)
         rows = [
@@ -634,7 +636,7 @@ def _pair_band_keys_udf(tables: list[list[list[float]]]):
         out = []
         for i in range(V.shape[0]):
             if null_mask[i]:
-                out.append([f"{t}_0" for t in range(len(mats))])
+                out.append([t << 32 for t in range(len(mats))])
                 continue
             keys = []
             for t, (off, b) in enumerate(offsets):
@@ -642,7 +644,7 @@ def _pair_band_keys_udf(tables: list[list[list[float]]]):
                 for j in range(b):
                     if bits[i, off + j]:
                         sig |= 1 << j
-                keys.append(f"{t}_{sig}")
+                keys.append((t << 32) | sig)
             out.append(keys)
         return pd.Series(out)
 
@@ -681,9 +683,8 @@ def cosine_lsh_pairs(
     else:  # 'native': pure Catalyst fold expressions, zero Python
         keys = F.array(
             *[
-                F.concat_ws(
-                    "_", F.lit(str(t)), lsh_signature(v, planes).cast("string")
-                )
+                F.lit(t << 32).cast("long")
+                + lsh_signature(v, planes).cast("long")
                 for t, planes in enumerate(tables)
             ]
         )

@@ -203,13 +203,35 @@ def with_model_scores(df: DataFrame, cfg: QFConfig = DEFAULT_CONFIG) -> DataFram
     clf = None
     if cfg.clf_weights_path:
         from data_quality_spark.ops.textops import (
+            CLF_BIAS_BUCKET,
             CLF_BUCKETS,
             classifier_weights_local,
         )
 
-        w6, bias6 = classifier_weights_local(
-            df.sparkSession.read.parquet(cfg.clf_weights_path), CLF_BUCKETS
-        )
+        wdf = df.sparkSession.read.parquet(cfg.clf_weights_path)
+        # geometry gate (ops.textops.save_nb_weights sidecar): a model
+        # hashed into a different bucket count scores garbage silently —
+        # validate the recorded geometry when the sidecar is local, and
+        # the table's actual bucket-row count always
+        meta_path = cfg.clf_weights_path + ".meta.json"
+        if os.path.exists(meta_path):
+            meta = json.load(open(meta_path))
+            if int(meta.get("buckets", CLF_BUCKETS)) != CLF_BUCKETS:
+                raise ValueError(
+                    f"classifier weights at {cfg.clf_weights_path} were "
+                    f"trained with buckets={meta['buckets']}, this "
+                    f"pipeline hashes into {CLF_BUCKETS} — tokens would "
+                    "land on the wrong weight rows; retrain the model."
+                )
+        n_w = wdf.where(F.col("b") >= CLF_BIAS_BUCKET + 1).count()
+        if n_w != CLF_BUCKETS:
+            raise ValueError(
+                f"classifier weights at {cfg.clf_weights_path} carry "
+                f"{n_w} bucket rows, expected {CLF_BUCKETS} — stale or "
+                "foreign model artifact; retrain with the current "
+                "geometry or load via ops.textops.load_nb_weights."
+            )
+        w6, bias6 = classifier_weights_local(wdf, CLF_BUCKETS)
         clf = ([int(v) for v in w6], bias6, CLF_BUCKETS)
     df = df.withColumn("_m", models.spark_udf(clf=clf)(F.col("text_extracted")))
     model_cols = [

@@ -723,8 +723,9 @@ def _sql_simhash() -> str:
     )
     band_bits = D.SIMHASH_BITS // D.SIMHASH_BANDS
     mask = (1 << band_bits) - 1
+    # packed bigint band key — mirror of ops.dedup.simhash_pairs
     band_list = ",\n      ".join(
-        f"'{b}' || '_' || ((simhash >> {b * band_bits}) & {mask})::VARCHAR"
+        f"{b * (1 << D.SIMHASH_BITS)} + ((simhash >> {b * band_bits}) & {mask})"
         for b in range(D.SIMHASH_BANDS)
     )
     return f"""
@@ -961,7 +962,8 @@ def _sql_sim_lsh_pairs() -> str:
             f"THEN {1 << b} ELSE 0 END"
             for b in range(len(planes))
         )
-        table_keys.append(f"'{t}' || '_' || ({sig})::VARCHAR")
+        # packed bigint band key — mirror of ops.similarity band packing
+        table_keys.append(f"{t << 32} + ({sig})")
     bands = ",\n      ".join(table_keys)
     return f"""
 WITH e AS ({SQL_EMB_NEAR_CORPUS}),

@@ -567,10 +567,8 @@ def test_pair_band_keys_udf_matches_native_fold(spark, sf_dir):
             "vec_id",
             F.array(
                 *[
-                    F.concat_ws(
-                        "_", F.lit(str(t)),
-                        S.lsh_signature(F.col("v"), planes).cast("string"),
-                    )
+                    F.lit(t << 32).cast("long")
+                    + S.lsh_signature(F.col("v"), planes).cast("long")
                     for t, planes in enumerate(S.PAIR_HYPERPLANES)
                 ]
             ).alias("keys"),

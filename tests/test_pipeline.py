@@ -683,3 +683,34 @@ def test_run_pipeline_warc_cdx_input(spark, tmp_path):
     with pytest.raises(ValueError, match="cdx_index"):
         run_pipeline(spark, str(tmp_path), str(tmp_path / "out2"),
                      n_buckets=2, input_format="warc_cdx")
+
+
+def test_pipeline_rejects_mismatched_clf_geometry(spark, tmp_path, fixture_path):
+    """A classifier artifact trained under a different hash bucket count
+    must fail the pipeline loudly (sidecar gate) — never score garbage."""
+    import pytest as _pytest
+
+    from data_quality_spark.ops import textops as T
+    from data_quality_spark.pipeline.quality_filter import (
+        QFConfig,
+        annotate_pages,
+        with_model_scores,
+    )
+
+    docs = spark.read.parquet(fixture_path)
+    w = T.train_nb_classifier(docs, "url", "text", F.col("lang") == "en",
+                              buckets=64)
+    wpath = str(tmp_path / "clf64.parquet")
+    T.save_nb_weights(wpath, w, buckets=64)
+
+    cfg = QFConfig(clf_weights_path=wpath, clf_threshold=0.5)
+    with _pytest.raises(ValueError, match="buckets=64"):
+        annotate_pages(docs, cfg).count()
+
+    # same gate without the sidecar: row-count check catches it
+    import os
+
+    os.remove(wpath + ".meta.json")
+    with _pytest.raises(ValueError, match="64 bucket rows"):
+        with_model_scores(docs.withColumnRenamed("text", "text_extracted"),
+                          cfg).count()
