@@ -1381,3 +1381,114 @@ def remove_dup_spans(
             F.coalesce(F.col("n_removed"), F.lit(0)).alias("n_removed"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# 7 — token-grain duplicated-span REMOVAL (completes the Lee et al. 2022
+#     exact-substring family: dup_span_stats REPORTS at token grain,
+#     remove_dup_spans REWRITES at sentence grain, this REWRITES at token
+#     grain — the closest Spark-native analogue of ExactSubstr removal)
+# ---------------------------------------------------------------------------
+
+
+def remove_dup_token_spans(
+    df: DataFrame, id_col: str, text_col: str, w: int = DUP_SPAN_W
+) -> DataFrame:
+    """Exact-substring removal at TOKEN granularity: every w-token window
+    (stride 1) is hashed corpus-wide (ops.hashing portable md5 scheme —
+    the same whash as dup_span_stats); a window occurring more than once
+    keeps its FIRST occurrence (lexicographic min (id, start) struct) and
+    every other occurrence marks its w token positions for removal.
+    Overlapping duplicated windows union into maximal removed spans (the
+    explode + distinct over token indexes), so a long copied passage is
+    excised as one contiguous hole, not w-token confetti. Affected
+    documents are rebuilt from surviving tokens (single-space joins — the
+    \\s+ tokenize consumes original whitespace); unaffected documents pass
+    through byte-identical. Returns (id_col, text_dedup, n_removed) for
+    every input row, n_removed in TOKENS.
+
+    vs remove_dup_spans (sentence grain): token windows catch copied
+    passages that straddle sentence boundaries or carry no terminal
+    punctuation (navigation strings, code, tables — common in web text);
+    the price is w-token resolution instead of sentence resolution.
+
+    Scale shape (100 TB): single corpus scan for window hashing; the span
+    exchange carries (whash, id, start) ONLY — never token text; duplicate
+    detection + keeper selection are ONE window over whash (occ appears
+    once in the plan — no count/min self-join to re-tokenize the corpus
+    per reference); only AFFECTED documents' tokens re-shuffle for
+    reassembly (cost ∝ duplicated content, not corpus size).
+
+    Reference ancestor: values_duplicate.py (exact row dups); this is the
+    Lee et al. 2022 ExactSubstr rewrite re-expressed for Spark (windows +
+    first-occurrence keeper instead of a global suffix array).
+    """
+    toks = F.filter(F.split(F.col(text_col), r"\s+"), lambda x: x != "")
+    base = df.where(F.col(text_col).isNotNull()).select(
+        F.col(id_col).alias("id"), toks.alias("__ts")
+    )
+    # empty-starts explode (not a size() row filter): predicate pushdown
+    # would inline the interpreted-HOF tokenize into the Filter and every
+    # row would tokenize twice (NOTES.md CaseWhen/CSE lesson).
+    starts = F.when(
+        F.size("__ts") >= w,
+        F.sequence(F.lit(1), F.size("__ts") - (w - 1)),
+    ).otherwise(F.array().cast("array<int>"))
+    occ = base.select(
+        "id", F.explode(starts).alias("start"), F.col("__ts")
+    ).select(
+        "id",
+        "start",
+        # hash AFTER the explode so md5 runs in whole-stage codegen once
+        # per window (never inside a per-element lambda)
+        portable_hash64(
+            F.concat_ws(" ", F.slice(F.col("__ts"), F.col("start"), w))
+        ).alias("whash"),
+    )
+    over = Window.partitionBy("whash")
+    pos = F.struct("id", "start")
+    rem_toks = (
+        occ.withColumn("__n", F.count(F.lit(1)).over(over))
+        .withColumn("__keeper", F.min(pos).over(over))
+        .where((F.col("__n") > 1) & (pos != F.col("__keeper")))
+        .select(
+            "id",
+            F.explode(
+                F.sequence(F.col("start"), F.col("start") + (w - 1))
+            ).alias("idx"),
+        )
+        .distinct()
+    )
+    tok_tbl = base.select(
+        "id", F.posexplode(F.col("__ts")).alias("idx0", "tok")
+    ).select("id", (F.col("idx0") + 1).alias("idx"), "tok")
+    nrem = rem_toks.groupBy("id").agg(F.count(F.lit(1)).alias("n_removed"))
+    kept = tok_tbl.join(rem_toks, ["id", "idx"], "left_anti")
+    rebuilt = (
+        kept.join(nrem.select("id"), "id", "left_semi")
+        .groupBy("id")
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("idx", "tok"))),
+                    lambda x: x["tok"],
+                ),
+                " ",
+            ).alias("__txt")
+        )
+    )
+    return (
+        df.select(F.col(id_col).alias("id"), F.col(text_col).alias("__orig"))
+        .join(nrem, "id", "left")
+        .join(rebuilt, "id", "left")
+        .select(
+            F.col("id").alias(id_col),
+            F.when(
+                F.col("n_removed").isNotNull(),
+                F.coalesce(F.col("__txt"), F.lit("")),
+            )
+            .otherwise(F.col("__orig"))
+            .alias("text_dedup"),
+            F.coalesce(F.col("n_removed"), F.lit(0)).alias("n_removed"),
+        )
+    )

@@ -3171,6 +3171,62 @@ GROUP BY w.doc_id
 """
 
 
+# ---------------------------------------------------------------------------
+# dedup 12 — token-grain duplicated-span REMOVAL (ExactSubstr rewrite twin
+# of the dup_spans REPORT op; sentence-grain twin is dedup_span_removal)
+# ---------------------------------------------------------------------------
+
+
+def q_dedup_span_removal_tok(spark, sf_dir):
+    """Token-grain exact-substring removal (ops.dedup
+    .remove_dup_token_spans) over the exact-dup-augmented corpus: the
+    injected full copies must come back with ALL their windows removed
+    (text_dedup = '' for the copy, original kept byte-identical at its
+    first occurrence), and any organically repeated 8-token run is excised
+    everywhere but its first corpus occurrence."""
+    corpus = _exact_dup_corpus(spark, sf_dir)
+    return D.remove_dup_token_spans(corpus, "doc_id", "text")
+
+
+def _sql_dedup_span_removal_tok() -> str:
+    w = D.DUP_SPAN_W
+    h = sql_hash64(f"array_to_string(ts[i:i+{w - 1}], ' ')")
+    return f"""
+WITH corpus AS ({SQL_EXACT_CORPUS}),
+t AS (SELECT doc_id AS id, {SQL_TOKS} AS ts
+      FROM corpus WHERE text IS NOT NULL),
+occ AS (
+  SELECT id, i AS start, {h} AS key
+  FROM (SELECT id, ts, unnest(generate_series(1, len(ts) - {w - 1})) AS i
+        FROM t WHERE len(ts) >= {w})),
+marked AS (
+  SELECT id, start,
+         count(*) OVER (PARTITION BY key) AS n_occ,
+         min((id, start)) OVER (PARTITION BY key) AS keeper
+  FROM occ),
+rem AS (
+  SELECT DISTINCT id, start + j AS idx
+  FROM marked, unnest(range(0, {w})) AS u(j)
+  WHERE n_occ > 1 AND (id, start) <> keeper),
+tok AS (SELECT id, i AS idx, ts[i] AS tok
+        FROM t, unnest(range(1, len(ts) + 1)) AS x(i)),
+kept AS (
+  SELECT t2.id, t2.idx, t2.tok FROM tok t2
+  WHERE NOT EXISTS (SELECT 1 FROM rem r WHERE r.id = t2.id AND r.idx = t2.idx)),
+nrem AS (SELECT id, count(*) AS n_removed FROM rem GROUP BY 1),
+rebuilt AS (
+  SELECT id, string_agg(tok, ' ' ORDER BY idx) AS txt
+  FROM kept WHERE id IN (SELECT id FROM nrem) GROUP BY id)
+SELECT c.doc_id,
+       CASE WHEN nrem.id IS NOT NULL THEN coalesce(rebuilt.txt, '')
+            ELSE c.text END AS text_dedup,
+       coalesce(nrem.n_removed, 0) AS n_removed
+FROM corpus c
+LEFT JOIN nrem ON nrem.id = c.doc_id
+LEFT JOIN rebuilt ON rebuilt.id = c.doc_id
+"""
+
+
 OPS_QUERIES = {
     "dedup_exact": q_dedup_exact,
     "dedup_group_sizes": q_dedup_group_sizes,
@@ -3179,6 +3235,7 @@ OPS_QUERIES = {
     "dedup_para_bloom": q_dedup_bloom_paras,
     "dedup_minhash_incr": q_dedup_minhash_incr,
     "dedup_span_removal": q_dedup_span_removal,
+    "dedup_span_removal_tok": q_dedup_span_removal_tok,
     "dedup_dup_spans": q_dedup_dup_spans,
     "dedup_exact_drop": q_dedup_exact_drop,
     "period_overlap_global": q_period_overlap_global,
@@ -3253,6 +3310,7 @@ OPS_ORACLES = {
     "dedup_para_bloom": _sql_dedup_bloom_paras(),
     "dedup_minhash_incr": _sql_dedup_minhash_incr(),
     "dedup_span_removal": _sql_dedup_span_removal(),
+    "dedup_span_removal_tok": _sql_dedup_span_removal_tok(),
     "dedup_dup_spans": _sql_dedup_dup_spans(),
     "dedup_exact_drop": SQL_DEDUP_EXACT_DROP,
     "period_overlap_global": SQL_PERIOD_OVERLAP_GLOBAL,

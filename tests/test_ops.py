@@ -1776,6 +1776,47 @@ def test_remove_dup_spans(spark):
     assert out[5]["text_dedup"] is None and out[5]["n_removed"] == 0
 
 
+def test_remove_dup_token_spans(spark):
+    # 8-token copied passage with NO terminal punctuation — invisible to the
+    # sentence-grain op, the exact case the token-grain variant exists for
+    passage = "one two three four five six seven eight"
+    df = spark.createDataFrame(
+        [(1, f"intro {passage} tail1"),
+         (2, f"other start {passage} other end"),
+         (3, "clean document with nothing repeated anywhere at all ok"),
+         (4, passage),            # exactly the passage -> fully removed
+         (5, None)],
+        "doc_id int, text string",
+    )
+    out = {r["doc_id"]: r for r in
+           D.remove_dup_token_spans(df, "doc_id", "text").collect()}
+    # first occurrence (doc 1) keeps the passage byte-identical
+    assert out[1]["text_dedup"] == f"intro {passage} tail1"
+    assert out[1]["n_removed"] == 0
+    # later occurrences lose exactly the 8 passage tokens
+    assert out[2]["text_dedup"] == "other start other end"
+    assert out[2]["n_removed"] == 8
+    assert out[3]["n_removed"] == 0
+    assert out[4]["text_dedup"] == "" and out[4]["n_removed"] == 8
+    assert out[5]["text_dedup"] is None and out[5]["n_removed"] == 0
+
+
+def test_remove_dup_token_spans_overlap_merges(spark):
+    # a 10-token copied run = three overlapping 8-token dup windows in the
+    # copy; the union must excise ONE contiguous 10-token hole, not 24
+    run = "a1 a2 a3 a4 a5 a6 a7 a8 a9 a10"
+    df = spark.createDataFrame(
+        [(1, f"keep this {run}"),
+         (2, f"{run} trailing words here")],
+        "doc_id int, text string",
+    )
+    out = {r["doc_id"]: r for r in
+           D.remove_dup_token_spans(df, "doc_id", "text").collect()}
+    assert out[1]["n_removed"] == 0
+    assert out[2]["text_dedup"] == "trailing words here"
+    assert out[2]["n_removed"] == 10
+
+
 def test_resample_to_mix_balance_upsamples(spark):
     rows = [(i, "big", "tok " * 8) for i in range(40)]
     rows += [(100 + i, "small", "tok " * 2) for i in range(10)]
