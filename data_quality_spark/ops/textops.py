@@ -1105,6 +1105,71 @@ def token_histogram(df: DataFrame, text_col: str) -> DataFrame:
     )
 
 
+def fertility_stats(
+    df: DataFrame, group_col: str, text_col: str
+) -> DataFrame:
+    """Tokenizer-fertility profile per group (lang/source): whitespace vs
+    BPE-ish pre-token counts, plus chars-per-token and bytes-per-token —
+    the standard sizing signal for tokenizer/vocab decisions and for
+    estimating training-token yield per language before a full tokenize
+    run (multi-byte scripts show bytes_per_tok ≫ chars_per_tok).
+
+    ONE scan, one partial aggregate on a low-cardinality key; every ratio
+    is a single double division of exact integer sums (bit-portable for
+    the oracle gate — no rounding applied). Zero-token groups yield NULL
+    ratios rather than a division error (ANSI off, matched by NULLIF in
+    the SQL twin). Reference ancestor: the rollup pattern of
+    table.py:151-165; this is its corpus-statistics extension."""
+    text = F.col(text_col)
+    n_ws = F.size(_toks(text))
+    n_bpe = F.size(
+        F.filter(
+            F.regexp_extract_all(text, F.lit(BPE_TOKEN_RE), 0),
+            lambda x: x != "",
+        )
+    )
+    d = F.col  # noqa: E731 — alias for brevity below
+    return (
+        df.where(text.isNotNull())
+        .select(
+            F.col(group_col).alias("grp"),
+            n_ws.alias("__ws"),
+            n_bpe.alias("__bpe"),
+            F.length(text).alias("__ch"),
+            F.octet_length(text).alias("__by"),
+        )
+        .groupBy("grp")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("__ws").alias("ws_tokens"),
+            F.sum("__bpe").alias("bpe_tokens"),
+            F.sum("__ch").alias("n_chars"),
+            F.sum("__by").alias("n_bytes"),
+        )
+        .select(
+            "grp",
+            "n_docs",
+            "ws_tokens",
+            "bpe_tokens",
+            (d("ws_tokens").cast("double") / d("n_docs")).alias(
+                "toks_per_doc"
+            ),
+            F.when(
+                d("ws_tokens") > 0,
+                d("bpe_tokens").cast("double") / d("ws_tokens"),
+            ).alias("fertility"),
+            F.when(
+                d("bpe_tokens") > 0,
+                d("n_chars").cast("double") / d("bpe_tokens"),
+            ).alias("chars_per_tok"),
+            F.when(
+                d("bpe_tokens") > 0,
+                d("n_bytes").cast("double") / d("bpe_tokens"),
+            ).alias("bytes_per_tok"),
+        )
+    )
+
+
 # ---------------------------------------------------------------------------
 # domain-mixture reweighting (offline training-mix rebalancing)
 # ---------------------------------------------------------------------------
@@ -1326,6 +1391,56 @@ def py_host_of(url: str) -> str:
 
     m = re.match(HOST_RE, url)
     return m.group(1).lower() if m else ""
+
+
+# ---------------------------------------------------------------------------
+# soft URL spam scoring (RefinedWeb's weighted-fragment URL filter — the
+# graded companion of the hard host blocklist above)
+# ---------------------------------------------------------------------------
+
+# fragment -> integer points (per occurrence). RefinedWeb scores URLs by
+# weighted word-fragment matches (subword matches intended — 'bet' hits
+# 'best-bets'); the production list is curated content, not algorithm —
+# pass your own. Integer points keep the arithmetic exact in both engines;
+# the score is points/100 per occurrence.
+URL_SPAM_FRAGMENTS_DEFAULT = {
+    "casino": 100, "porn": 100, "viagra": 100, "spam": 100,
+    "escort": 80, "xxx": 80, "adult": 60, "pills": 60,
+    "free-download": 60, "bet": 40, "ads.": 30, "track": 20,
+}
+URL_SPAM_THRESHOLD = 1.0
+
+
+def url_spam_score(
+    df: DataFrame,
+    url_col: str,
+    fragments: dict[str, int] | None = None,
+    threshold: float = URL_SPAM_THRESHOLD,
+) -> DataFrame:
+    """Soft URL spam scoring: spam_score = Σ points(frag) × occurrences of
+    frag in lower(url), divided by 100; url_keep = score < threshold.
+    Occurrence counting is pure string arithmetic —
+    (len(u) − len(replace(u, frag, ''))) / len(frag) — so the whole scorer
+    is ONE map-only whole-stage-codegen projection: no UDF, no regex, no
+    shuffle, and the plan survives any scale-up trivially. The per-fragment
+    integer points sum exactly in double (every intermediate is an integer
+    < 2^53) and the single final /100.0 rounds identically in Spark and
+    DuckDB, so the score is bit-portable for the oracle gate.
+
+    Reference ancestor: checks/values_in_list.py (hard membership) — this
+    is the graded web-scale extension (RefinedWeb §URL filtering)."""
+    frs = fragments or URL_SPAM_FRAGMENTS_DEFAULT
+    u = F.lower(F.col(url_col))
+    pts = F.lit(0).cast("double")
+    for frag in sorted(frs):
+        occ = (
+            F.length(u) - F.length(F.replace(u, F.lit(frag), F.lit("")))
+        ) / F.lit(len(frag))
+        pts = pts + occ * F.lit(frs[frag])
+    score = pts / F.lit(100.0)
+    return df.withColumn("spam_score", score).withColumn(
+        "url_keep", score < F.lit(threshold)
+    )
 
 
 # ---------------------------------------------------------------------------

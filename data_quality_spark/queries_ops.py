@@ -1732,6 +1732,77 @@ WHERE NOT list_has_any(
 
 
 # ---------------------------------------------------------------------------
+# text 0b — soft URL spam scoring (graded companion of the hard blocklist)
+# ---------------------------------------------------------------------------
+
+
+def q_text_url_spam(spark, sf_dir):
+    """RefinedWeb-style weighted-fragment URL spam scoring (textops
+    .url_spam_score) over the synthetic urls: 'spam.bad.example' hosts
+    score 1.0 (dropped at the default threshold), 'ads.example' trackers
+    score 0.5 (ads. + track fragments, kept), clean hosts 0.0 — a pure
+    map-only codegen projection, no regex, no shuffle."""
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id", _synthetic_urls().alias("url")
+    )
+    return T.url_spam_score(docs, "url")
+
+
+def _sql_text_url_spam() -> str:
+    terms = []
+    for frag in sorted(T.URL_SPAM_FRAGMENTS_DEFAULT):
+        pts = T.URL_SPAM_FRAGMENTS_DEFAULT[frag]
+        terms.append(
+            f"(length(u) - length(replace(u, '{frag}', ''))) / {len(frag)}"
+            f" * {pts}"
+        )
+    total = "\n     + ".join(terms)
+    return f"""
+WITH base AS (SELECT doc_id, {SQL_SYNTH_URL} AS url FROM documents),
+lo AS (SELECT doc_id, url, lower(url) AS u FROM base),
+s AS (
+  SELECT doc_id, url,
+     ({total}) / 100.0 AS spam_score
+  FROM lo)
+SELECT doc_id, url, spam_score,
+       spam_score < {T.URL_SPAM_THRESHOLD} AS url_keep
+FROM s
+"""
+
+
+# ---------------------------------------------------------------------------
+# text 0c — tokenizer fertility profile per language
+# ---------------------------------------------------------------------------
+
+
+def q_text_fertility(spark, sf_dir):
+    """Per-language tokenizer-fertility stats (textops.fertility_stats):
+    whitespace vs BPE-ish pre-token counts and chars/bytes per token —
+    ONE scan + one tiny-key aggregate; every ratio a single exact double
+    division of integer sums (bit-portable, no rounding)."""
+    return T.fertility_stats(_t(spark, sf_dir, "documents"), "lang", "text")
+
+
+def _sql_text_fertility() -> str:
+    return rf"""
+WITH g AS (
+  SELECT lang AS grp, count(*) AS n_docs,
+         sum(len({SQL_TOKS}))::BIGINT AS ws_tokens,
+         sum(len(list_filter(regexp_extract_all(text, '{T.BPE_TOKEN_RE}'),
+                             x -> x <> '')))::BIGINT AS bpe_tokens,
+         sum(length(text))::BIGINT AS n_chars,
+         sum(strlen(text))::BIGINT AS n_bytes
+  FROM documents WHERE text IS NOT NULL GROUP BY 1)
+SELECT grp, n_docs, ws_tokens, bpe_tokens,
+       ws_tokens::DOUBLE / n_docs AS toks_per_doc,
+       bpe_tokens::DOUBLE / nullif(ws_tokens, 0) AS fertility,
+       n_chars::DOUBLE / nullif(bpe_tokens, 0) AS chars_per_tok,
+       n_bytes::DOUBLE / nullif(bpe_tokens, 0) AS bytes_per_tok
+FROM g
+"""
+
+
+# ---------------------------------------------------------------------------
 # text 0a — PII audit counts (scrub stage's reporting twin)
 # ---------------------------------------------------------------------------
 
@@ -3261,6 +3332,8 @@ OPS_QUERIES = {
     "dedup_semantic": q_dedup_semantic,
     "dedup_semantic_drop": q_dedup_semantic_drop,
     "text_url_blocklist": q_text_url_blocklist,
+    "text_url_spam": q_text_url_spam,
+    "text_fertility": q_text_fertility,
     "text_pii_counts": q_text_pii_counts,
     "text_badwords": q_text_badwords,
     "text_dsir_weights": q_text_dsir_weights,
@@ -3336,6 +3409,8 @@ OPS_ORACLES = {
     "dedup_semantic": _sql_dedup_semantic(),
     "dedup_semantic_drop": _sql_dedup_semantic_drop(),
     "text_url_blocklist": _sql_text_url_blocklist(),
+    "text_url_spam": _sql_text_url_spam(),
+    "text_fertility": _sql_text_fertility(),
     "text_pii_counts": _sql_text_pii_counts(),
     "text_badwords": _sql_text_badwords(),
     "text_dsir_weights": _sql_text_dsir_weights(),

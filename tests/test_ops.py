@@ -1633,6 +1633,47 @@ def test_url_blocklist_filter_literal_and_df(spark):
     assert 1 in {r["doc_id"] for r in kept3.collect()}
 
 
+def test_url_spam_score(spark):
+    df = spark.createDataFrame(
+        [(1, "https://ok.example/articles/7"),
+         (2, "https://CASINO-party.example/win"),    # case-folded match
+         (3, "https://ads.example/track?track=1"),   # ads.(30) + 2x track(20)
+         (4, "https://porn.example/xxx/xxx")],       # 100 + 2x80
+        "doc_id int, url string",
+    )
+    out = {r["doc_id"]: r for r in T.url_spam_score(df, "url").collect()}
+    assert out[1]["spam_score"] == 0.0 and out[1]["url_keep"]
+    assert out[2]["spam_score"] == 1.0 and not out[2]["url_keep"]
+    assert out[3]["spam_score"] == 0.7 and out[3]["url_keep"]
+    assert out[4]["spam_score"] == 2.6 and not out[4]["url_keep"]
+    # custom fragment weights override the default list
+    custom = {r["doc_id"]: r for r in T.url_spam_score(
+        df, "url", fragments={"articles": 150}).collect()}
+    assert custom[1]["spam_score"] == 1.5 and not custom[1]["url_keep"]
+    assert custom[4]["spam_score"] == 0.0 and custom[4]["url_keep"]
+
+
+def test_fertility_stats(spark):
+    df = spark.createDataFrame(
+        [(1, "en", "hello world"),            # 2 ws toks, 2 bpe toks
+         (2, "en", "it's fine"),              # 2 ws toks, 4 bpe (it ' s fine)
+         (3, "el", "αβ γ"),    # greek: 2-byte chars
+         (4, "el", None)],                    # NULL text excluded
+        "doc_id int, lang string, text string",
+    )
+    out = {r["grp"]: r for r in T.fertility_stats(df, "lang", "text").collect()}
+    en, el = out["en"], out["el"]
+    assert en["n_docs"] == 2 and en["ws_tokens"] == 4 and en["bpe_tokens"] == 6
+    assert en["toks_per_doc"] == 2.0 and en["fertility"] == 1.5
+    # "hello world" + "it's fine" = 20 chars / 6 bpe toks
+    assert en["chars_per_tok"] == 20 / 6
+    # greek letters are non-ASCII -> bpe splits per char (punct class);
+    # 4 chars, 3 bpe toks ("αβ" -> α, β as symbol chars; "γ")
+    assert el["n_docs"] == 1 and el["ws_tokens"] == 2
+    # multi-byte script signal: bytes/token strictly above chars/token
+    assert el["bytes_per_tok"] > el["chars_per_tok"]
+
+
 def test_pii_counts(spark):
     df = spark.createDataFrame(
         [(1, "write a@b.example and c@d.example or +39 123 456 789"),
