@@ -1429,18 +1429,39 @@ def url_spam_score(
 
     Reference ancestor: checks/values_in_list.py (hard membership) — this
     is the graded web-scale extension (RefinedWeb §URL filtering)."""
+    score = url_spam_score_col(F.col(url_col), fragments)
+    return df.withColumn("spam_score", score).withColumn(
+        "url_keep", score < F.lit(threshold)
+    )
+
+
+def url_spam_score_col(
+    url: Column, fragments: dict[str, int] | None = None
+) -> Column:
+    """The spam-score Column itself (shared by the standalone op and the
+    pipeline's url_spam rule — one definition, both call sites)."""
     frs = fragments or URL_SPAM_FRAGMENTS_DEFAULT
-    u = F.lower(F.col(url_col))
+    u = F.lower(url)
     pts = F.lit(0).cast("double")
     for frag in sorted(frs):
         occ = (
             F.length(u) - F.length(F.replace(u, F.lit(frag), F.lit("")))
         ) / F.lit(len(frag))
         pts = pts + occ * F.lit(frs[frag])
-    score = pts / F.lit(100.0)
-    return df.withColumn("spam_score", score).withColumn(
-        "url_keep", score < F.lit(threshold)
-    )
+    return pts / F.lit(100.0)
+
+
+def py_url_spam_score(
+    url: str, fragments: dict[str, int] | None = None
+) -> float:
+    """Python twin of url_spam_score_col (pipeline pandas oracle parity) —
+    same integer-points arithmetic, same single final division."""
+    frs = fragments or URL_SPAM_FRAGMENTS_DEFAULT
+    u = url.lower()
+    pts = 0
+    for frag in sorted(frs):
+        pts += (len(u) - len(u.replace(frag, ""))) // len(frag) * frs[frag]
+    return pts / 100.0
 
 
 # ---------------------------------------------------------------------------

@@ -125,6 +125,12 @@ def annotate_pandas(pdf: pd.DataFrame, cfg: QFConfig = DEFAULT_CONFIG) -> pd.Dat
             h = py_host_of(str(row["url"]))
             if h and any(h == b or h.endswith("." + b) for b in blocked_set):
                 fired.append("host_blocklisted")
+        if cfg.spam_fragments and not _is_empty(row["url"]):
+            from data_quality_spark.ops.textops import py_url_spam_score
+
+            if (py_url_spam_score(str(row["url"]), dict(cfg.spam_fragments))
+                    >= cfg.spam_threshold):
+                fired.append("url_spam")
         if (bad_re is not None and not empty
                 and bad_re.search(row["text_extracted"])):
             fired.append("badwords_found")

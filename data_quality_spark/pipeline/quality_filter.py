@@ -71,6 +71,13 @@ class QFConfig:
     # Map-only arrays_overlap against a literal array — no join, no model
     # or extraction cost spent on rows it fires for.
     blocked_hosts: tuple[str, ...] | None = None
+    # RefinedWeb-style SOFT url spam scoring (graded companion of the hard
+    # blocklist above): weighted fragment occurrences; rows scoring >=
+    # spam_threshold fire a FAIL rule. Tuple of (fragment, points) pairs
+    # (dataclass/asdict-friendly); None = stage off (default rule set
+    # stable). Pure string-length arithmetic — map-only codegen, no regex.
+    spam_fragments: tuple[tuple[str, int], ...] | None = None
+    spam_threshold: float = 1.0
     # C4-style bad-words content gate: drop pages whose extracted text
     # contains any listed word (word-boundary, case-insensitive — the
     # textops.badwords_* ASCII-word contract). None = stage off (default
@@ -167,6 +174,15 @@ def quality_rules(
                          _host_suffixes(host_of(F.col("url"))), blocked
                      ),
                      F.lit(False))))
+    if cfg.spam_fragments:
+        from data_quality_spark.ops.textops import url_spam_score_col
+
+        R.append(
+            Rule("url_spam",
+                 f"url spam score >= {cfg.spam_threshold}",
+                 not_empty("url") & fired(
+                     url_spam_score_col(F.col("url"), dict(cfg.spam_fragments))
+                     >= F.lit(cfg.spam_threshold))))
     if cfg.badwords:
         from data_quality_spark.ops.textops import _badwords_pattern
 

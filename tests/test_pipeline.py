@@ -581,6 +581,38 @@ def test_host_blocklist_rule(spark, fixture_path):
     assert mism <= 2  # same tolerance as the full-corpus fired-rules test
 
 
+def test_url_spam_rule(spark, fixture_path):
+    """Optional RefinedWeb-style SOFT url scoring: weighting a fragment of
+    a generated host to the threshold fires a FAIL rule on exactly its
+    rows, engine and pandas oracle agreeing; sub-threshold weights keep
+    the rows; default config (stage off) is unchanged."""
+    import pyarrow.parquet as pq
+
+    from data_quality_spark.pipeline.quality_filter import QFConfig
+
+    cfg = QFConfig(spam_fragments=(("portal", 100),))
+    df = spark.read.parquet(fixture_path).limit(300)
+    rows = annotate_pages(df, cfg).select("url", "fired_rules", "keep").collect()
+    hit = [r for r in rows if "url_spam" in r["fired_rules"]]
+    assert hit and all("portal" in r["url"].lower() for r in hit)
+    assert all(not r["keep"] for r in hit)  # severity fail drops the row
+    clean = [r for r in rows if "portal" not in r["url"].lower()]
+    assert all("url_spam" not in r["fired_rules"] for r in clean)
+    # sub-threshold points: rule never fires
+    low = QFConfig(spam_fragments=(("portal", 40),))
+    rows_low = annotate_pages(df, low).select("fired_rules").collect()
+    assert all("url_spam" not in r["fired_rules"] for r in rows_low)
+    pdf = pq.read_table(fixture_path).to_pandas().head(300)
+    ora = O.annotate_pandas(pdf, cfg)
+    multi = set(ora["url"][ora["url"].duplicated(keep=False)])
+    exp = {u: list(f) for u, f in zip(ora["url"], ora["fired_rules"])}
+    mism = sum(
+        1 for r in rows
+        if r["url"] not in multi and list(r["fired_rules"]) != exp[r["url"]]
+    )
+    assert mism <= 2  # same tolerance as the full-corpus fired-rules test
+
+
 def test_rule_ablation_counts(spark):
     """Per-rule ablation: n_fired counts every firing doc, n_sole only
     docs where that rule fires alone; clean docs contribute nothing."""

@@ -323,3 +323,14 @@ def test_stream_badwords_rule(spark, stream_in, tmp_path):
     assert got.count() < kept.count()
     for r in got.select("text_scrubbed").collect():
         assert not rx.search(r["text_scrubbed"] or "")
+
+
+def test_stream_url_spam_rule_in_set(spark):
+    """The soft URL spam rule is per-row/stateless, so it must ride into
+    the streaming rule set when configured and stay absent by default."""
+    from data_quality_spark.pipeline.quality_filter import QFConfig
+
+    assert "url_spam" not in {r.rule_id for r in streaming_rules()}
+    cfg = QFConfig(spam_fragments=(("casino", 100),))
+    by_id = {r.rule_id: r for r in streaming_rules(cfg)}
+    assert "url_spam" in by_id and by_id["url_spam"].severity == "fail"
