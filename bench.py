@@ -75,7 +75,10 @@ HEADLINE = [
     "text_decontaminate",     # benchmark n-gram decontamination anti-join
     "dedup_minhash_incr",     # cross-batch near-dup vs signature index
     "dedup_span_removal",     # C4-style dup-span removal + doc rebuild
+    "dedup_span_removal_tok", # token-grain ExactSubstr removal + rebuild
     "text_mix_resample",      # mixture rates + hash-threshold resample
+    "text_url_spam",          # soft URL spam scoring (map-only codegen)
+    "text_fertility",         # per-lang tokenizer fertility (one scan)
 ]
 
 
