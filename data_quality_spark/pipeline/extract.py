@@ -148,3 +148,40 @@ def native_extract(html_col: Column) -> Column:
     full-document regex more than once per row — use `with_extracted`
     on hot paths."""
     return _extract_from_m0(html_col, _m0_expr(html_col))
+
+
+# ---------------------------------------------------------------------------
+# outlink extraction (host-graph feed — ops/graph.py consumes the edges)
+# ---------------------------------------------------------------------------
+
+# absolute http(s) links only: relative links resolve to the same host, so
+# for HOST-graph purposes they are self loops (dropped downstream anyway).
+# ASCII classes; the grammar is shared verbatim by the native and python
+# paths (byte parity, same discipline as MAIN/PARA above).
+HREF_PATTERN = r"""href=["'](https?://[^"']+)["']"""
+
+_HREF = re.compile(HREF_PATTERN, re.I | re.ASCII)
+
+
+def with_links(
+    df: DataFrame, html_col: str = "html", out_col: str = "links"
+) -> DataFrame:
+    """Add `out_col` = array of absolute href targets in document order
+    (NULL html → NULL). ONE regexp_extract_all over the decoded page —
+    map-only, codegen, no UDF; the html payload never shuffles."""
+    html = F.col(html_col)
+    return df.withColumn(
+        out_col,
+        F.when(html.isNull(), F.lit(None).cast("array<string>")).otherwise(
+            F.regexp_extract_all(
+                F.decode(html, "UTF-8"), F.lit(f"(?i){HREF_PATTERN}"), F.lit(1)
+            )
+        ),
+    )
+
+
+def py_links(html_bytes: bytes | None) -> list[str] | None:
+    """Python twin of with_links (oracle/test parity)."""
+    if html_bytes is None:
+        return None
+    return _HREF.findall(html_bytes.decode("utf-8", errors="replace"))

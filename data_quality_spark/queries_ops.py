@@ -14,6 +14,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from data_quality_spark.ops import dedup as D
+from data_quality_spark.ops import graph as G
 from data_quality_spark.ops import multimodal as M
 from data_quality_spark.ops import similarity as S
 from data_quality_spark.ops import textops as T
@@ -1803,6 +1804,57 @@ FROM g
 
 
 # ---------------------------------------------------------------------------
+# graph 1 — host-rank quality prior (CCNet/RefinedWeb-style crawl ranks)
+# ---------------------------------------------------------------------------
+
+HOST_RANK_N_HOSTS = 23
+HOST_RANK_FANOUT = 3
+
+
+def _synthetic_host_edges(spark, sf_dir):
+    """Deterministic host link graph derived from doc_id: each doc's host
+    h{doc_id%23} links to h{(doc_id*7+j)%23} for j=1..3 — both engines
+    construct the same edge multiset."""
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+    host = lambda e: F.concat(  # noqa: E731
+        F.lit("h"), e.cast("string"), F.lit(".example")
+    )
+    edges = docs.select(
+        host(F.col("doc_id") % HOST_RANK_N_HOSTS).alias("src_host"),
+        F.explode(
+            F.array(
+                *[
+                    host((F.col("doc_id") * 7 + F.lit(j)) % HOST_RANK_N_HOSTS)
+                    for j in range(1, HOST_RANK_FANOUT + 1)
+                ]
+            )
+        ).alias("dst_host"),
+    )
+    return G.edges_from_pages(edges, "src_host", "dst_host")
+
+
+def q_graph_host_rank(spark, sf_dir):
+    """Host-graph PageRank quality prior (ops.graph.host_rank): damped
+    power iteration in exact integer micro-units over a deterministic
+    synthetic host graph — the CommonCrawl-rank signal CCNet/RefinedWeb
+    threshold before fetching content. Bit-portable: bigint sums are
+    order-independent, so Spark and the unrolled-CTE DuckDB oracle agree
+    exactly."""
+    return G.host_rank(_synthetic_host_edges(spark, sf_dir))
+
+
+def _sql_graph_host_rank() -> str:
+    h = HOST_RANK_N_HOSTS
+    edges = f"""
+  SELECT 'h' || (doc_id % {h}) || '.example' AS src,
+         'h' || ((doc_id * 7 + j) % {h}) || '.example' AS dst
+  FROM documents, unnest([1, 2, 3]) AS t(j)
+  WHERE (doc_id % {h}) <> ((doc_id * 7 + j) % {h})
+"""
+    return G.sql_host_rank(edges)
+
+
+# ---------------------------------------------------------------------------
 # text 0a — PII audit counts (scrub stage's reporting twin)
 # ---------------------------------------------------------------------------
 
@@ -3332,6 +3384,7 @@ OPS_QUERIES = {
     "dedup_semantic": q_dedup_semantic,
     "dedup_semantic_drop": q_dedup_semantic_drop,
     "text_url_blocklist": q_text_url_blocklist,
+    "graph_host_rank": q_graph_host_rank,
     "text_url_spam": q_text_url_spam,
     "text_fertility": q_text_fertility,
     "text_pii_counts": q_text_pii_counts,
@@ -3409,6 +3462,7 @@ OPS_ORACLES = {
     "dedup_semantic": _sql_dedup_semantic(),
     "dedup_semantic_drop": _sql_dedup_semantic_drop(),
     "text_url_blocklist": _sql_text_url_blocklist(),
+    "graph_host_rank": _sql_graph_host_rank(),
     "text_url_spam": _sql_text_url_spam(),
     "text_fertility": _sql_text_fertility(),
     "text_pii_counts": _sql_text_pii_counts(),

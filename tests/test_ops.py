@@ -2263,3 +2263,58 @@ def test_nb_weights_geometry_sidecar(spark, tmp_path):
         T.load_nb_weights(spark, path, buckets=1024)
     with _pytest.raises(ValueError, match="64 bucket rows"):
         T.save_nb_weights(path, w, buckets=32)
+
+
+def test_host_rank_star_graph(spark):
+    """Star graph: every leaf links to the hub — the hub must out-rank
+    every leaf, values must match a pure-python rendering of the SAME
+    integer micro-unit recurrence exactly (determinism contract)."""
+    from data_quality_spark.ops import graph as G
+
+    leaves = [f"l{i}.example" for i in range(6)]
+    edges = spark.createDataFrame(
+        [(leaf, "hub.example") for leaf in leaves], "src string, dst string"
+    )
+    got = {r["host"]: r["rank_units"]
+           for r in G.host_rank(edges).collect()}
+    # python twin of the recurrence
+    n = 7
+    init = G.RANK_SCALE // n
+    base = ((100 - G.RANK_DAMP_PCT) * init) // 100
+    rank = {h: init for h in leaves + ["hub.example"]}
+    for _ in range(G.RANK_ITERS):
+        inflow = {h: 0 for h in rank}
+        for leaf in leaves:
+            inflow["hub.example"] += rank[leaf] // 1  # out-degree 1
+        rank = {h: base + (G.RANK_DAMP_PCT * inflow[h]) // 100 for h in rank}
+    assert got == rank
+    assert got["hub.example"] > max(got[leaf] for leaf in leaves)
+
+
+def test_edges_from_pages_drops_self_loops_and_dups(spark):
+    from data_quality_spark.ops import graph as G
+
+    df = spark.createDataFrame(
+        [("a.example", "b.example"), ("a.example", "b.example"),
+         ("a.example", "a.example"), ("c.example", None)],
+        "s string, d string",
+    )
+    got = {(r["src"], r["dst"])
+           for r in G.edges_from_pages(df, "s", "d").collect()}
+    assert got == {("a.example", "b.example")}
+
+
+def test_with_links_and_py_twin(spark):
+    from data_quality_spark.pipeline import extract as X
+
+    html = (b'<main><p>x <a href="https://a.example/p">a</a>'
+            b" <a href='http://b.example/q?x=1'>b</a>"
+            b' <a href="/relative/skipped">r</a>'
+            b' <img src="https://c.example/not-href.png"></p></main>')
+    df = spark.createDataFrame([(1, html), (2, None)],
+                               "id int, html binary")
+    out = {r["id"]: r["links"]
+           for r in X.with_links(df, "html").collect()}
+    expect = ["https://a.example/p", "http://b.example/q?x=1"]
+    assert out[1] == expect and out[2] is None
+    assert X.py_links(html) == expect and X.py_links(None) is None
