@@ -52,6 +52,10 @@ def annotate_pandas(pdf: pd.DataFrame, cfg: QFConfig = DEFAULT_CONFIG) -> pd.Dat
 
     url_counts = Counter(str(u) for u in out["url"] if not _is_empty(u))
     blocked_set = {b.lower() for b in (cfg.blocked_hosts or ())}
+    host_ranks: dict = {}
+    if cfg.host_rank_path:
+        rk = pd.read_parquet(cfg.host_rank_path)
+        host_ranks = dict(zip(rk["host"], rk["rank"]))
     bad_re = None
     if cfg.badwords:
         import re
@@ -131,6 +135,10 @@ def annotate_pandas(pdf: pd.DataFrame, cfg: QFConfig = DEFAULT_CONFIG) -> pd.Dat
             if (py_url_spam_score(str(row["url"]), dict(cfg.spam_fragments))
                     >= cfg.spam_threshold):
                 fired.append("url_spam")
+        if cfg.host_rank_path and not _is_empty(row["url"]):
+            hr = host_ranks.get(py_host_of(str(row["url"])))
+            if hr is not None and hr < cfg.min_host_rank:
+                fired.append("host_low_rank")
         if (bad_re is not None and not empty
                 and bad_re.search(row["text_extracted"])):
             fired.append("badwords_found")

@@ -90,6 +90,14 @@ class QFConfig:
     # not paid); rows with clf_score < clf_threshold fire clf_low_quality.
     clf_weights_path: str | None = None
     clf_threshold: float = 0.5
+    # CCNet/RefinedWeb-style crawl-rank prior: path of a persisted
+    # ops.graph.host_rank artifact (host, rank_units, rank). Rows whose
+    # url host appears with rank < min_host_rank fire a FAIL rule; hosts
+    # ABSENT from the table are kept (no evidence, no verdict — same
+    # convention as the classifier's NULL score). Broadcast join on the
+    # host key — the pages frame never shuffles for this. None = off.
+    host_rank_path: str | None = None
+    min_host_rank: float = 0.0
 
 
 DEFAULT_CONFIG = QFConfig()
@@ -183,6 +191,15 @@ def quality_rules(
                  not_empty("url") & fired(
                      url_spam_score_col(F.col("url"), dict(cfg.spam_fragments))
                      >= F.lit(cfg.spam_threshold))))
+    if cfg.host_rank_path:
+        # reads the host_rank column with_host_rank joined in (both the
+        # batch and streaming annotate paths add it whenever the path is
+        # configured); NULL rank (host not in the artifact) never fires
+        R.append(
+            Rule("host_low_rank",
+                 f"crawl host rank < {cfg.min_host_rank}",
+                 not_empty("url") & fired(
+                     F.col("host_rank") < F.lit(cfg.min_host_rank))))
     if cfg.badwords:
         from data_quality_spark.ops.textops import _badwords_pattern
 
@@ -271,6 +288,25 @@ def with_model_scores(df: DataFrame, cfg: QFConfig = DEFAULT_CONFIG) -> DataFram
     return df
 
 
+def with_host_rank(df: DataFrame, cfg: QFConfig) -> DataFrame:
+    """Join the persisted crawl-rank prior (ops.graph.host_rank artifact)
+    onto the pages frame as a `host_rank` column (NULL = host unknown).
+    Explicit broadcast of the rank table: the host table is orders of
+    magnitude smaller than the pages scan, and the pages frame must not
+    shuffle for a lookup. Stream-safe (stream-static broadcast join)."""
+    from data_quality_spark.ops.textops import host_of
+
+    ranks = (
+        df.sparkSession.read.parquet(cfg.host_rank_path)
+        .select(F.col("host").alias("__hr_host"), F.col("rank").alias("host_rank"))
+    )
+    return (
+        df.withColumn("__hr_host", host_of(F.col("url")))
+        .join(F.broadcast(ranks), "__hr_host", "left")
+        .drop("__hr_host")
+    )
+
+
 def annotate_pages(
     df: DataFrame, cfg: QFConfig = DEFAULT_CONFIG, min_parallelism: int | None = 0
 ) -> DataFrame:
@@ -312,6 +348,8 @@ def annotate_pages(
         .select("url", F.lit(True).alias("__aux_dup_url"))
     )
     df = df.join(dup_keys, on="url", how="left")
+    if cfg.host_rank_path:
+        df = with_host_rank(df, cfg)
     # staged extraction: ONE full-document regex per row (extract.py perf
     # shape note); NULL extract (no <main>) falls back to the raw text column
     df = extract.with_extracted(df, "html", "text_extracted", "text")

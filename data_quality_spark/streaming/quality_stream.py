@@ -61,6 +61,12 @@ def annotate_stream(df: DataFrame, cfg: QFConfig = DEFAULT_CONFIG) -> DataFrame:
     """Per-row annotation, streaming-safe (no shuffles, no state): identical
     expressions to the batch ``annotate_pages`` for every shared stage."""
     df = df.withColumn("src_file", F.input_file_name())
+    if cfg.host_rank_path:
+        # stream-static broadcast join: the rank artifact is snapshotted
+        # at stream start (restart to pick up a refreshed crawl rank)
+        from data_quality_spark.pipeline.quality_filter import with_host_rank
+
+        df = with_host_rank(df, cfg)
     df = extract.with_extracted(df, "html", "text_extracted", "text")
     df = df.drop("html")
     if not cfg.keep_source_text:

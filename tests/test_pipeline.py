@@ -613,6 +613,41 @@ def test_url_spam_rule(spark, fixture_path):
     assert mism <= 2  # same tolerance as the full-corpus fired-rules test
 
 
+def test_host_low_rank_rule(spark, fixture_path, tmp_path):
+    """Optional CCNet-style crawl-rank prior: a persisted host_rank
+    artifact listing a generated host below the threshold fires a FAIL
+    rule on exactly its rows; hosts ABSENT from the artifact never fire
+    (no evidence, no verdict); engine and pandas oracle agree."""
+    import pyarrow.parquet as pq
+
+    from data_quality_spark.pipeline.quality_filter import QFConfig
+
+    rank_path = str(tmp_path / "host_ranks.parquet")
+    spark.createDataFrame(
+        [("big-portal.example", 10_000_000, 0.00001),
+         ("nice-blog.example", 900_000_000_000, 0.9)],
+        "host string, rank_units bigint, rank double",
+    ).write.parquet(rank_path)
+    cfg = QFConfig(host_rank_path=rank_path, min_host_rank=0.5)
+    df = spark.read.parquet(fixture_path).limit(300)
+    rows = annotate_pages(df, cfg).select("url", "fired_rules", "keep").collect()
+    hit = [r for r in rows if "host_low_rank" in r["fired_rules"]]
+    assert hit and all("//big-portal.example/" in r["url"] for r in hit)
+    assert all(not r["keep"] for r in hit)  # severity fail drops the row
+    # every host not in the artifact (or above threshold) never fires
+    clean = [r for r in rows if "//big-portal.example/" not in r["url"]]
+    assert all("host_low_rank" not in r["fired_rules"] for r in clean)
+    pdf = pq.read_table(fixture_path).to_pandas().head(300)
+    ora = O.annotate_pandas(pdf, cfg)
+    multi = set(ora["url"][ora["url"].duplicated(keep=False)])
+    exp = {u: list(f) for u, f in zip(ora["url"], ora["fired_rules"])}
+    mism = sum(
+        1 for r in rows
+        if r["url"] not in multi and list(r["fired_rules"]) != exp[r["url"]]
+    )
+    assert mism <= 2  # same tolerance as the full-corpus fired-rules test
+
+
 def test_rule_ablation_counts(spark):
     """Per-rule ablation: n_fired counts every firing doc, n_sole only
     docs where that rule fires alone; clean docs contribute nothing."""

@@ -334,3 +334,29 @@ def test_stream_url_spam_rule_in_set(spark):
     cfg = QFConfig(spam_fragments=(("casino", 100),))
     by_id = {r.rule_id: r for r in streaming_rules(cfg)}
     assert "url_spam" in by_id and by_id["url_spam"].severity == "fail"
+
+
+def test_stream_host_rank_rule_in_set(spark, tmp_path):
+    """host_low_rank is a stream-static broadcast lookup + per-row compare:
+    it must ride into the streaming rule set when configured, and
+    annotate_stream must produce the host_rank column it reads."""
+    from data_quality_spark.pipeline.quality_filter import QFConfig
+    from data_quality_spark.streaming.quality_stream import annotate_stream
+
+    rank_path = str(tmp_path / "ranks.parquet")
+    spark.createDataFrame(
+        [("low.example", 1000, 0.000000001)],
+        "host string, rank_units bigint, rank double",
+    ).write.parquet(rank_path)
+    cfg = QFConfig(host_rank_path=rank_path, min_host_rank=0.5)
+    assert "host_low_rank" not in {r.rule_id for r in streaming_rules()}
+    assert "host_low_rank" in {r.rule_id for r in streaming_rules(cfg)}
+    # batch-shaped frame through the streaming annotate path: the joined
+    # host_rank column feeds the rule exactly as in batch
+    df = spark.createDataFrame(
+        [("https://low.example/a", None, None, "some text here ok", "en")],
+        "url string, warc_ts timestamp, html binary, text string, lang string",
+    )
+    row = annotate_stream(df, cfg).select("host_rank", "fired_rules").first()
+    assert row["host_rank"] is not None and row["host_rank"] < 0.5
+    assert "host_low_rank" in row["fired_rules"]
