@@ -62,6 +62,29 @@ def edges_from_pages(
     )
 
 
+def host_edges_from_pages_html(
+    df: DataFrame, url_col: str = "url", html_col: str = "html"
+) -> DataFrame:
+    """(src, dst) host edges straight from a raw pages table: outlink
+    extraction (extract.with_links — one codegen regexp_extract_all) →
+    host of each target → distinct host pairs. The html payload is read
+    once in the scan projection and never shuffles; the exchange carries
+    host strings only."""
+    from data_quality_spark.ops.textops import host_of
+    from data_quality_spark.pipeline.extract import with_links
+
+    linked = with_links(df.select(url_col, html_col), html_col, "__links")
+    # explode in its own projection (a generator cannot nest inside the
+    # host_of expression), then extract hosts
+    pairs = linked.select(
+        F.col(url_col), F.explode("__links").alias("__dst_url")
+    ).select(
+        host_of(F.col(url_col)).alias("src_host"),
+        host_of(F.col("__dst_url")).alias("dst_host"),
+    )
+    return edges_from_pages(pairs, "src_host", "dst_host")
+
+
 def host_rank(
     edges: DataFrame,
     src_col: str = "src",

@@ -185,3 +185,37 @@ def py_links(html_bytes: bytes | None) -> list[str] | None:
     if html_bytes is None:
         return None
     return _HREF.findall(html_bytes.decode("utf-8", errors="replace"))
+
+
+# ---------------------------------------------------------------------------
+# robots meta directive (noindex gate — a page that asks not to be indexed
+# should not enter a training corpus either)
+# ---------------------------------------------------------------------------
+
+# both attribute orders (name= first or content= first); ASCII classes,
+# case-insensitive at the call sites — shared verbatim by native + python
+# paths like MAIN/PARA above.
+ROBOTS_NOINDEX_PATTERN = (
+    r"""<meta\s[^>]*name=["']robots["'][^>]*content=["'][^"']*noindex"""
+    r"""|<meta\s[^>]*content=["'][^"']*noindex[^"']*["'][^>]*name=["']robots["']"""
+)
+
+_NOINDEX = re.compile(ROBOTS_NOINDEX_PATTERN, re.I | re.ASCII)
+
+
+def native_noindex(html_col: Column) -> Column:
+    """True when the page carries a robots-noindex meta directive (NULL
+    html → False). One rlike over the decoded page — map-only codegen."""
+    return F.coalesce(
+        F.decode(html_col, "UTF-8").rlike(f"(?i){ROBOTS_NOINDEX_PATTERN}"),
+        F.lit(False),
+    )
+
+
+def py_noindex(html_bytes: bytes | None) -> bool:
+    """Python twin of native_noindex (oracle parity)."""
+    if html_bytes is None:
+        return False
+    return _NOINDEX.search(
+        html_bytes.decode("utf-8", errors="replace")
+    ) is not None

@@ -146,6 +146,8 @@ def annotate_pandas(pdf: pd.DataFrame, cfg: QFConfig = DEFAULT_CONFIG) -> pd.Dat
             sc = row["clf_score"]
             if sc is not None and sc < cfg.clf_threshold:
                 fired.append("clf_low_quality")
+        if cfg.drop_noindex and extract.py_noindex(row["html"]):
+            fired.append("meta_noindex")
         warn_only = {"pii_found", "lang_low_confidence"} | (
             {"lang_mismatch"} if not cfg.drop_lang_mismatch else set()
         )

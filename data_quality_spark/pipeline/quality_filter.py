@@ -98,6 +98,13 @@ class QFConfig:
     # host key — the pages frame never shuffles for this. None = off.
     host_rank_path: str | None = None
     min_host_rank: float = 0.0
+    # robots-meta gate: drop pages carrying <meta name="robots"
+    # content="...noindex..."> (either attribute order) — a page that asks
+    # not to be indexed should not enter a training corpus either. The
+    # detector runs on the raw html BEFORE the payload is dropped
+    # (annotation column `noindex_found`); one map-only rlike. Off by
+    # default (default rule set stable).
+    drop_noindex: bool = False
 
 
 DEFAULT_CONFIG = QFConfig()
@@ -215,6 +222,13 @@ def quality_rules(
             Rule("clf_low_quality",
                  f"classifier quality score < {cfg.clf_threshold}",
                  fired(F.col("clf_score") < cfg.clf_threshold)))
+    if cfg.drop_noindex:
+        # reads the noindex_found column both annotate paths compute from
+        # the raw html BEFORE the payload drop (rules run after it)
+        R.append(
+            Rule("meta_noindex",
+                 "page carries a robots noindex directive",
+                 fired(F.col("noindex_found"))))
     # precondition: content rules only apply when text is non-empty
     content = {"word_count", "mean_word_len", "symbol_ratio", "repeated_lines",
                "stopword_density", "perplexity", "lang_mismatch",
@@ -353,6 +367,11 @@ def annotate_pages(
     # staged extraction: ONE full-document regex per row (extract.py perf
     # shape note); NULL extract (no <main>) falls back to the raw text column
     df = extract.with_extracted(df, "html", "text_extracted", "text")
+    if cfg.drop_noindex:
+        # detector must read the raw html; compute before the payload drop
+        df = df.withColumn(
+            "noindex_found", extract.native_noindex(F.col("html"))
+        )
     # html (and by default the raw text fallback) served their purpose —
     # dropping the payload columns here keeps them out of every downstream
     # stage's row buffers (measured ~6% of 8-core pipeline time for text)

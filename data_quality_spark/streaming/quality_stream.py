@@ -68,6 +68,10 @@ def annotate_stream(df: DataFrame, cfg: QFConfig = DEFAULT_CONFIG) -> DataFrame:
 
         df = with_host_rank(df, cfg)
     df = extract.with_extracted(df, "html", "text_extracted", "text")
+    if cfg.drop_noindex:
+        df = df.withColumn(
+            "noindex_found", extract.native_noindex(F.col("html"))
+        )
     df = df.drop("html")
     if not cfg.keep_source_text:
         df = df.drop("text")

@@ -2318,3 +2318,31 @@ def test_with_links_and_py_twin(spark):
     expect = ["https://a.example/p", "http://b.example/q?x=1"]
     assert out[1] == expect and out[2] is None
     assert X.py_links(html) == expect and X.py_links(None) is None
+
+
+def test_host_edges_from_pages_html(spark):
+    from data_quality_spark.ops import graph as G
+
+    mk = lambda *links: (  # noqa: E731
+        "<main><p>"
+        + " ".join(f'<a href="{u}">x</a>' for u in links)
+        + "</p></main>"
+    ).encode()
+    df = spark.createDataFrame(
+        [("https://a.example/1", mk("https://b.example/p",
+                                    "https://a.example/self",
+                                    "http://c.example:8080/q")),
+         ("https://b.example/2", mk("https://a.example/z")),
+         ("https://d.example/3", None)],
+        "url string, html binary",
+    )
+    got = {(r["src"], r["dst"])
+           for r in G.host_edges_from_pages_html(df).collect()}
+    # self-link (a->a) dropped; port stripped by host_of; NULL html no-ops
+    assert got == {("a.example", "b.example"), ("a.example", "c.example"),
+                   ("b.example", "a.example")}
+    # the edges feed host_rank directly
+    ranks = G.host_rank(
+        spark.createDataFrame(sorted(got), "src string, dst string"))
+    by = {r["host"]: r["rank_units"] for r in ranks.collect()}
+    assert by["a.example"] > by["c.example"]  # a has an in-link from b

@@ -781,3 +781,52 @@ def test_pipeline_rejects_mismatched_clf_geometry(spark, tmp_path, fixture_path)
     with _pytest.raises(ValueError, match="64 bucket rows"):
         with_model_scores(docs.withColumnRenamed("text", "text_extracted"),
                           cfg).count()
+
+
+def test_meta_noindex_rule(spark):
+    """Robots-meta gate: noindex pages (either attribute order) fire a
+    FAIL rule computed from the raw html BEFORE the payload drop; pages
+    without the directive (or with noindex under another meta name, or
+    NULL html) never fire. Engine and pandas oracle agree row-for-row."""
+    import pandas as pd
+
+    from data_quality_spark.pipeline.quality_filter import QFConfig
+
+    body = b"<main><p>plenty of ordinary stopword the and of text here</p></main>"
+    rows = [
+        ("https://a.example/1",
+         b'<html><head><meta name="robots" content="noindex, nofollow">'
+         b"</head>" + body + b"</html>"),
+        ("https://a.example/2",
+         b"<html><head><meta content='NOINDEX' name='robots'></head>"
+         + body + b"</html>"),
+        ("https://a.example/3",
+         b'<html><head><meta name="viewport" content="noindex-lookalike">'
+         b"</head>" + body + b"</html>"),
+        ("https://a.example/4", body),
+        ("https://a.example/5", None),
+    ]
+    cfg = QFConfig(drop_noindex=True)
+    df = spark.createDataFrame(
+        [(u, h, None, "fallback text here", "en") for u, h in rows],
+        "url string, html binary, warc_ts timestamp, text string, lang string",
+    )
+    got = {r["url"]: r for r in
+           annotate_pages(df, cfg, min_parallelism=-1)
+           .select("url", "noindex_found", "fired_rules", "keep").collect()}
+    fired = {u for u, r in got.items() if "meta_noindex" in r["fired_rules"]}
+    assert fired == {"https://a.example/1", "https://a.example/2"}
+    assert all(not got[u]["keep"] for u in fired)
+    assert not got["https://a.example/3"]["noindex_found"]
+    # pandas oracle parity on the same rows
+    pdf = pd.DataFrame(
+        [{"url": u, "html": h, "warc_ts": None,
+          "text": "fallback text here", "lang": "en"} for u, h in rows]
+    )
+    ora = O.annotate_pandas(pdf, cfg)
+    exp = {u: list(f) for u, f in zip(ora["url"], ora["fired_rules"])}
+    for u, r in got.items():
+        assert list(r["fired_rules"]) == exp[u], u
+    # default config: stage off, column absent
+    base = annotate_pages(df, min_parallelism=-1)
+    assert "noindex_found" not in base.columns
