@@ -79,6 +79,8 @@ HEADLINE = [
     "text_mix_resample",      # mixture rates + hash-threshold resample
     "text_url_spam",          # soft URL spam scoring (map-only codegen)
     "text_fertility",         # per-lang tokenizer fertility (one scan)
+    "graph_host_rank",        # integer micro-unit PageRank (5 iterations)
+    "text_crawl_latest",      # cross-snapshot struct-max keeper
 ]
 
 

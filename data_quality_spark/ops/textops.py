@@ -1105,6 +1105,29 @@ def token_histogram(df: DataFrame, text_col: str) -> DataFrame:
     )
 
 
+def latest_snapshot(
+    df: DataFrame, key_col: str, order_col: str, payload_cols: list[str]
+) -> DataFrame:
+    """Keep each key's row from the LATEST crawl snapshot (max order_col —
+    a crawl id / fetch timestamp): the standard cross-snapshot revision
+    dedup when several crawls of the same url sit in one lake.
+
+    ONE partial-aggregated groupBy of a struct max — no window, so no
+    per-key sort and no full-row shuffle beyond the single exchange, and
+    map-side combine collapses same-key rows before the wire (a row_number
+    window would sort every partition and carry every row to the reducer).
+    Ties on order_col break lexicographically on the payload struct —
+    deterministic, documented. Reference ancestor: the duplicate check's
+    keep-first semantics (values_duplicate.py) lifted to version order."""
+    m = F.max(
+        F.struct(F.col(order_col), *[F.col(c) for c in payload_cols])
+    ).alias("__m")
+    return df.groupBy(key_col).agg(m).select(
+        key_col,
+        *[F.col(f"__m.{c}").alias(c) for c in [order_col] + payload_cols],
+    )
+
+
 def fertility_stats(
     df: DataFrame, group_col: str, text_col: str
 ) -> DataFrame:

@@ -1804,6 +1804,43 @@ FROM g
 
 
 # ---------------------------------------------------------------------------
+# text 0d — latest-snapshot keeper (cross-crawl revision dedup)
+# ---------------------------------------------------------------------------
+
+
+def q_text_crawl_latest(spark, sf_dir):
+    """Latest-snapshot keeper (textops.latest_snapshot): three synthetic
+    crawls of the corpus (staggered membership, versioned text) collapse
+    to one row per doc from its newest crawl — struct-max aggregation,
+    no window sort."""
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    snaps = None
+    for k in range(3):
+        s = docs.where((F.col("doc_id") + k) % (k + 2) == 0).select(
+            "doc_id",
+            F.lit(202401 + k).cast("bigint").alias("crawl_id"),
+            F.concat(F.col("text"), F.lit(f" v{k}")).alias("text"),
+        )
+        snaps = s if snaps is None else snaps.unionByName(s)
+    return T.latest_snapshot(snaps, "doc_id", "crawl_id", ["text"])
+
+
+def _sql_text_crawl_latest() -> str:
+    parts = [
+        f"SELECT doc_id, {202401 + k} AS crawl_id, text || ' v{k}' AS text"
+        f" FROM documents WHERE (doc_id + {k}) % {k + 2} = 0"
+        for k in range(3)
+    ]
+    u = "\nUNION ALL\n".join(parts)
+    return f"""
+WITH snaps AS ({u})
+SELECT doc_id, max(crawl_id) AS crawl_id,
+       arg_max(text, crawl_id) AS text
+FROM snaps GROUP BY 1
+"""
+
+
+# ---------------------------------------------------------------------------
 # graph 1 — host-rank quality prior (CCNet/RefinedWeb-style crawl ranks)
 # ---------------------------------------------------------------------------
 
@@ -3385,6 +3422,7 @@ OPS_QUERIES = {
     "dedup_semantic_drop": q_dedup_semantic_drop,
     "text_url_blocklist": q_text_url_blocklist,
     "graph_host_rank": q_graph_host_rank,
+    "text_crawl_latest": q_text_crawl_latest,
     "text_url_spam": q_text_url_spam,
     "text_fertility": q_text_fertility,
     "text_pii_counts": q_text_pii_counts,
@@ -3463,6 +3501,7 @@ OPS_ORACLES = {
     "dedup_semantic_drop": _sql_dedup_semantic_drop(),
     "text_url_blocklist": _sql_text_url_blocklist(),
     "graph_host_rank": _sql_graph_host_rank(),
+    "text_crawl_latest": _sql_text_crawl_latest(),
     "text_url_spam": _sql_text_url_spam(),
     "text_fertility": _sql_text_fertility(),
     "text_pii_counts": _sql_text_pii_counts(),

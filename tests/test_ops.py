@@ -2346,3 +2346,14 @@ def test_host_edges_from_pages_html(spark):
         spark.createDataFrame(sorted(got), "src string, dst string"))
     by = {r["host"]: r["rank_units"] for r in ranks.collect()}
     assert by["a.example"] > by["c.example"]  # a has an in-link from b
+
+
+def test_latest_snapshot(spark):
+    df = spark.createDataFrame(
+        [("u1", 202401, "old"), ("u1", 202403, "new"), ("u1", 202402, "mid"),
+         ("u2", 202401, "only")],
+        "url string, crawl_id bigint, text string",
+    )
+    got = {r["url"]: (r["crawl_id"], r["text"]) for r in
+           T.latest_snapshot(df, "url", "crawl_id", ["text"]).collect()}
+    assert got == {"u1": (202403, "new"), "u2": (202401, "only")}
