@@ -594,7 +594,10 @@ def q_dedup_minhash_lsh(spark, sf_dir):
     )
 
 
-def _sql_minhash_lsh() -> str:
+def _sql_minhash_lsh(corpus_sql: str | None = None) -> str:
+    """MinHash+LSH oracle body over any (doc_id, text) corpus CTE — shared
+    by the document-grain and paragraph-grain queries (same signatures,
+    bands, bucket caps, verify)."""
     mh = [
         "list_min(list_transform(sh, s -> "
         + sql_hash64("s", f"#{i // 2}", 1 + 15 * (i % 2))
@@ -610,7 +613,7 @@ def _sql_minhash_lsh() -> str:
         bands.append(sql_hash64(f"('{b}_' || {vals})"))
     band_list = ",\n      ".join(bands)
     return f"""
-WITH corpus AS ({SQL_NEAR_CORPUS}),
+WITH corpus AS ({corpus_sql or SQL_NEAR_CORPUS}),
 sh0 AS (
   SELECT doc_id, {SQL_SHINGLES} AS sh
   FROM (SELECT doc_id, {SQL_TOKS} AS toks FROM corpus)
@@ -641,6 +644,47 @@ verified AS (
   FROM cand JOIN sigs a ON a.doc_id = id_a JOIN sigs b ON b.doc_id = id_b
 )
 SELECT id_a, id_b, jaccard FROM verified WHERE jaccard >= {MINHASH_THRESHOLD}
+"""
+
+
+def q_dedup_para_minhash(spark, sf_dir):
+    """Paragraph-grain near-dup pairs (Dolma's paragraph dedupe, the fuzzy
+    sibling of dedup_para_bloom's exact mode): deterministic paragraph
+    units (two 120-char slices per doc + a near-dup ' zz' variant every
+    25th doc, over the exact-dup-augmented corpus so full copies yield
+    identical cross-doc paragraphs), unit id = doc_id*10 + para_idx, then
+    the UNCHANGED document-grain MinHash+LSH path runs over the units —
+    paragraph dedup is a reparameterization, not a new engine."""
+    base = _exact_dup_corpus(spark, sf_dir).where(F.col("text").isNotNull())
+    p0 = F.substring(F.col("text"), 1, 120)
+    p1 = F.substring(F.col("text"), 121, 120)
+    p2 = F.when(F.col("doc_id") % 25 == 0, F.concat(p0, F.lit(" zz")))
+    paras = (
+        base.select(
+            "doc_id", F.posexplode(F.array(p0, p1, p2)).alias("idx", "para")
+        )
+        .where(F.col("para").isNotNull() & (F.length("para") >= 60))
+        .select(
+            (F.col("doc_id") * 10 + F.col("idx")).alias("doc_id"),
+            F.col("para").alias("text"),
+        )
+    )
+    return D.minhash_lsh_pairs(
+        paras, "doc_id", "text", threshold=MINHASH_THRESHOLD
+    )
+
+
+SQL_PARA_CORPUS = f"""
+  SELECT doc_id * 10 + idx AS doc_id, para AS text FROM (
+    SELECT doc_id, 0 AS idx, substring(text, 1, 120) AS para
+    FROM ({SQL_EXACT_CORPUS}) WHERE text IS NOT NULL
+    UNION ALL
+    SELECT doc_id, 1, substring(text, 121, 120)
+    FROM ({SQL_EXACT_CORPUS}) WHERE text IS NOT NULL
+    UNION ALL
+    SELECT doc_id, 2, substring(text, 1, 120) || ' zz'
+    FROM ({SQL_EXACT_CORPUS}) WHERE text IS NOT NULL AND doc_id % 25 = 0
+  ) WHERE len(para) >= 60
 """
 
 
@@ -3400,6 +3444,7 @@ OPS_QUERIES = {
     "dedup_exact_drop": q_dedup_exact_drop,
     "period_overlap_global": q_period_overlap_global,
     "dedup_minhash_lsh": q_dedup_minhash_lsh,
+    "dedup_para_minhash": q_dedup_para_minhash,
     "dedup_minhash_drop": q_dedup_minhash_drop,
     "dedup_cluster_drop": q_dedup_cluster_drop,
     "dedup_simhash": q_dedup_simhash,
@@ -3479,6 +3524,7 @@ OPS_ORACLES = {
     "dedup_exact_drop": SQL_DEDUP_EXACT_DROP,
     "period_overlap_global": SQL_PERIOD_OVERLAP_GLOBAL,
     "dedup_minhash_lsh": _sql_minhash_lsh(),
+    "dedup_para_minhash": _sql_minhash_lsh(SQL_PARA_CORPUS),
     "dedup_minhash_drop": _sql_minhash_drop(),
     "dedup_cluster_drop": _sql_cluster_drop(),
     "dedup_simhash": _sql_simhash(),

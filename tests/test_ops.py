@@ -2357,3 +2357,17 @@ def test_latest_snapshot(spark):
     got = {r["url"]: (r["crawl_id"], r["text"]) for r in
            T.latest_snapshot(df, "url", "crawl_id", ["text"]).collect()}
     assert got == {"u1": (202403, "new"), "u2": (202401, "only")}
+
+
+def test_q_dedup_para_minhash(spark):
+    """Paragraph-grain near-dup pairs over the exact-dup-augmented corpus:
+    cross-doc exact paragraph copies come out at J=1.0 and the in-doc
+    ' zz' variants as high-but-imperfect pairs — both above threshold."""
+    from data_quality_spark import queries_ops as QO
+
+    out = QO.q_dedup_para_minhash(spark, "/root/testdata/sf0.001").collect()
+    assert out
+    assert any(r["jaccard"] == 1.0 for r in out)        # exact copies
+    assert any(0.5 <= r["jaccard"] < 1.0 for r in out)  # ' zz' near-dups
+    # unit ids encode (doc, paragraph): pairs never pair a unit with itself
+    assert all(r["id_a"] < r["id_b"] for r in out)
