@@ -55,12 +55,14 @@ DRIVER_PRIORITY = [
     "text_decontaminate", "text_sample_stratified", "text_token_budget",
     "text_line_dedup", "text_url_canon", "text_boilerplate",
     "qf_rule_ablation",
-    # -- round-2-only (no round-3 row) --
-    "doc_fingerprint", "host_quota", "multimodal_frames", "multimodal_meta",
+    # -- round-2-only (no round-3 row; the rest of the r2-only set keeps
+    #    its green r2 rows and rotates back in next round) --
+    "doc_fingerprint", "multimodal_frames", "multimodal_meta",
     "qf_heuristic_keep", "qf_pipeline_annotate", "qf_scrub",
-    "text_contamination", "text_group_stats", "text_langid_heur",
-    "text_normalize", "text_quality_score", "text_token_counts",
-    "text_top_tokens",
+    "text_contamination", "text_quality_score",
+    # -- round-4 additions (never driver-verified — zero rows ever) --
+    "dedup_span_removal_tok", "text_url_spam", "text_fertility",
+    "graph_host_rank", "text_crawl_latest", "dedup_para_minhash",
     # -- round-4 change canaries --
     "rule_metrics", "period_intersection", "period_overlap_global",
     "dedup_bloom", "dedup_para_bloom", "dedup_minhash_lsh",
