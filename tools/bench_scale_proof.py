@@ -38,6 +38,8 @@ HEAVY = [
     "dedup_minhash_lsh",    # in-batch banded LSH + exact verify
     "text_clf_score",       # NB train (eager agg) + hashed-linear scoring
     "period_overlap_global",  # range-partitioned global window
+    "dedup_span_removal_tok",  # token-window hash + keeper window + rebuild
+    "graph_host_rank",        # iterative join+agg (integer PageRank)
 ]
 
 N_REPS = 3
