@@ -801,6 +801,21 @@ def main():  # pragma: no cover
                          "(QFConfig.clf_weights_path)")
     ap.add_argument("--clf-threshold", type=float, default=None,
                     help="classifier keep threshold (with --clf-weights)")
+    ap.add_argument("--spam-fragments", default=None,
+                    help="comma-separated frag:points pairs for soft URL "
+                         "spam scoring (QFConfig.spam_fragments), e.g. "
+                         "'casino:100,bet:40'")
+    ap.add_argument("--spam-threshold", type=float, default=None,
+                    help="spam score at/above which url_spam fires")
+    ap.add_argument("--host-ranks", default=None,
+                    help="persisted host-rank parquet "
+                         "(QFConfig.host_rank_path — "
+                         "tools/build_host_ranks.py output)")
+    ap.add_argument("--min-host-rank", type=float, default=None,
+                    help="rank below which host_low_rank fires "
+                         "(with --host-ranks)")
+    ap.add_argument("--drop-noindex", action="store_true",
+                    help="drop pages carrying a robots noindex directive")
     a = ap.parse_args()
     cfg = DEFAULT_CONFIG
     overrides = {}
@@ -814,6 +829,19 @@ def main():  # pragma: no cover
         overrides["clf_weights_path"] = a.clf_weights
     if a.clf_threshold is not None:
         overrides["clf_threshold"] = a.clf_threshold
+    if a.spam_fragments:
+        overrides["spam_fragments"] = tuple(
+            (fp.split(":", 1)[0].strip(), int(fp.split(":", 1)[1]))
+            for fp in a.spam_fragments.split(",") if fp.strip()
+        )
+    if a.spam_threshold is not None:
+        overrides["spam_threshold"] = a.spam_threshold
+    if a.host_ranks:
+        overrides["host_rank_path"] = a.host_ranks
+    if a.min_host_rank is not None:
+        overrides["min_host_rank"] = a.min_host_rank
+    if a.drop_noindex:
+        overrides["drop_noindex"] = True
     if overrides:
         import dataclasses
 
