@@ -218,3 +218,95 @@ def test_scrub_gate_class_invariant(t):
     if scrub.py_pii_found(t):
         low = t.lower()
         assert any(w in low for w in scrub.TOXIC_WORDS)
+
+
+@given(st.text(alphabet="abcdeXu:/.-0 ", max_size=60))
+def test_py_url_spam_score_basic_properties(u):
+    """Non-negative, deterministic, and zero when no fragment occurs."""
+    from data_quality_spark.ops.textops import py_url_spam_score
+
+    s = py_url_spam_score(u)
+    assert s >= 0.0 and s == py_url_spam_score(u)
+    assert py_url_spam_score(u, fragments={"zq9": 100}) == 0.0  # "q"/"9" outside the alphabet
+
+
+@pytest.mark.parametrize("seed", [11])
+def test_url_spam_spark_matches_python_twin(spark, seed):
+    """url_spam_score_col (codegen arithmetic) vs py_url_spam_score over
+    randomized urls mixing fragments, case, and near-miss substrings."""
+    import random
+
+    from data_quality_spark.ops.textops import (
+        URL_SPAM_FRAGMENTS_DEFAULT,
+        py_url_spam_score,
+        url_spam_score,
+    )
+
+    rng = random.Random(seed)
+    frags = list(URL_SPAM_FRAGMENTS_DEFAULT) + ["clean", "page", "xx", "bets"]
+    urls = []
+    for i in range(200):
+        parts = [rng.choice(frags) for _ in range(rng.randrange(0, 5))]
+        host = rng.choice(["ok.example", "CASINO.example", "sub.ads.example"])
+        urls.append(f"https://{host}/" + "-".join(p.upper() if rng.random() < 0.3
+                                                  else p for p in parts))
+    pdf = pd.DataFrame({"i": range(len(urls)), "url": urls})
+    got = {
+        r["i"]: r["spam_score"]
+        for r in url_spam_score(spark.createDataFrame(pdf), "url").collect()
+    }
+    for i, u in enumerate(urls):
+        assert got[i] == py_url_spam_score(u), (u, got[i])
+
+
+@pytest.mark.parametrize("seed", [13])
+def test_noindex_spark_matches_python_twin(spark, seed):
+    """native_noindex vs py_noindex over randomized meta-tag soup (both
+    attribute orders, case noise, lookalike names, NULL html)."""
+    import random
+
+    from data_quality_spark.pipeline.extract import native_noindex, py_noindex
+
+    rng = random.Random(seed)
+    metas = [
+        '<meta name="robots" content="noindex">',
+        "<meta content='noindex,nofollow' name='robots'>",
+        '<meta name="ROBOTS" content="NOINDEX">',
+        '<meta name="viewport" content="noindex">',      # wrong name
+        '<meta name="robots" content="index, follow">',  # no directive
+        '<meta name="robots">',                          # no content
+    ]
+    htmls = [None]
+    for i in range(120):
+        soup = "".join(rng.choice(metas) for _ in range(rng.randrange(0, 3)))
+        htmls.append(f"<html><head>{soup}</head><body>x</body></html>".encode())
+    df = spark.createDataFrame(
+        [(i, h) for i, h in enumerate(htmls)], "i int, html binary"
+    )
+    got = {r["i"]: r["n"] for r in
+           df.select("i", native_noindex(df["html"]).alias("n")).collect()}
+    for i, h in enumerate(htmls):
+        assert got[i] == py_noindex(h), (i, h)
+
+
+@pytest.mark.parametrize("seed", [17])
+def test_host_rank_partitioning_invariant(spark, seed):
+    """Integer micro-unit PageRank must be IDENTICAL under different edge
+    orders and partition counts — the property floating-point rank does
+    not have, and the reason the micro-unit contract exists."""
+    import random
+
+    from data_quality_spark.ops import graph as G
+
+    rng = random.Random(seed)
+    hosts = [f"h{i}.example" for i in range(40)]
+    edges = list({(rng.choice(hosts), rng.choice(hosts)) for _ in range(300)})
+    edges = [(s, d) for s, d in edges if s != d]
+    base = spark.createDataFrame(edges, "src string, dst string")
+    a = {r["host"]: r["rank_units"] for r in G.host_rank(base).collect()}
+    shuffled = list(edges)
+    rng.shuffle(shuffled)
+    b_df = spark.createDataFrame(shuffled, "src string, dst string") \
+        .repartition(7)
+    b = {r["host"]: r["rank_units"] for r in G.host_rank(b_df).collect()}
+    assert a == b
