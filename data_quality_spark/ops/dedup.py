@@ -539,24 +539,59 @@ def py_shingles(text: str, n: int = 3) -> list[str]:
     return list(dict.fromkeys(" ".join(toks[i : i + n]) for i in range(len(toks) - n + 1)))
 
 
+# Per-worker shingle-hash memo (the classifier's md5-per-token memo
+# pattern): shingles repeat massively across a web corpus (boilerplate,
+# navigation, common phrases — Zipf), so each distinct shingle's k hash
+# values are computed once per worker and reused. Values are UNCHANGED
+# (same md5 scheme — the hash contract is not forked), so signatures,
+# band keys and the SQL oracles are unaffected. Bounded size; cleared
+# when full rather than evicted (hit paths stay dict-lookup cheap).
+# Bound: 2^17 entries ≈ tens of MB per python worker (~500 B/entry) —
+# sized for ordinary executor memory while still covering the Zipf head
+# where virtually all repeat mass lives.
+_MH_MEMO: dict[str, list[int]] = {}
+_MH_MEMO_MAX = 1 << 17
+
+
+def _mh_vals(s: str, k: int) -> list[int]:
+    v = _MH_MEMO.get(s)
+    if v is None or len(v) < k:
+        v = []
+        for j in range((k + 1) // 2):
+            hx = hashlib.md5(f"{s}#{j}".encode("utf-8")).hexdigest()
+            v.append(int(hx[:15], 16))
+            v.append(int(hx[15:30], 16))
+        if len(_MH_MEMO) >= _MH_MEMO_MAX:
+            _MH_MEMO.clear()
+        _MH_MEMO[s] = v
+    return v
+
+
 def py_minhash(sh: list[str], k: int = MINHASH_K) -> list[int]:
     mins = [_H64_MAX] * k
     for s in sh:
-        for j in range((k + 1) // 2):
-            hx = hashlib.md5(f"{s}#{j}".encode("utf-8")).hexdigest()
-            a, b = int(hx[:15], 16), int(hx[15:30], 16)
-            if a < mins[2 * j]:
-                mins[2 * j] = a
-            if 2 * j + 1 < k and b < mins[2 * j + 1]:
-                mins[2 * j + 1] = b
+        v = _mh_vals(s, k)
+        for i in range(k):
+            if v[i] < mins[i]:
+                mins[i] = v[i]
     return mins
 
 
+_SH_MEMO: dict[str, int] = {}
+
+
+def _sh_val(s: str) -> int:
+    v = _SH_MEMO.get(s)
+    if v is None:
+        v = int(hashlib.md5(s.encode("utf-8")).hexdigest()[:15], 16)
+        if len(_SH_MEMO) >= _MH_MEMO_MAX:
+            _SH_MEMO.clear()
+        _SH_MEMO[s] = v
+    return v
+
+
 def py_simhash(sh: list[str], bits: int = SIMHASH_BITS) -> int:
-    hs = np.array(
-        [int(hashlib.md5(s.encode("utf-8")).hexdigest()[:15], 16) for s in sh],
-        dtype=np.uint64,
-    )
+    hs = np.array([_sh_val(s) for s in sh], dtype=np.uint64)
     ones = ((hs[:, None] >> np.arange(bits, dtype=np.uint64)) & 1).sum(axis=0)
     bit_on = (2 * ones).astype(np.int64) - len(hs) > 0
     return int((bit_on.astype(np.int64) << np.arange(bits)).sum())
