@@ -302,21 +302,32 @@ def with_model_scores(df: DataFrame, cfg: QFConfig = DEFAULT_CONFIG) -> DataFram
     return df
 
 
-def with_host_rank(df: DataFrame, cfg: QFConfig) -> DataFrame:
+def with_host_rank(
+    df: DataFrame, cfg: QFConfig, broadcast: bool = True
+) -> DataFrame:
     """Join the persisted crawl-rank prior (ops.graph.host_rank artifact)
     onto the pages frame as a `host_rank` column (NULL = host unknown).
-    Explicit broadcast of the rank table: the host table is orders of
-    magnitude smaller than the pages scan, and the pages frame must not
-    shuffle for a lookup. Stream-safe (stream-static broadcast join)."""
+
+    broadcast=True (default) pins the rank table as the build side: the
+    pages frame must NEVER shuffle for a lookup, and a CommonCrawl-scale
+    host table (~10^8 hosts × ~40 B ≈ 4 GB) still fits the 8 GB broadcast
+    ceiling on production executors — but it DOES bypass
+    autoBroadcastJoinThreshold, so callers with a pathologically wide rank
+    table (extra columns, unaggregated host duplicates) should pass False
+    and pre-bucket both sides instead; a plain left join would otherwise
+    sort-merge-shuffle the 100 TB pages side. Stream-safe either way
+    (stream-static join)."""
     from data_quality_spark.ops.textops import host_of
 
     ranks = (
         df.sparkSession.read.parquet(cfg.host_rank_path)
         .select(F.col("host").alias("__hr_host"), F.col("rank").alias("host_rank"))
     )
+    if broadcast:
+        ranks = F.broadcast(ranks)
     return (
         df.withColumn("__hr_host", host_of(F.col("url")))
-        .join(F.broadcast(ranks), "__hr_host", "left")
+        .join(ranks, "__hr_host", "left")
         .drop("__hr_host")
     )
 
