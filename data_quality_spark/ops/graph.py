@@ -57,6 +57,10 @@ def edges_from_pages(
             F.col(src_host_col).alias("src"), F.col(dst_host_col).alias("dst")
         )
         .where(F.col("src").isNotNull() & F.col("dst").isNotNull())
+        # host_of returns '' (not NULL) for malformed/relative urls —
+        # a phantom '' node would receive rank and join every malformed
+        # url downstream, so empty hosts are dropped with the NULLs
+        .where((F.col("src") != "") & (F.col("dst") != ""))
         .where(F.col("src") != F.col("dst"))
         .distinct()
     )
@@ -116,6 +120,14 @@ def host_rank(
         .distinct()
     )
     n = nodes.count()  # one tiny job; the scalar parameterizes the plan
+    if n == 0:
+        # empty edge table (e.g. a snapshot with no absolute outlinks):
+        # empty rank frame, not a ZeroDivisionError on the driver
+        return nodes.select(
+            "host",
+            F.lit(0).cast("bigint").alias("rank_units"),
+            F.lit(0.0).alias("rank"),
+        )
     init = RANK_SCALE // n
     base = ((100 - damp_pct) * init) // 100
     deg = e.groupBy("src").agg(F.count(F.lit(1)).alias("__deg"))

@@ -90,16 +90,22 @@ def quality_score(text: Column) -> Column:
 
 def token_counts(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     """(id, n_ws_tokens, n_bpe_tokens): whitespace tokens and BPE-ish
-    pre-tokens (letter runs / digits / punctuation)."""
+    pre-tokens (letter runs / digits / punctuation). NULL text → NULL
+    counts (matching the SQL twin's NULL propagation) — NOT the legacy
+    size(NULL) = -1, which silently corrupts any downstream cumsum
+    (token budgets, shard packing) or aggregate."""
     text = F.col(text_col)
     return df.select(
         F.col(id_col),
-        F.size(_toks(text)).alias("n_ws_tokens"),
-        F.size(
-            F.filter(
-                F.regexp_extract_all(text, F.lit(BPE_TOKEN_RE), 0),
-                lambda x: x != "",
-            )
+        F.when(text.isNotNull(), F.size(_toks(text))).alias("n_ws_tokens"),
+        F.when(
+            text.isNotNull(),
+            F.size(
+                F.filter(
+                    F.regexp_extract_all(text, F.lit(BPE_TOKEN_RE), 0),
+                    lambda x: x != "",
+                )
+            ),
         ).alias("n_bpe_tokens"),
     )
 
@@ -159,12 +165,35 @@ def with_normalized(df: DataFrame, text_col: str, out_col: str = "text_norm"):
 
 def remove_repeated_lines(text: Column) -> Column:
     """Boilerplate suppression INSIDE a document: keep only the FIRST
-    occurrence of each line (web pages repeat nav/footer/cookie banners;
-    Gopher-style filters drop whole docs on repetition — this op rewrites
-    instead, the in-document sibling of corpus-level dedup). Pure codegen:
-    split → array_distinct (order-preserving, first occurrence) → join.
-    NULL text → NULL."""
-    return F.array_join(F.array_distinct(F.split(text, r"\n")), "\n")
+    occurrence of each NON-BLANK line (web pages repeat nav/footer/cookie
+    banners; Gopher-style filters drop whole docs on repetition — this op
+    rewrites instead, the in-document sibling of corpus-level dedup).
+    BLANK lines always survive: they are paragraph breaks, not content —
+    a plain array_distinct would collapse every break after the first and
+    merge paragraphs corpus-wide (the same contract as the boilerplate
+    op's blank-line rule). One split, one aggregate pass (the seen-set
+    accumulator lives inside the expression — the input array is never
+    re-evaluated per element); membership is O(distinct lines) per line,
+    doc-local. NULL text → NULL."""
+    lines = F.split(text, r"\n")
+    init = F.struct(
+        F.array().cast("array<string>").alias("seen"),
+        F.array().cast("array<string>").alias("out"),
+    )
+    step = lambda acc, x: F.struct(  # noqa: E731
+        F.when(x == "", acc["seen"])
+        .otherwise(F.array_union(acc["seen"], F.array(x)))
+        .alias("seen"),
+        F.when(
+            (x == "") | ~F.array_contains(acc["seen"], x),
+            F.concat(acc["out"], F.array(x)),
+        )
+        .otherwise(acc["out"])
+        .alias("out"),
+    )
+    return F.aggregate(
+        lines, init, step, lambda acc: F.array_join(acc["out"], "\n")
+    )
 
 
 # URL canonicalization patterns, applied strictly in order; each is a
@@ -1276,8 +1305,7 @@ def mix_rates(
                 F.least(F.col("__ratio"), F.lit(MIX_MAX_UPSAMPLE)), 6
             ).alias("rate"),
         )
-    if mode != "down":
-        raise ValueError(f"unknown mix mode: {mode}")
+    # mode validated at entry; only "down" reaches here
     mx = shares.groupBy().agg(F.max("__ratio").alias("__mx"))
     return (
         shares.crossJoin(F.broadcast(mx))
@@ -1394,10 +1422,20 @@ def url_blocklist_filter(
     out = df.withColumn("host", h)
     if isinstance(blocked_hosts, (list, tuple, set)):
         blocked = F.array(*[F.lit(b.lower()) for b in sorted(blocked_hosts)])
-        return out.where(~F.arrays_overlap(_host_suffixes(F.col("host"))
-                                           if include_subdomains
-                                           else F.array(F.col("host")),
-                                           blocked))
+        # coalesce: a NULL url yields NULL suffix keys → NULL overlap — the
+        # row must be KEPT (no host, no blocklist evidence), matching the
+        # DataFrame-blocklist branch where a NULL never joins
+        return out.where(
+            ~F.coalesce(
+                F.arrays_overlap(
+                    _host_suffixes(F.col("host"))
+                    if include_subdomains
+                    else F.array(F.col("host")),
+                    blocked,
+                ),
+                F.lit(False),
+            )
+        )
     bl = blocked_hosts.select(F.lower(F.col("host")).alias("__bh")).distinct()
     hit = (
         out.select(F.col(url_col).alias("__u"), F.explode(keys).alias("__bh"))

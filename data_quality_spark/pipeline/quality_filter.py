@@ -665,6 +665,18 @@ def run_pipeline(
     done: dict = {}
     if resume and os.path.exists(manifest_path):
         done = json.load(open(manifest_path))
+        # bucket membership IS pmod(url-hash, n_buckets): resuming under a
+        # different bucket count would re-admit already-processed urls into
+        # the new pending buckets (duplicates) and skip others — the same
+        # geometry-drift class the Bloom/PQ/NB sidecars pin. Old manifests
+        # (pre-pin) are stamped on their next successful run.
+        rec = done.get("_n_buckets")
+        if rec is not None and rec != n_buckets:
+            raise ValueError(
+                f"resume with n_buckets={n_buckets} but {manifest_path} "
+                f"records n_buckets={rec}; pass the recorded value or a "
+                "fresh out_dir (bucket membership is hash mod n_buckets)"
+            )
     pending = [b for b in range(n_buckets) if f"bucket={b}" not in done]
     # rows_kept counts THIS invocation's work only (skipped buckets keep
     # their counts in the manifest, not in stats)
@@ -693,6 +705,15 @@ def run_pipeline(
         )
         part = pages.filter(F.col("bucket").isin(pending))
         ann = annotate_pages(part, cfg)
+        # the kept write and the metrics write are two ACTIONS: without a
+        # persist each would re-run the whole annotate pipeline (extract
+        # regex + feature projection + the fused model Arrow UDFs + scrub)
+        # over the corpus — doubling the dominant model cost at scale.
+        # MEMORY_AND_DISK of the SLIM annotated frame (html/text already
+        # dropped) trades one local spill for the second full evaluation.
+        from pyspark import StorageLevel
+
+        ann = ann.persist(StorageLevel.MEMORY_AND_DISK)
         out_cols = ["url", "warc_ts", "lang", "lang_pred", "ppl",
                     "text_scrubbed", "fired_rules", "keep", "part_id",
                     "src_file", "bucket"]
@@ -741,6 +762,7 @@ def run_pipeline(
             )
         finally:
             spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev_mode)
+            ann.unpersist()
         # per-bucket kept counts from the written (columnar, slim) output.
         # An all-dropped run writes no bucket=* partitions at all — checked
         # explicitly so ONLY that case yields zero counts; any real read
@@ -765,7 +787,9 @@ def run_pipeline(
             done[f"bucket={b}"] = {"rows_kept": n_kept}
             stats["buckets_done"] += 1
             stats["rows_kept"] += n_kept
-        # manifest update = the resume checkpoint
+        # manifest update = the resume checkpoint (geometry stamped so a
+        # later resume cannot silently change bucket membership)
+        done["_n_buckets"] = n_buckets
         with open(manifest_path, "w") as f:
             json.dump(done, f)
         # fold this run's kept texts into the cross-run filter AFTER the
@@ -828,6 +852,16 @@ def main():  # pragma: no cover
     ap.add_argument("--drop-noindex", action="store_true",
                     help="drop pages carrying a robots noindex directive")
     a = ap.parse_args()
+    # a threshold without its enabling flag would parse, set the QFConfig
+    # field, and then silently gate NOTHING (the rule is added only when
+    # the stage path/list is present) — fail loudly instead
+    for thr, gate, gname in [("clf_threshold", a.clf_weights, "--clf-weights"),
+                             ("spam_threshold", a.spam_fragments,
+                              "--spam-fragments"),
+                             ("min_host_rank", a.host_ranks, "--host-ranks")]:
+        if getattr(a, thr) is not None and not gate:
+            ap.error(f"--{thr.replace('_', '-')} requires {gname} "
+                     "(without it the gate never fires)")
     cfg = DEFAULT_CONFIG
     overrides = {}
     if a.blocked_hosts:

@@ -2779,11 +2779,14 @@ def q_text_line_dedup(spark, sf_dir):
 
 
 def _sql_line_dedup() -> str:
+    # blank lines (paragraph breaks) always survive; non-blank lines keep
+    # their first occurrence only — mirror of remove_repeated_lines
     t2 = "text || chr(10) || 'FOOTER' || chr(10) || text || chr(10) || 'FOOTER'"
     return f"""
 SELECT doc_id,
        array_to_string(
-         list_filter(ls, (x, i) -> list_position(ls, x) = i), chr(10)
+         list_filter(ls, (x, i) -> x = '' OR list_position(ls, x) = i),
+         chr(10)
        ) AS text_dedup
 FROM (SELECT doc_id, string_split({t2}, chr(10)) AS ls
       FROM documents WHERE text IS NOT NULL)

@@ -198,11 +198,16 @@ def test_heuristic_langid(spark):
 
 
 def test_token_counts(spark):
-    df = spark.createDataFrame([(1, "ab 12, cd!")], "doc_id long, text string")
-    r = T.token_counts(df, "doc_id", "text").collect()[0]
+    df = spark.createDataFrame([(1, "ab 12, cd!"), (2, None)],
+                               "doc_id long, text string")
+    out = {r["doc_id"]: r for r in T.token_counts(df, "doc_id", "text").collect()}
+    r = out[1]
     assert r["n_ws_tokens"] == 3
     # ab | 1 | 2 | , | cd | !  = 6
     assert r["n_bpe_tokens"] == 6
+    # NULL text -> NULL counts (NOT size()'s legacy -1, which corrupts
+    # downstream cumsums/aggregates)
+    assert out[2]["n_ws_tokens"] is None and out[2]["n_bpe_tokens"] is None
 
 
 def test_top_tokens(spark):
@@ -1215,6 +1220,10 @@ def test_remove_repeated_lines(spark):
         (2, "only\nunique\nlines"),
         (3, ""),
         (4, None),
+        # paragraph breaks (blank lines) are STRUCTURE, not content: every
+        # one survives — a plain distinct would merge para2/para3
+        (5, "para1\n\npara2\n\npara3"),
+        (6, "a\n\na\n\nb"),
     ]
     df = spark.createDataFrame(rows, "i int, t string")
     got = {r["i"]: r["d"] for r in df.select(
@@ -1223,6 +1232,8 @@ def test_remove_repeated_lines(spark):
     assert got[2] == "only\nunique\nlines"
     assert got[3] == ""
     assert got[4] is None
+    assert got[5] == "para1\n\npara2\n\npara3"
+    assert got[6] == "a\n\n\nb"  # repeated 'a' dropped, both breaks kept
 
 
 def test_canonicalize_url(spark):
@@ -2371,3 +2382,34 @@ def test_q_dedup_para_minhash(spark):
     assert any(0.5 <= r["jaccard"] < 1.0 for r in out)  # ' zz' near-dups
     # unit ids encode (doc, paragraph): pairs never pair a unit with itself
     assert all(r["id_a"] < r["id_b"] for r in out)
+
+
+def test_url_blocklist_null_url_kept_both_branches(spark):
+    """A NULL url has no host and therefore no blocklist evidence: both
+    the literal-list branch (map-only overlap) and the DataFrame branch
+    (anti-join) must KEEP the row."""
+    df = spark.createDataFrame(
+        [(1, "https://bad.example/x"), (2, None), (3, "https://ok.example/y")],
+        "doc_id int, url string",
+    )
+    kept_list = {r["doc_id"] for r in
+                 T.url_blocklist_filter(df, "url", ["bad.example"]).collect()}
+    bl = spark.createDataFrame([("bad.example",)], "host string")
+    kept_df = {r["doc_id"] for r in
+               T.url_blocklist_filter(df, "url", bl).collect()}
+    assert kept_list == kept_df == {2, 3}
+
+
+def test_host_rank_empty_and_blank_hosts(spark):
+    from data_quality_spark.ops import graph as G
+
+    # '' hosts (host_of of malformed urls) never become graph nodes
+    df = spark.createDataFrame(
+        [("", "b.example"), ("a.example", ""), ("a.example", "b.example")],
+        "s string, d string",
+    )
+    got = {(r["src"], r["dst"]) for r in G.edges_from_pages(df, "s", "d").collect()}
+    assert got == {("a.example", "b.example")}
+    # empty edge table -> empty rank frame, not ZeroDivisionError
+    empty = spark.createDataFrame([], "src string, dst string")
+    assert G.host_rank(empty).collect() == []

@@ -470,7 +470,8 @@ def test_pipeline_resume_clears_stale_partition(spark, fixture_path, tmp_path):
     kept = spark.read.parquet(os.path.join(out, "kept", "bucket=*"))
     assert kept.count() == total  # stale files gone, nothing double-counted
     m2 = json.load(open(m_path))
-    assert sum(v["rows_kept"] for v in m2.values()) == total
+    assert sum(v["rows_kept"] for k, v in m2.items()
+               if k.startswith("bucket=")) == total
 
 
 def test_pipeline_all_dropped_run(spark, tmp_path):
@@ -495,7 +496,8 @@ def test_pipeline_all_dropped_run(spark, tmp_path):
     s = run_pipeline(spark, src, out, n_buckets=2)
     assert s["buckets_done"] == 2 and s["rows_kept"] == 0
     m = json.load(open(os.path.join(out, "_manifest.json")))
-    assert all(v["rows_kept"] == 0 for v in m.values())
+    assert all(v["rows_kept"] == 0 for k, v in m.items()
+               if k.startswith("bucket="))
 
 
 def test_metrics_by_partition(spark, fixture_path):
@@ -830,3 +832,16 @@ def test_meta_noindex_rule(spark):
     # default config: stage off, column absent
     base = annotate_pages(df, min_parallelism=-1)
     assert "noindex_found" not in base.columns
+
+
+def test_resume_pins_n_buckets(spark, fixture_path, tmp_path):
+    """Bucket membership is pmod(url-hash, n_buckets): resuming under a
+    different bucket count would silently duplicate/skip documents, so the
+    manifest records the geometry and a mismatched resume fails loudly."""
+    out = str(tmp_path / "qf_pin")
+    run_pipeline(spark, fixture_path, out, n_buckets=4)
+    with pytest.raises(ValueError, match="n_buckets"):
+        run_pipeline(spark, fixture_path, out, n_buckets=8)
+    # same geometry resumes fine (everything skipped)
+    s = run_pipeline(spark, fixture_path, out, n_buckets=4)
+    assert s["buckets_skipped"] == 4 and s["buckets_done"] == 0
