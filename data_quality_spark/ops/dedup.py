@@ -663,8 +663,6 @@ def _band_key(mh: Column, band: int, rows: int = LSH_ROWS) -> Column:
     two buckets, which only ADDS candidate pairs that exact verification
     rejects; the SQL oracles pack with the same md5 scheme, so buckets —
     and bucket-cap decisions — match bit-exact across engines."""
-    from data_quality_spark.ops.hashing import portable_hash64
-
     vals = [F.element_at(mh, band * rows + j + 1) for j in range(rows)]
     joined = F.concat_ws(
         "_", F.lit(str(band)), *[v.cast("string") for v in vals]
@@ -856,6 +854,11 @@ def drop_near_dups(
     ).unionByName(
         pairs.select(F.col("id_b").alias("src"), F.col("id_a").alias("dst"))
     )
+    # pin the tiny id-pair table: without this every iteration's join (and
+    # each eager checkpoint) re-executes the WHOLE upstream pairs pipeline
+    # — for LSH input that is signature UDF + banding + verify, paid 1+r
+    # times over r propagation rounds instead of once
+    edges = edges.persist()
     labels = (
         edges.select(F.col("src").alias("id"))
         .distinct()
@@ -913,6 +916,9 @@ def drop_near_dups(
         F.col("id").alias(id_col)
     )
     out = df.join(losers, on=id_col, how="left_anti")
+    # labels is checkpoint-backed (eager, every iteration), so the edge
+    # cache is no longer reachable from `out` — release it now
+    edges.unpersist()
     # the anti-join's loser set is materialized in `labels`; leave the
     # persist in place for the caller's action and let Spark evict it
     return out
@@ -1248,7 +1254,7 @@ def dup_span_stats(
     # than a `size(__ts) >= w` row filter: predicate pushdown would inline
     # the (interpreted-HOF) tokenize expression into the Filter condition
     # and every row would tokenize TWICE (NOTES.md CaseWhen/CSE lesson).
-    toks = F.filter(F.split(F.col(text_col), r"\s+"), lambda x: x != "")
+    toks = tokens_col(F.col(text_col))  # the ONE tokenize grammar
     base = df.where(F.col(text_col).isNotNull()).select(
         F.col(id_col).alias("id"), toks.alias("__ts")
     )
@@ -1458,7 +1464,7 @@ def remove_dup_token_spans(
     Lee et al. 2022 ExactSubstr rewrite re-expressed for Spark (windows +
     first-occurrence keeper instead of a global suffix array).
     """
-    toks = F.filter(F.split(F.col(text_col), r"\s+"), lambda x: x != "")
+    toks = tokens_col(F.col(text_col))  # the ONE tokenize grammar
     base = df.where(F.col(text_col).isNotNull()).select(
         F.col(id_col).alias("id"), toks.alias("__ts")
     )

@@ -373,6 +373,18 @@ def annotate_pages(
         .select("url", F.lit(True).alias("__aux_dup_url"))
     )
     df = df.join(dup_keys, on="url", how="left")
+    return annotate_rowwise(df, cfg, quality_rules(cfg, pii_col="pii_found"))
+
+
+def annotate_rowwise(df: DataFrame, cfg: QFConfig, rules) -> DataFrame:
+    """The per-row stage chain SHARED by batch (annotate_pages) and
+    streaming (annotate_stream) — ONE definition, so a stage added here
+    reaches both planes and batch/stream keep-drop parity is structural
+    rather than a parallel-edit discipline. Everything in the chain is
+    per-row / stream-safe (the host-rank join is stream-static); the
+    cross-row pieces (dup-url keys, repartition, src_file capture) remain
+    caller concerns, as does the rule list (streaming drops the
+    cross-row duplicate_url rule)."""
     if cfg.host_rank_path:
         df = with_host_rank(df, cfg)
     # staged extraction: ONE full-document regex per row (extract.py perf
@@ -405,15 +417,14 @@ def annotate_pages(
         "pii_found",
         F.coalesce(scrub.native_pii_found(F.col("text_extracted")), F.lit(False)),
     )
-    eng = RuleEngine(quality_rules(cfg, pii_col="pii_found"))
+    eng = RuleEngine(rules)
     df = eng.annotate(df)
     df = df.withColumn(
         "text_scrubbed",
         scrub.native_scrub(F.col("text_extracted"), found=F.col("pii_found")),
     )
     # lineage (north_rule: per-partition lineage + metrics)
-    df = df.withColumn("part_id", F.spark_partition_id())
-    return df
+    return df.withColumn("part_id", F.spark_partition_id())
 
 
 def metrics_by_partition(

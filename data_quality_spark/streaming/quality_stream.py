@@ -31,15 +31,12 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from data_quality_spark.functions import models, scrub, textstats
-from data_quality_spark.pipeline import extract
 from data_quality_spark.pipeline.quality_filter import (
     DEFAULT_CONFIG,
     QFConfig,
+    annotate_rowwise,
     quality_rules,
-    with_model_scores,
 )
-from data_quality_spark.rules.core import RuleEngine
 
 PAGES_SCHEMA = (
     "url string, warc_ts timestamp, html binary, text string, lang string"
@@ -58,44 +55,13 @@ def streaming_rules(cfg: QFConfig = DEFAULT_CONFIG):
 
 
 def annotate_stream(df: DataFrame, cfg: QFConfig = DEFAULT_CONFIG) -> DataFrame:
-    """Per-row annotation, streaming-safe (no shuffles, no state): identical
-    expressions to the batch ``annotate_pages`` for every shared stage."""
+    """Per-row annotation, streaming-safe (no shuffles, no state): the
+    SAME ``annotate_rowwise`` chain the batch plane runs (one definition —
+    parity is structural, not a parallel-edit discipline), minus the
+    cross-row pieces (dup-url keys, repartition) and with the streaming
+    rule set (no duplicate_url)."""
     df = df.withColumn("src_file", F.input_file_name())
-    if cfg.host_rank_path:
-        # stream-static broadcast join: the rank artifact is snapshotted
-        # at stream start (restart to pick up a refreshed crawl rank)
-        from data_quality_spark.pipeline.quality_filter import with_host_rank
-
-        df = with_host_rank(df, cfg)
-    df = extract.with_extracted(df, "html", "text_extracted", "text")
-    if cfg.drop_noindex:
-        df = df.withColumn(
-            "noindex_found", extract.native_noindex(F.col("html"))
-        )
-    df = df.drop("html")
-    if not cfg.keep_source_text:
-        df = df.drop("text")
-    df = textstats.with_features(df, "text_extracted")
-    # shared fused model stage (incl. the optional in-row classifier, which
-    # is per-row/stateless and therefore streams unchanged)
-    df = with_model_scores(df, cfg)
-    df = df.withColumn(
-        "ppl_bucket",
-        F.when(F.col("ppl") <= cfg.ppl_head, "head")
-        .when(F.col("ppl") <= cfg.ppl_tail, "middle")
-        .otherwise("tail"),
-    )
-    df = df.withColumn(
-        "pii_found",
-        F.coalesce(scrub.native_pii_found(F.col("text_extracted")), F.lit(False)),
-    )
-    eng = RuleEngine(streaming_rules(cfg))
-    df = eng.annotate(df)
-    df = df.withColumn(
-        "text_scrubbed",
-        scrub.native_scrub(F.col("text_extracted"), found=F.col("pii_found")),
-    )
-    return df.withColumn("part_id", F.spark_partition_id())
+    return annotate_rowwise(df, cfg, streaming_rules(cfg))
 
 
 def stream_quality_filter(
@@ -124,12 +90,20 @@ def stream_quality_filter(
     dup suppression without waiting for the nightly batch (which remains
     the source of truth for exact global dedup — the lambda split).
 
-    ``bloom``: a persisted kept-text Bloom filter (path or [word_idx, bits]
-    DataFrame — run_pipeline's bloom_index artifact): rows whose scrubbed
-    text is maybe-seen are suppressed by a STATELESS map-only probe of the
-    broadcast bitmap (no streaming state at all — the complement of
-    dedup_within's url-keyed state). The bitmap is snapshotted at stream
-    start; restart the query to pick up the batch layer's newer filter."""
+    ``bloom``: a persisted kept-text Bloom filter. Pass the PATH of
+    run_pipeline's bloom_index artifact (its ``_bloom_meta.json`` sidecar
+    supplies the geometry — local paths only, same ``_require_local``
+    contract as run_pipeline: a remote URI would silently resolve to the
+    default m and turn dedup off). A raw [word_idx, bits] DataFrame is the
+    advanced form: its geometry CANNOT be inferred, so ``bloom_m`` must
+    match the build (defaults to ``ops.dedup.BLOOM_M`` — bloom_build's
+    default, NOT the pipeline artifact's) — an oversized build fails
+    loudly in the bitmap collect, an undersized one cannot be detected.
+    Rows whose scrubbed text is maybe-seen are suppressed by a STATELESS
+    map-only probe of the broadcast bitmap (no streaming state at all —
+    the complement of dedup_within's url-keyed state). The bitmap is
+    snapshotted at stream start; restart the query to pick up the batch
+    layer's newer filter."""
     src = (
         spark.readStream.schema(PAGES_SCHEMA)
         .option("maxFilesPerTrigger", max_files_per_trigger)
@@ -144,11 +118,18 @@ def stream_quality_filter(
         from data_quality_spark.ops import dedup as D
 
         if isinstance(bloom, str):
-            # a pipeline artifact carries its (m, k); reuse/validate it
+            # a pipeline artifact carries its (m, k); reuse/validate it.
+            # _require_local FIRST: _resolve_bloom_m's sidecar probe is
+            # driver-local, so a remote URI would silently fall through to
+            # the default m and probe the bitmap mod the wrong size —
+            # dedup off with no error (the exact failure run_pipeline
+            # guards against at its own entry)
             from data_quality_spark.pipeline.quality_filter import (
+                _require_local,
                 _resolve_bloom_m,
             )
 
+            bloom = _require_local(bloom, "bloom")
             bdf = spark.read.parquet(bloom)
             bm = _resolve_bloom_m(bloom, bloom_m, D.BLOOM_K)
         else:
