@@ -67,13 +67,18 @@ def edges_from_pages(
 
 
 def host_edges_from_pages_html(
-    df: DataFrame, url_col: str = "url", html_col: str = "html"
+    df: DataFrame,
+    url_col: str = "url",
+    html_col: str = "html",
+    weighted: bool = False,
 ) -> DataFrame:
     """(src, dst) host edges straight from a raw pages table: outlink
     extraction (extract.with_links — one codegen regexp_extract_all) →
-    host of each target → distinct host pairs. The html payload is read
-    once in the scan projection and never shuffles; the exchange carries
-    host strings only."""
+    host of each target → distinct host pairs (weighted=True instead
+    returns (src, dst, w) with w = page-level link count per host pair,
+    the input shape for host_rank(weight_col='w')). The html payload is
+    read once in the scan projection and never shuffles; the exchange
+    carries host strings only."""
     from data_quality_spark.ops.textops import host_of
     from data_quality_spark.pipeline.extract import with_links
 
@@ -86,7 +91,19 @@ def host_edges_from_pages_html(
         host_of(F.col(url_col)).alias("src_host"),
         host_of(F.col("__dst_url")).alias("dst_host"),
     )
-    return edges_from_pages(pairs, "src_host", "dst_host")
+    if not weighted:
+        return edges_from_pages(pairs, "src_host", "dst_host")
+    return (
+        pairs.where(
+            pairs["src_host"].isNotNull() & pairs["dst_host"].isNotNull()
+        )
+        .where((F.col("src_host") != "") & (F.col("dst_host") != ""))
+        .where(F.col("src_host") != F.col("dst_host"))
+        .groupBy(
+            F.col("src_host").alias("src"), F.col("dst_host").alias("dst")
+        )
+        .agg(F.count(F.lit(1)).alias("w"))
+    )
 
 
 def host_rank(
@@ -95,25 +112,51 @@ def host_rank(
     dst_col: str = "dst",
     iters: int = RANK_ITERS,
     damp_pct: int = RANK_DAMP_PCT,
+    weight_col: str | None = None,
+    teleport=None,
 ) -> DataFrame:
     """Damped PageRank over a host edge table, exact-integer arithmetic.
 
     Per iteration (all in RANK_SCALE micro-units, `div` = integer floor
     division on non-negative bigints — identical in Spark and DuckDB):
 
-        contrib(e)   = rank(src(e)) div out_degree(src(e))
-        new_rank(h)  = base + (damp_pct * Σ contrib(in-edges)) div 100
-        base         = ((100 - damp_pct) * (RANK_SCALE div n)) div 100
+        contrib(e)   = (rank(src) * w(e)) div W(src),  W = Σ out-weights
+        new_rank(h)  = base(h) + (damp_pct * Σ contrib(in-edges)) div 100
+
+    Uniform mode (teleport=None): base(h) = ((100-damp_pct) *
+    (RANK_SCALE div n)) div 100 for every node, init = RANK_SCALE div n.
+
+    weight_col: integer edge weights (e.g. page-level link counts from
+    host_edges_from_pages_html(weighted=True)) — duplicate (src, dst)
+    rows sum; unweighted edges are w = 1. Weights must stay ≤ ~10^6 so
+    rank × w fits bigint (rank ≤ RANK_SCALE = 10^12).
+
+    teleport: iterable of TRUSTED seed hosts → TrustRank (Gyöngyi 2004),
+    the classic host-spam damper: rank mass enters ONLY through the seeds
+    (init and base are RANK_SCALE div n_seeds on seeds, 0 elsewhere), so
+    hosts earn rank solely by link-distance from trust. Raises if no seed
+    appears in the graph (an all-zero result would silently gate
+    everything downstream).
 
     Returns (host, rank_units bigint, rank double = units / RANK_SCALE).
     The node set is the union of sources and destinations; dangling-host
     mass leaks (module docstring). Every join key is a host id — rank
-    state is one bigint per host, edges are two ids; nothing wide ever
-    shuffles, and each iteration is one shuffle on dst (the src-side
+    state is one bigint per host, edges are (src, dst, w); nothing wide
+    ever shuffles, and each iteration is one shuffle on dst (the src-side
     degree/rank join broadcasts when the host table fits, else
     shuffle-joins on src)."""
     src, dst = F.col(src_col), F.col(dst_col)
-    e = edges.select(src.alias("src"), dst.alias("dst")).distinct()
+    if weight_col is not None:
+        e = edges.select(
+            src.alias("src"), dst.alias("dst"),
+            F.col(weight_col).cast("bigint").alias("__w"),
+        ).groupBy("src", "dst").agg(F.sum("__w").alias("__w"))
+    else:
+        e = (
+            edges.select(src.alias("src"), dst.alias("dst"))
+            .distinct()
+            .withColumn("__w", F.lit(1).cast("bigint"))
+        )
     nodes = (
         e.select(F.col("src").alias("host"))
         .unionByName(e.select(F.col("dst").alias("host")))
@@ -128,24 +171,40 @@ def host_rank(
             F.lit(0).cast("bigint").alias("rank_units"),
             F.lit(0.0).alias("rank"),
         )
-    init = RANK_SCALE // n
-    base = ((100 - damp_pct) * init) // 100
-    deg = e.groupBy("src").agg(F.count(F.lit(1)).alias("__deg"))
-    rank = nodes.select("host", F.lit(init).cast("bigint").alias("__r"))
+    if teleport is not None:
+        seeds = sorted({str(t) for t in teleport})
+        n_seed = nodes.where(F.col("host").isin(seeds)).count()
+        if n_seed == 0:
+            raise ValueError(
+                "host_rank(teleport=...): no seed host appears in the "
+                f"graph (seeds: {seeds[:5]}{'...' if len(seeds) > 5 else ''})"
+            )
+        init_val = RANK_SCALE // n_seed
+        base_val = ((100 - damp_pct) * init_val) // 100
+        is_seed = F.col("host").isin(seeds)
+        init_col = F.when(is_seed, F.lit(init_val)).otherwise(F.lit(0))
+        base_col = F.when(is_seed, F.lit(base_val)).otherwise(F.lit(0))
+    else:
+        init = RANK_SCALE // n
+        base = ((100 - damp_pct) * init) // 100
+        init_col = F.lit(init)
+        base_col = F.lit(base)
+    deg = e.groupBy("src").agg(F.sum("__w").alias("__deg"))
+    rank = nodes.select("host", init_col.cast("bigint").alias("__r"))
     for _ in range(iters):
         contrib = (
             e.join(rank.withColumnRenamed("host", "src"), "src")
             .join(deg, "src")
             .select(
                 F.col("dst").alias("host"),
-                F.expr("__r div __deg").alias("__c"),
+                F.expr("(__r * __w) div __deg").alias("__c"),
             )
         )
         inflow = contrib.groupBy("host").agg(F.sum("__c").alias("__in"))
         rank = nodes.join(inflow, "host", "left").select(
             "host",
             (
-                F.lit(base)
+                base_col
                 + F.expr(
                     f"({damp_pct} * coalesce(__in, 0L)) div 100"
                 )
@@ -162,26 +221,67 @@ def sql_host_rank(
     edges_sql: str,
     iters: int = RANK_ITERS,
     damp_pct: int = RANK_DAMP_PCT,
+    weighted: bool = False,
+    teleport=None,
 ) -> str:
     """DuckDB twin of host_rank: the power iteration unrolled as chained
     CTEs over the SAME integer micro-unit arithmetic (`//` = `div`).
-    edges_sql must yield (src, dst) with the same rows as the Spark side."""
+    edges_sql must yield (src, dst) — or (src, dst, w) with weighted=True
+    — with the same rows as the Spark side; teleport renders the seed
+    CASE expressions."""
+    if weighted:
+        e_cte = (
+            "e AS (SELECT src, dst, sum(w)::BIGINT AS w"
+            f" FROM ({edges_sql}) GROUP BY 1, 2)"
+        )
+    else:
+        e_cte = (
+            "e AS (SELECT src, dst, 1::BIGINT AS w"
+            f" FROM (SELECT DISTINCT src, dst FROM ({edges_sql})))"
+        )
     ctes = [
-        f"e AS (SELECT DISTINCT src, dst FROM ({edges_sql}))",
+        e_cte,
         "nodes AS (SELECT src AS host FROM e UNION SELECT dst FROM e)",
-        "params AS (SELECT count(*) AS n FROM nodes)",
-        f"init AS (SELECT {RANK_SCALE} // n AS r0,"
-        f" ((100 - {damp_pct}) * ({RANK_SCALE} // n)) // 100 AS base"
-        " FROM params)",
-        "deg AS (SELECT src, count(*) AS d FROM e GROUP BY 1)",
-        "r0 AS (SELECT host, (SELECT r0 FROM init) AS r FROM nodes)",
+    ]
+    if teleport is not None:
+        seeds = ", ".join(
+            "'" + str(t).replace("'", "''") + "'"
+            for t in sorted({str(t) for t in teleport})
+        )
+        ctes += [
+            "params AS (SELECT count(*) AS ns FROM nodes"
+            f" WHERE host IN ({seeds}))",
+            f"init AS (SELECT {RANK_SCALE} // ns AS r0,"
+            f" ((100 - {damp_pct}) * ({RANK_SCALE} // ns)) // 100 AS base"
+            " FROM params)",
+        ]
+        init_expr = (
+            f"CASE WHEN host IN ({seeds})"
+            " THEN (SELECT r0 FROM init) ELSE 0 END"
+        )
+        base_expr = (
+            f"CASE WHEN n.host IN ({seeds})"
+            " THEN (SELECT base FROM init) ELSE 0 END"
+        )
+    else:
+        ctes += [
+            "params AS (SELECT count(*) AS n FROM nodes)",
+            f"init AS (SELECT {RANK_SCALE} // n AS r0,"
+            f" ((100 - {damp_pct}) * ({RANK_SCALE} // n)) // 100 AS base"
+            " FROM params)",
+        ]
+        init_expr = "(SELECT r0 FROM init)"
+        base_expr = "(SELECT base FROM init)"
+    ctes += [
+        "deg AS (SELECT src, sum(w)::BIGINT AS d FROM e GROUP BY 1)",
+        f"r0 AS (SELECT host, ({init_expr})::BIGINT AS r FROM nodes)",
     ]
     for i in range(iters):
         ctes.append(
-            f"r{i + 1} AS (SELECT n.host, (SELECT base FROM init)"
+            f"r{i + 1} AS (SELECT n.host, {base_expr}"
             f" + ({damp_pct} * coalesce(f.s, 0)) // 100 AS r"
             " FROM nodes n LEFT JOIN ("
-            "   SELECT e.dst AS host, sum(r.r // deg.d)::BIGINT AS s"
+            "   SELECT e.dst AS host, sum((r.r * e.w) // deg.d)::BIGINT AS s"
             f"  FROM e JOIN r{i} r ON r.host = e.src"
             "   JOIN deg ON deg.src = e.src GROUP BY 1"
             " ) f ON f.host = n.host)"

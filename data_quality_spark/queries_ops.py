@@ -1935,6 +1935,87 @@ def _sql_graph_host_rank() -> str:
     return G.sql_host_rank(edges)
 
 
+def q_graph_host_rank_wt(spark, sf_dir):
+    """WEIGHTED host rank: the same synthetic graph but each doc's j-th
+    outlink carries weight j (1..3, summed per host pair) — NON-uniform
+    per-src weights, so rank genuinely flows proportionally to link
+    weight (a uniform-weight fixture would floor-divide to the exact
+    unweighted result). The (src, dst, w) shape is what
+    host_edges_from_pages_html(weighted=True) produces. Same exact
+    integer micro-unit arithmetic (rank × w fits bigint)."""
+    edges = (
+        _synthetic_host_edges_raw(spark, sf_dir)
+        .groupBy("src", "dst")
+        .agg(F.sum("w_unit").alias("w"))
+    )
+    return G.host_rank(edges, weight_col="w")
+
+
+def _synthetic_host_edges_raw(spark, sf_dir):
+    """Pre-aggregation (src, dst, w_unit) rows — one per (doc, outlink),
+    the j-th outlink weighted j; the unweighted query's edges_from_pages
+    collapses the same pairs to distinct."""
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+    host = lambda e: F.concat(  # noqa: E731
+        F.lit("h"), e.cast("string"), F.lit(".example")
+    )
+    pair = lambda j: F.struct(  # noqa: E731
+        host((F.col("doc_id") * 7 + F.lit(j)) % HOST_RANK_N_HOSTS).alias("d"),
+        F.lit(j).cast("bigint").alias("w"),
+    )
+    return (
+        docs.select(
+            host(F.col("doc_id") % HOST_RANK_N_HOSTS).alias("src"),
+            F.explode(
+                F.array(*[pair(j) for j in range(1, HOST_RANK_FANOUT + 1)])
+            ).alias("dw"),
+        )
+        .select("src", F.col("dw.d").alias("dst"), F.col("dw.w").alias("w_unit"))
+        .where(F.col("src") != F.col("dst"))
+    )
+
+
+TRUST_SEEDS = ("h0.example", "h1.example", "h2.example")
+
+
+def q_graph_trust_rank(spark, sf_dir):
+    """TrustRank (Gyöngyi 2004) over the synthetic host graph: rank mass
+    enters ONLY through the trusted seed hosts (teleport vector), so every
+    host's score is its link-distance-discounted reachability from trust —
+    the classic spam-demotion variant of the crawl-rank prior. Exact
+    integer arithmetic; bit-exact vs the unrolled-CTE oracle."""
+    return G.host_rank(
+        _synthetic_host_edges(spark, sf_dir), teleport=TRUST_SEEDS
+    )
+
+
+def _sql_graph_rank_edges() -> str:
+    h = HOST_RANK_N_HOSTS
+    return f"""
+  SELECT 'h' || (doc_id % {h}) || '.example' AS src,
+         'h' || ((doc_id * 7 + j) % {h}) || '.example' AS dst
+  FROM documents, unnest([1, 2, 3]) AS t(j)
+  WHERE (doc_id % {h}) <> ((doc_id * 7 + j) % {h})
+"""
+
+
+def _sql_graph_host_rank_wt() -> str:
+    h = HOST_RANK_N_HOSTS
+    edges = f"""
+  SELECT src, dst, sum(j)::BIGINT AS w FROM (
+    SELECT 'h' || (doc_id % {h}) || '.example' AS src,
+           'h' || ((doc_id * 7 + j) % {h}) || '.example' AS dst, j
+    FROM documents, unnest([1, 2, 3]) AS t(j)
+    WHERE (doc_id % {h}) <> ((doc_id * 7 + j) % {h})
+  ) GROUP BY 1, 2
+"""
+    return G.sql_host_rank(edges, weighted=True)
+
+
+def _sql_graph_trust_rank() -> str:
+    return G.sql_host_rank(_sql_graph_rank_edges(), teleport=TRUST_SEEDS)
+
+
 # ---------------------------------------------------------------------------
 # text 0a — PII audit counts (scrub stage's reporting twin)
 # ---------------------------------------------------------------------------
@@ -3470,6 +3551,8 @@ OPS_QUERIES = {
     "dedup_semantic_drop": q_dedup_semantic_drop,
     "text_url_blocklist": q_text_url_blocklist,
     "graph_host_rank": q_graph_host_rank,
+    "graph_host_rank_wt": q_graph_host_rank_wt,
+    "graph_trust_rank": q_graph_trust_rank,
     "text_crawl_latest": q_text_crawl_latest,
     "text_url_spam": q_text_url_spam,
     "text_fertility": q_text_fertility,
@@ -3550,6 +3633,8 @@ OPS_ORACLES = {
     "dedup_semantic_drop": _sql_dedup_semantic_drop(),
     "text_url_blocklist": _sql_text_url_blocklist(),
     "graph_host_rank": _sql_graph_host_rank(),
+    "graph_host_rank_wt": _sql_graph_host_rank_wt(),
+    "graph_trust_rank": _sql_graph_trust_rank(),
     "text_crawl_latest": _sql_text_crawl_latest(),
     "text_url_spam": _sql_text_url_spam(),
     "text_fertility": _sql_text_fertility(),

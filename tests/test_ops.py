@@ -2413,3 +2413,74 @@ def test_host_rank_empty_and_blank_hosts(spark):
     # empty edge table -> empty rank frame, not ZeroDivisionError
     empty = spark.createDataFrame([], "src string, dst string")
     assert G.host_rank(empty).collect() == []
+
+
+def test_host_rank_weighted_star(spark):
+    """Weighted star: two leaves point at two hubs with weights 3:1 — the
+    heavy-edge hub must out-rank the light one, values matching an exact
+    python rendering of the weighted integer recurrence."""
+    from data_quality_spark.ops import graph as G
+
+    edges = spark.createDataFrame(
+        [("l0.example", "heavy.example", 3), ("l0.example", "light.example", 1),
+         ("l1.example", "heavy.example", 3), ("l1.example", "light.example", 1)],
+        "src string, dst string, w long",
+    )
+    got = {r["host"]: r["rank_units"]
+           for r in G.host_rank(edges, weight_col="w").collect()}
+    hosts = ["l0.example", "l1.example", "heavy.example", "light.example"]
+    n = 4
+    init = G.RANK_SCALE // n
+    base = ((100 - G.RANK_DAMP_PCT) * init) // 100
+    rank = {h: init for h in hosts}
+    for _ in range(G.RANK_ITERS):
+        inflow = {h: 0 for h in hosts}
+        for leaf in ["l0.example", "l1.example"]:
+            inflow["heavy.example"] += (rank[leaf] * 3) // 4
+            inflow["light.example"] += (rank[leaf] * 1) // 4
+        rank = {h: base + (G.RANK_DAMP_PCT * inflow[h]) // 100 for h in hosts}
+    assert got == rank
+    assert got["heavy.example"] > got["light.example"]
+
+
+def test_host_rank_teleport_trustrank(spark):
+    """TrustRank: rank mass enters only through the seed — a host linked
+    from the seed earns rank, a disconnected spam cluster gets ZERO."""
+    from data_quality_spark.ops import graph as G
+
+    edges = spark.createDataFrame(
+        [("seed.example", "good.example"),
+         ("good.example", "seed.example"),
+         ("spam1.example", "spam2.example"),
+         ("spam2.example", "spam1.example")],
+        "src string, dst string",
+    )
+    got = {r["host"]: r["rank_units"]
+           for r in G.host_rank(edges, teleport=["seed.example"]).collect()}
+    assert got["seed.example"] > 0 and got["good.example"] > 0
+    assert got["spam1.example"] == 0 and got["spam2.example"] == 0
+    # no seed in the graph -> loud error, not an all-zero silent gate
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="no seed host"):
+        G.host_rank(edges, teleport=["absent.example"])
+
+
+def test_host_edges_weighted(spark):
+    from data_quality_spark.ops import graph as G
+
+    mk = lambda *links: (  # noqa: E731
+        "<main><p>"
+        + " ".join(f'<a href="{u}">x</a>' for u in links)
+        + "</p></main>"
+    ).encode()
+    df = spark.createDataFrame(
+        [("https://a.example/1", mk("https://b.example/p",
+                                    "https://b.example/q")),
+         ("https://a.example/2", mk("https://b.example/r",
+                                    "https://c.example/s"))],
+        "url string, html binary",
+    )
+    got = {(r["src"], r["dst"]): r["w"] for r in
+           G.host_edges_from_pages_html(df, weighted=True).collect()}
+    assert got == {("a.example", "b.example"): 3, ("a.example", "c.example"): 1}
