@@ -80,6 +80,7 @@ HEADLINE = [
     "text_url_spam",          # soft URL spam scoring (map-only codegen)
     "text_fertility",         # per-lang tokenizer fertility (one scan)
     "graph_host_rank",        # integer micro-unit PageRank (5 iterations)
+    "graph_trust_rank",       # TrustRank teleport variant
     "text_crawl_latest",      # cross-snapshot struct-max keeper
 ]
 
