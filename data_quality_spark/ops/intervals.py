@@ -202,12 +202,24 @@ def compute_overlap_state(
 
 
 def _encode_state_value(v):
-    if hasattr(v, "isoformat"):  # datetime / date / pd.Timestamp
+    import datetime as _dt
+
+    # DateType columns arrive from Arrow as datetime.date — tag them
+    # distinctly: decoding a date as pd.Timestamp used to make the patch
+    # pass compare Timestamp vs date and raise TypeError in every task on
+    # persisted-state reuse (fresh-state runs were unaffected)
+    if isinstance(v, _dt.date) and not isinstance(v, _dt.datetime):
+        return {"__d__": v.isoformat()}
+    if hasattr(v, "isoformat"):  # datetime / pd.Timestamp
         return {"__dt__": v.isoformat()}
     return v
 
 
 def _decode_state_value(v):
+    import datetime as _dt
+
+    if isinstance(v, dict) and "__d__" in v:
+        return _dt.date.fromisoformat(v["__d__"])
     if isinstance(v, dict) and "__dt__" in v:
         return pd.Timestamp(v["__dt__"])
     return v

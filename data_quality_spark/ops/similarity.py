@@ -129,6 +129,13 @@ def _pair_dot_udf():
             if u is None or v is None:
                 vals.append(None)
                 continue
+            if len(u) != len(v):
+                # mirror the native zip_with path: the shorter side pads
+                # with NULL → dot NULL → pair filtered; a silent zip()
+                # truncation here would emit a number the native strategy
+                # rejects, diverging the two pair sets on ragged input
+                vals.append(None)
+                continue
             acc = 0.0
             for x, y in zip(u, v):
                 acc += float(x) * float(y)
@@ -345,7 +352,6 @@ def ivf_topk(
     call pay a full centroid scan — fine for one-offs, wrong for a query
     service. See train_kmeans_cells/ivf_topk_trained for the trained
     variant (same persistence via save_centroids)."""
-    import math
     import os
 
     if centroids is not None:
@@ -354,18 +360,24 @@ def ivf_topk(
         cents = load_centroids(centroids_path)
     else:
         cents = label_centroids(df, vec_col, cell_col, dim).collect()
+        # an all-NULL-vector cell averages to NULL components: it carries
+        # no quantizer direction — skip it (its rows are simply never
+        # probed) instead of crashing the ranking fold / save float()
+        cents = [
+            r for r in cents
+            if r["centroid"] is not None
+            and all(c is not None for c in r["centroid"])
+        ]
         if centroids_path is not None:
             save_centroids(centroids_path, cents)
     q = query_vec
-
-    def cos(c: list[float]) -> float:
-        d = sum(a * b for a, b in zip(c, q))
-        na = math.sqrt(sum(a * a for a in c))
-        nb = math.sqrt(sum(b * b for b in q))
-        return d / (na * nb) if na > 0 and nb > 0 else 0.0
-
-    ranked = sorted(cents, key=lambda r: (-cos(list(r["centroid"])), r["cell"]))
-    probe = [r["cell"] for r in ranked[:n_probe]]
+    # THE shared cell-ranking contract (_rank_probe_cells: dim-ordered
+    # fold, 6dp HALF_UP cosine, lowest-cell tie) — a raw-cosine local sort
+    # here could pick a different probe set than the trained variants and
+    # the SQL oracle whenever two cells round to the same 6dp cosine
+    rows = sorted(cents, key=lambda r: r["cell"])
+    idx = _rank_probe_cells([list(r["centroid"]) for r in rows], q, n_probe)
+    probe = [rows[i]["cell"] for i in idx]
     cand = df.where(F.col(cell_col).isin(probe))
     return topk_cosine(cand, id_col, vec_col, q, k)
 

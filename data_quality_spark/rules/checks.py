@@ -26,6 +26,7 @@ from pyspark.sql.types import (
     IntegerType,
     LongType,
     ShortType,
+    StringType,
 )
 
 from data_quality_spark.rules.core import Rule, conjoin, is_empty, not_empty
@@ -98,16 +99,23 @@ def norm_key(c: Column | str, dtype=None) -> Column:
     if dtype is not None and isinstance(dtype, _PLAIN_KEY_TYPES):
         return col.cast("string")
     s = col.cast("string")
-    dec = col.cast("decimal(38,18)")
-    s = F.when(
-        # strictly a scientific-notation NUMBER (never e.g. a string key
-        # that merely contains the letter e), and only when the decimal
-        # representation is exact (no overflow-NULL, no tiny-value collapse)
-        s.rlike(r"^-?[0-9]+(\.[0-9]+)?[eE][+-]?[0-9]+$")
-        & dec.isNotNull()
-        & (dec.cast("double") == col.cast("double")),
-        dec.cast("string"),
-    ).otherwise(s)
+    if dtype is not None and isinstance(dtype, StringType):
+        # reference parity: pandas str() never re-renders a STRING that
+        # merely looks like scientific notation ('1e5' stays '1e5', so it
+        # must NOT match a numeric 100000 key); only the trailing-zero
+        # stripping applies to string keys
+        pass
+    else:
+        dec = col.cast("decimal(38,18)")
+        s = F.when(
+            # strictly a scientific-notation NUMBER rendering, and only
+            # when the decimal representation is exact (no overflow-NULL,
+            # no tiny-value collapse)
+            s.rlike(r"^-?[0-9]+(\.[0-9]+)?[eE][+-]?[0-9]+$")
+            & dec.isNotNull()
+            & (dec.cast("double") == col.cast("double")),
+            dec.cast("string"),
+        ).otherwise(s)
     s = F.regexp_replace(s, r"\.([0-9]*[1-9])0+$", ".$1")
     return F.regexp_replace(s, r"\.0+$", "")
 
@@ -418,7 +426,14 @@ def match_dimension(
     strategy='isin': collect the dim's distinct composite keys and inline a
     literal NOT-IN — the reference's tiny-dim plan (its SQL fact × pandas
     dim combo builds exactly this list, match_dimension_table.py:68-89).
-    Join-free: use when the dim is a handful of values."""
+    Join-free: use when the dim is a handful of values.
+
+    broadcast_dim=True forces the dim as the hash-join build side —
+    correct for the reference's lookup-table dims and for any dim that
+    fits executor memory, and it guarantees the 100 TB fact side never
+    shuffles. It BYPASSES autoBroadcastJoinThreshold: for a genuinely
+    large dim (multi-GB after key projection) pass False and let AQE pick
+    hash vs sort-merge from measured sizes."""
     fk_cols = [fk_cols] if isinstance(fk_cols, str) else list(fk_cols)
     pk_cols = fk_cols if pk_cols is None else (
         [pk_cols] if isinstance(pk_cols, str) else list(pk_cols)
@@ -452,7 +467,10 @@ def match_dimension(
             prepare=prepare_isin,
             **kw,
         )
-    marker = f"__dim_hit_{rule_id}"
+    # __aux_ prefix: RuleEngine.flags/annotate drop internal columns
+    # by that convention — the old __dim_hit_ name leaked into the
+    # public annotated frame
+    marker = f"__aux_dim_hit_{rule_id}"
     keycol = f"__dim_key_{rule_id}"
 
     def prepare(df: DataFrame) -> DataFrame:
@@ -506,6 +524,7 @@ def _order_vs_dimension(
     cast_fn,
     rule_id: str,
     description: str,
+    cast_fn_right=None,
     broadcast_dim: bool = True,
     **kw,
 ) -> Rule:
@@ -543,7 +562,7 @@ def _order_vs_dimension(
         return joined.withColumn(visible, F.col(right_int))
 
     op = _OPS[operator]
-    viol = ~op(cast_fn(left_col), cast_fn(right_int))
+    viol = ~op(cast_fn(left_col), (cast_fn_right or cast_fn)(right_int))
     return Rule(
         rule_id=rule_id,
         description=description,
@@ -567,7 +586,12 @@ def dates_order_dimension(
     rid = kw.pop("rule_id", f"dates_order_dim__{left_col}_{operator}_{right_col}")
     return _order_vs_dimension(
         dim_df, fk, pk, left_col, right_col, operator,
-        cast_fn=lambda c: to_ts(c, None),
+        # per-side formats: the fact and dim date columns routinely carry
+        # different string formats (fmt params were previously accepted
+        # and silently ignored — ISO-only casts NULLed non-ISO dates and
+        # the rule never fired)
+        cast_fn=lambda c: to_ts(c, fmt_left),
+        cast_fn_right=lambda c: to_ts(c, fmt_right),
         rule_id=rid,
         description=kw.pop(
             "description", f"{left_col} not {operator} {right_col} in dimension table"

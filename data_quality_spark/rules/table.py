@@ -113,10 +113,18 @@ class QualityTable:
         return t
 
     # -- plumbing -----------------------------------------------------------
+    _FMT_UNKNOWN = "__fmt_inference_failed__"
+
     def _fmt(self, col: str) -> str | None:
+        # a FAILED inference is cached too (sentinel): treating stored None
+        # as a miss re-ran the limit(100) inference job on every check call
+        # against an unparseable column
         if col not in self.datetime_columns or self.datetime_columns[col] is None:
-            self.datetime_columns[col] = infer_datetime_format(self.df, col)
-        return self.datetime_columns[col]
+            self.datetime_columns[col] = (
+                infer_datetime_format(self.df, col) or self._FMT_UNKNOWN
+            )
+        f = self.datetime_columns[col]
+        return None if f == self._FMT_UNKNOWN else f
 
     def _add(self, rules: list[Rule], eager: bool, **common) -> list[Rule]:
         ignore = common.get("ignore_filters") or []

@@ -79,12 +79,15 @@ def _http_body(block: bytes) -> bytes:
 
 
 def _parse_ts(s: str):
-    try:
-        return datetime.strptime(s, "%Y-%m-%dT%H:%M:%SZ").replace(
-            tzinfo=timezone.utc
-        )
-    except (ValueError, TypeError):
-        return None
+    # WARC 1.0 dates are whole-second; WARC 1.1 allows fractional seconds
+    # (modern crawlers emit them) — both must parse, or the record keeps a
+    # silently-NULL warc_ts and breaks downstream freshness/date checks
+    for fmt in ("%Y-%m-%dT%H:%M:%SZ", "%Y-%m-%dT%H:%M:%S.%fZ"):
+        try:
+            return datetime.strptime(s, fmt).replace(tzinfo=timezone.utc)
+        except (ValueError, TypeError):
+            continue
+    return None
 
 
 def parse_warc_bytes(raw: bytes):

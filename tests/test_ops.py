@@ -2484,3 +2484,30 @@ def test_host_edges_weighted(spark):
     got = {(r["src"], r["dst"]): r["w"] for r in
            G.host_edges_from_pages_html(df, weighted=True).collect()}
     assert got == {("a.example", "b.example"): 3, ("a.example", "c.example"): 1}
+
+
+def test_overlap_state_roundtrip_datetype(spark, tmp_path):
+    """Persisted-state reuse on DateType interval columns: the state
+    codec must round-trip datetime.date AS date (decoding it as
+    pd.Timestamp made the patch pass compare Timestamp vs date and raise
+    in every task)."""
+    import datetime as dt
+
+    from data_quality_spark.ops import intervals as IV
+
+    df = spark.createDataFrame(
+        [(1, dt.date(2024, 1, 1), dt.date(2024, 1, 10)),
+         (2, dt.date(2024, 1, 5), dt.date(2024, 1, 7)),
+         (3, dt.date(2024, 2, 1), dt.date(2024, 2, 2))],
+        "id int, s date, e date",
+    )
+    fresh = {r["id"]: r["__overlap_ko"] for r in
+             IV.overlap_flags_global(df, "s", "e").collect()}
+    state = IV.compute_overlap_state(df, "s", "e")
+    p = str(tmp_path / "ov_state.json")
+    IV.save_overlap_state(state, p)
+    loaded = IV.load_overlap_state(p)
+    reused = {r["id"]: r["__overlap_ko"] for r in
+              IV.overlap_flags_global(df, "s", "e", state=loaded).collect()}
+    assert reused == fresh
+    assert reused[1] and reused[2] and not reused[3]
