@@ -36,38 +36,46 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 # The driver's per-round correctness gate verifies the FIRST 50 entries of
-# ``queries()`` in dict order.  The registry holds 89+, so the window below is
-# rotated each round until every query has at least one green driver row:
-#   - slots 1-25: never driver-verified before round 4 (registered after the
-#     round-3 window closed),
-#   - slots 26-39: last verified in round 2 (displaced by round-3 additions),
-#   - slots 40-50: canaries whose code paths changed this round (interval
-#     boundary reuse, MinHash band-key packing, Bloom fixes, PQ/NB geometry
-#     sidecars) plus the flagship rule_metrics.
+# ``queries()`` in dict order.  Round-5 window (the FINAL rotation — after it,
+# every registry query has a green driver row from rounds 2-5):
+#   - slots 1-8: the only entries without a round-3+ green row (2 never
+#     driver-verified round-4 additions + 6 last verified in rounds 1-2),
+#   - next: round-5 additions (registered this round — zero rows ever),
+#   - rest: canaries for every code path touched this round (graph dangling
+#     mass + weight clamp, interval state fingerprint, multimodal real header
+#     decode, span-removal machinery, latest-snapshot tie contract, pipeline
+#     artifact IO, host-rank broadcast gating) plus the flagship rule_metrics.
 DRIVER_PRIORITY = [
-    # -- never driver-verified (rounds 1-3) --
-    "text_pii_counts", "text_badwords", "text_dsir_weights",
-    "text_clf_score", "text_clf_inrow", "text_mix_rates",
-    "text_mix_resample", "text_mix_balance", "text_datasheet",
-    "text_crawl_diff", "text_token_hist", "text_pr_curve",
-    "text_quality_topfrac", "text_shard_pack", "text_ngram_repetition",
-    "text_corpus_ngrams", "text_encoding_flags", "text_chunk",
-    "text_decontaminate", "text_sample_stratified", "text_token_budget",
-    "text_line_dedup", "text_url_canon", "text_boilerplate",
-    "qf_rule_ablation",
-    # -- round-2-only (no round-3 row; the rest of the r2-only set keeps
-    #    its green r2 rows and rotates back in next round) --
-    "doc_fingerprint", "multimodal_frames", "multimodal_meta",
-    "qf_heuristic_keep", "qf_pipeline_annotate", "qf_scrub",
-    "text_contamination", "text_quality_score",
-    # -- round-4 additions (never driver-verified — zero rows ever) --
-    "dedup_span_removal_tok", "text_url_spam", "text_fertility",
-    "graph_host_rank", "text_crawl_latest", "dedup_para_minhash",
-    # -- round-4 change canaries --
-    "rule_metrics", "period_intersection", "period_overlap_global",
-    "dedup_bloom", "dedup_para_bloom", "dedup_minhash_lsh",
-    "dedup_minhash_drop", "dedup_minhash_incr", "dedup_cluster_drop",
-    "sim_pq_topk", "sim_ivfpq_rerank",
+    # -- never driver-verified (registered after the round-4 window froze) --
+    "graph_host_rank_wt", "graph_trust_rank",
+    # -- stale: last green in rounds 1-2 --
+    "text_langid_heur", "text_token_counts", "text_top_tokens",
+    "text_group_stats", "text_normalize", "host_quota",
+    # -- round-5 additions (never driver-verified — zero rows ever) --
+    "graph_personal_rank", "dedup_span_removal_para",
+    "text_crawl_latest_tied", "multimodal_real_meta",
+    # -- round-5 change canaries: graph tier (dangling mass, weight clamp) --
+    "graph_host_rank",
+    # -- intervals (state fingerprint) --
+    "period_overlap_global", "period_intersection",
+    # -- multimodal (real PNG/JPEG header decode) --
+    "multimodal_meta", "multimodal_frames",
+    # -- span-removal machinery (shared window-hash + keeper) --
+    "dedup_span_removal", "dedup_span_removal_tok", "dedup_dup_spans",
+    # -- latest-snapshot tie contract --
+    "text_crawl_latest",
+    # -- pipeline artifact IO (Hadoop-FS metadata route) + host-rank join --
+    "qf_pipeline_annotate", "qf_scrub", "qf_heuristic_keep",
+    "qf_rule_ablation", "dedup_bloom", "dedup_para_bloom",
+    # -- flagship + recent-round canaries (backfill to 50) --
+    "rule_metrics", "dedup_minhash_lsh", "dedup_minhash_drop",
+    "dedup_minhash_incr", "dedup_cluster_drop", "dedup_para_minhash",
+    "dedup_simhash", "dedup_semantic", "sim_pq_topk", "sim_ivfpq_rerank",
+    "text_url_spam", "text_fertility", "text_clf_score", "text_clf_inrow",
+    "text_decontaminate", "text_dsir_weights", "text_pr_curve",
+    "text_pii_counts", "text_badwords", "text_mix_balance",
+    "doc_fingerprint", "text_datasheet", "duplicate_count",
+    "match_dimension", "dates_order_dim",
 ]
 
 

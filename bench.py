@@ -85,6 +85,43 @@ HEADLINE = [
 ]
 
 
+def cpu_canary() -> dict[str, float]:
+    """Deterministic single-core machine-speed calibration.
+
+    Round-4 lesson (BENCH.md "Machine-speed variability"): the sandbox speed
+    drifts ~1.5-2x between rounds, poisoning naive cross-round per-query
+    comparisons.  This emits two fixed-work rates — a pure-python integer
+    loop (interpreter speed) and a 200 MB numpy array sum (DRAM bandwidth —
+    the binding resource on this box per BENCH.md) — so BENCH_r{N} deltas
+    can be normalized mechanically: a query delta that tracks the canary
+    delta is machine state, not code.  Best-of-3 (capability, not GC luck);
+    matmul was evaluated and rejected (±30% run-to-run vs ±12% for these).
+    """
+    import numpy as np
+
+    rng = np.random.default_rng(42)
+    big = rng.random(25_000_000)  # 200 MB
+    big.sum()  # warm
+    mem_gbps = 0.0
+    for _ in range(3):
+        t0 = time.perf_counter()
+        big.sum()
+        mem_gbps = max(mem_gbps, big.nbytes / (time.perf_counter() - t0) / 1e9)
+
+    n = 2_000_000
+    pyloop_mops = 0.0
+    for _ in range(3):
+        t0 = time.perf_counter()
+        x = 0
+        for i in range(n):
+            x += i * 3 % 7
+        pyloop_mops = max(pyloop_mops, n / (time.perf_counter() - t0) / 1e6)
+    return {
+        "pyloop_mops": round(pyloop_mops, 1),
+        "mem_gbps": round(mem_gbps, 2),
+    }
+
+
 def sf_from_dir(path: str) -> float:
     base = os.path.basename(path.rstrip("/"))
     try:
@@ -113,6 +150,7 @@ def main() -> None:
     import __spark_entry__ as E
 
     sf = sf_from_dir(SF_DIR)
+    canary_start = cpu_canary()
     spark = get_spark(app_name="bench")
     spark.sparkContext.setLogLevel("ERROR")
 
@@ -202,6 +240,7 @@ def main() -> None:
     fn = int((~eng & ora).sum())
     f1 = 2 * tp / (2 * tp + fp + fn) if (2 * tp + fp + fn) else 1.0
 
+    canary_end = cpu_canary()
     total = round(sum(timings.values()), 3)
     # Compact contract object: medians only.  The driver captures the LAST
     # ~2 KB of stdout, so the per-run {median,min,runs} detail goes to a
@@ -221,6 +260,10 @@ def main() -> None:
         "qf_kept": n_kept,
         "qf_f1_vs_oracle": round(f1, 4),
         "qf_f1_sample": n_sub,
+        # machine-speed calibration at bench start/end — normalize
+        # cross-round query deltas against these, not wall-clock alone
+        "cpu_canary": {k: [canary_start[k], canary_end[k]]
+                       for k in canary_start},
     }
     here = os.path.dirname(os.path.abspath(__file__))
     scaling_path = os.path.join(here, "BENCH_SCALING.json")
