@@ -27,9 +27,11 @@ not ~10^12. Iteration count is fixed (default 5 — host-rank priors
 converge fast and the consumer only thresholds the tail); checkpoint
 every few iterations if you raise it (lineage depth grows linearly).
 
-Dangling hosts (no outlinks) leak their rank mass — the standard
-simplification; the consumer thresholds relative ranks, so the uniform
-leak is immaterial and the contract stays SQL-expressible.
+Dangling hosts (no outlinks) FOLD their rank mass back into the teleport
+distribution each iteration (the canonical PageRank treatment — one extra
+(host, bigint) aggregate per iteration), so total rank sums to RANK_SCALE
+± integer-floor rounding and ranks are comparable across graphs with
+different dangling fractions.
 
 Reference ancestor: this is an extension tier (the reference has no graph
 ops); the shape mirrors checks/values_duplicate.py's hash-groupBy
@@ -44,6 +46,34 @@ from pyspark.sql import functions as F
 RANK_SCALE = 10**12          # rank micro-units: 1.0 == 10^12
 RANK_DAMP_PCT = 85           # damping factor d as an integer percentage
 RANK_ITERS = 5
+PERS_SCALE = 10**6           # personalized-teleport weights: 1.0 == 10^6
+RANK_MAX_WEIGHT = 10**6      # edge-weight ceiling: rank*w must fit bigint
+RANK_CHECKPOINT_EVERY = 8    # localCheckpoint cadence for deep iterations
+
+
+def _personal_v6(
+    weights: dict, damp_pct: int = RANK_DAMP_PCT
+) -> list[tuple[str, int, int, int]]:
+    """Normalize a {host: weight} teleport dict to integer PERS_SCALE
+    units driver-side: v6 = floor(w * PERS_SCALE / W).  Computed ONCE on
+    the driver and rendered as literals into BOTH the Spark plan and the
+    SQL twin, so float normalization can never diverge between engines.
+    Returns (host, v6, init_units, base_units) rows."""
+    if not weights:
+        raise ValueError("host_rank(teleport={...}): empty weight dict")
+    bad = {h: w for h, w in weights.items() if not (float(w) > 0)}
+    if bad:
+        raise ValueError(
+            f"host_rank(teleport=...): non-positive weights: {bad}"
+        )
+    total = float(sum(float(w) for w in weights.values()))
+    rows = []
+    for h in sorted(weights):
+        v6 = int(float(weights[h]) * PERS_SCALE / total)
+        init = (RANK_SCALE * v6) // PERS_SCALE
+        base = ((100 - damp_pct) * init) // 100
+        rows.append((str(h), v6, init, base))
+    return rows
 
 
 def edges_from_pages(
@@ -121,36 +151,72 @@ def host_rank(
     division on non-negative bigints — identical in Spark and DuckDB):
 
         contrib(e)   = (rank(src) * w(e)) div W(src),  W = Σ out-weights
-        new_rank(h)  = base(h) + (damp_pct * Σ contrib(in-edges)) div 100
+        D            = Σ rank(h) over hosts with NO out-edges (dangling)
+        new_rank(h)  = base(h)
+                       + (damp_pct * (Σ contrib(in-edges) + dang(h))) div 100
+
+    where dang(h) folds the dangling mass back through the teleport
+    distribution (canonical PageRank — total rank stays RANK_SCALE ±
+    integer-floor rounding): uniform mode dang(h) = D div n; seed mode
+    dang(seed) = D div n_seeds (0 elsewhere); personalized mode
+    dang(h) = (D * v6(h)) div PERS_SCALE.  The fold costs ONE extra
+    (host, bigint) aggregate per iteration.
 
     Uniform mode (teleport=None): base(h) = ((100-damp_pct) *
     (RANK_SCALE div n)) div 100 for every node, init = RANK_SCALE div n.
 
     weight_col: integer edge weights (e.g. page-level link counts from
     host_edges_from_pages_html(weighted=True)) — duplicate (src, dst)
-    rows sum; unweighted edges are w = 1. Weights must stay ≤ ~10^6 so
-    rank × w fits bigint (rank ≤ RANK_SCALE = 10^12).
+    rows sum; unweighted edges are w = 1. Summed weights must stay in
+    [1, RANK_MAX_WEIGHT=10^6] so rank × w fits bigint (rank can reach
+    RANK_SCALE = 10^12); VALIDATED eagerly (one tiny agg) — out-of-range
+    weights raise instead of silently wrapping with ANSI off.
 
-    teleport: iterable of TRUSTED seed hosts → TrustRank (Gyöngyi 2004),
-    the classic host-spam damper: rank mass enters ONLY through the seeds
-    (init and base are RANK_SCALE div n_seeds on seeds, 0 elsewhere), so
-    hosts earn rank solely by link-distance from trust. Raises if no seed
-    appears in the graph (an all-zero result would silently gate
-    everything downstream).
+    teleport: three modes —
+      * iterable of TRUSTED seed hosts → TrustRank (Gyöngyi 2004), the
+        classic host-spam damper: rank mass enters ONLY through the seeds
+        (init and base are RANK_SCALE div n_seeds on seeds, 0 elsewhere),
+        so hosts earn rank solely by link-distance from trust.
+      * dict {host: weight} → PERSONALIZED PageRank (the CCNet-style
+        "quality prior from a labeled seed set"): the teleport vector is
+        v6(h) = floor(w_h * PERS_SCALE / Σw), normalized driver-side
+        (_personal_v6) and rendered as literals into both engines; init =
+        (RANK_SCALE * v6) div PERS_SCALE, base = ((100-damp_pct) * init)
+        div 100. Weights for hosts absent from the graph are lost mass
+        (documented: total rank < RANK_SCALE by exactly their share).
+      * Both raise if no seed appears in the graph (an all-zero result
+        would silently gate everything downstream).
 
     Returns (host, rank_units bigint, rank double = units / RANK_SCALE).
-    The node set is the union of sources and destinations; dangling-host
-    mass leaks (module docstring). Every join key is a host id — rank
-    state is one bigint per host, edges are (src, dst, w); nothing wide
-    ever shuffles, and each iteration is one shuffle on dst (the src-side
-    degree/rank join broadcasts when the host table fits, else
-    shuffle-joins on src)."""
+    The node set is the union of sources and destinations. Every join key
+    is a host id — rank state is one bigint per host, edges are
+    (src, dst, w); nothing wide ever shuffles, and each iteration is one
+    shuffle on dst plus the 1-row broadcast dangling aggregate (the
+    src-side degree/rank join broadcasts when the host table fits, else
+    shuffle-joins on src). iters > 12 localCheckpoints the rank frame
+    every RANK_CHECKPOINT_EVERY iterations so lineage depth stays bounded
+    (each checkpoint is an eager (host, bigint) materialization)."""
     src, dst = F.col(src_col), F.col(dst_col)
     if weight_col is not None:
         e = edges.select(
             src.alias("src"), dst.alias("dst"),
             F.col(weight_col).cast("bigint").alias("__w"),
         ).groupBy("src", "dst").agg(F.sum("__w").alias("__w"))
+        # contract gate (one tiny 1-row agg): rank*w must fit bigint, and
+        # w < 1 would zero/NULL the floor division — both fail loudly here
+        # instead of wrapping silently under ANSI-off arithmetic
+        wrow = e.agg(
+            F.min("__w").alias("mn"), F.max("__w").alias("mx")
+        ).first()
+        if wrow["mx"] is not None and (
+            wrow["mn"] < 1 or wrow["mx"] > RANK_MAX_WEIGHT
+        ):
+            raise ValueError(
+                "host_rank(weight_col=...): summed edge weights must be in "
+                f"[1, {RANK_MAX_WEIGHT}] (got min={wrow['mn']}, "
+                f"max={wrow['mx']}); pre-scale page-level link counts "
+                "(e.g. log-bucket or cap them) before ranking"
+            )
     else:
         e = (
             edges.select(src.alias("src"), dst.alias("dst"))
@@ -171,7 +237,33 @@ def host_rank(
             F.lit(0).cast("bigint").alias("rank_units"),
             F.lit(0.0).alias("rank"),
         )
-    if teleport is not None:
+    dang_col: F.Column  # per-host share of the 1-row __dm dangling mass
+    if isinstance(teleport, dict):
+        pv = _personal_v6(teleport, damp_pct)
+        spark = edges.sparkSession
+        pv_df = spark.createDataFrame(
+            pv, "host string, __v6 bigint, __init bigint, __base bigint"
+        )
+        n_seed = nodes.join(F.broadcast(pv_df), "host", "semi").count()
+        if n_seed == 0:
+            raise ValueError(
+                "host_rank(teleport={...}): no seed host appears in the "
+                f"graph (seeds: {sorted(teleport)[:5]}"
+                f"{'...' if len(teleport) > 5 else ''})"
+            )
+        nodes = (
+            nodes.join(F.broadcast(pv_df), "host", "left")
+            .select(
+                "host",
+                F.coalesce("__v6", F.lit(0)).alias("__v6"),
+                F.coalesce("__init", F.lit(0)).alias("__init"),
+                F.coalesce("__base", F.lit(0)).alias("__base"),
+            )
+        )
+        init_col = F.col("__init")
+        base_col = F.col("__base")
+        dang_col = F.expr(f"(__dm * __v6) div {PERS_SCALE}")
+    elif teleport is not None:
         seeds = sorted({str(t) for t in teleport})
         n_seed = nodes.where(F.col("host").isin(seeds)).count()
         if n_seed == 0:
@@ -184,14 +276,19 @@ def host_rank(
         is_seed = F.col("host").isin(seeds)
         init_col = F.when(is_seed, F.lit(init_val)).otherwise(F.lit(0))
         base_col = F.when(is_seed, F.lit(base_val)).otherwise(F.lit(0))
+        dang_col = F.when(
+            is_seed, F.expr(f"__dm div {n_seed}")
+        ).otherwise(F.lit(0))
     else:
         init = RANK_SCALE // n
         base = ((100 - damp_pct) * init) // 100
         init_col = F.lit(init)
         base_col = F.lit(base)
+        dang_col = F.expr(f"__dm div {n}")
     deg = e.groupBy("src").agg(F.sum("__w").alias("__deg"))
+    deg_hosts = deg.select(F.col("src").alias("host"))
     rank = nodes.select("host", init_col.cast("bigint").alias("__r"))
-    for _ in range(iters):
+    for it in range(iters):
         contrib = (
             e.join(rank.withColumnRenamed("host", "src"), "src")
             .join(deg, "src")
@@ -201,15 +298,33 @@ def host_rank(
             )
         )
         inflow = contrib.groupBy("host").agg(F.sum("__c").alias("__in"))
-        rank = nodes.join(inflow, "host", "left").select(
-            "host",
-            (
-                base_col
-                + F.expr(
-                    f"({damp_pct} * coalesce(__in, 0L)) div 100"
-                )
-            ).cast("bigint").alias("__r"),
+        # dangling mass: rank parked on hosts with no out-edges, folded
+        # back through the teleport distribution (1 row, broadcast)
+        dang = (
+            rank.join(deg_hosts, "host", "left_anti")
+            .agg(F.coalesce(F.sum("__r"), F.lit(0)).alias("__dm"))
         )
+        rank = (
+            nodes.join(inflow, "host", "left")
+            .crossJoin(F.broadcast(dang))
+            .select(
+                "host",
+                base_col.cast("bigint").alias("__b"),
+                (F.expr("coalesce(__in, 0L)") + dang_col)
+                .cast("bigint")
+                .alias("__g"),
+            )
+            .select(
+                "host",
+                (F.col("__b") + F.expr(f"({damp_pct} * __g) div 100"))
+                .cast("bigint")
+                .alias("__r"),
+            )
+        )
+        if iters > 12 and (it + 1) % RANK_CHECKPOINT_EVERY == 0 and (
+            it + 1
+        ) < iters:
+            rank = rank.localCheckpoint(eager=True)
     return rank.select(
         "host",
         F.col("__r").alias("rank_units"),
@@ -225,10 +340,13 @@ def sql_host_rank(
     teleport=None,
 ) -> str:
     """DuckDB twin of host_rank: the power iteration unrolled as chained
-    CTEs over the SAME integer micro-unit arithmetic (`//` = `div`).
+    CTEs over the SAME integer micro-unit arithmetic (`//` = `div`),
+    including the per-iteration dangling-mass fold (d{i} CTEs) and all
+    three teleport modes (None / seed iterable / personalized dict —
+    dict weights normalized by the shared _personal_v6 and rendered as a
+    VALUES list, so both engines see identical literals).
     edges_sql must yield (src, dst) — or (src, dst, w) with weighted=True
-    — with the same rows as the Spark side; teleport renders the seed
-    CASE expressions."""
+    — with the same rows as the Spark side."""
     if weighted:
         e_cte = (
             "e AS (SELECT src, dst, sum(w)::BIGINT AS w"
@@ -243,7 +361,26 @@ def sql_host_rank(
         e_cte,
         "nodes AS (SELECT src AS host FROM e UNION SELECT dst FROM e)",
     ]
-    if teleport is not None:
+    iter_from = "FROM nodes n"
+    if isinstance(teleport, dict):
+        pv = _personal_v6(teleport, damp_pct)
+        vals = ", ".join(
+            f"('{h.replace(chr(39), chr(39) * 2)}', {v6}, {r0}, {b})"
+            for h, v6, r0, b in pv
+        )
+        ctes.append(
+            f"pv AS (SELECT * FROM (VALUES {vals})"
+            " AS t(host, v6, r0, base))"
+        )
+        init_expr = "coalesce(pv.r0, 0)"
+        base_expr = "coalesce(pv.base, 0)"
+        init_from = "FROM nodes n LEFT JOIN pv ON pv.host = n.host"
+        iter_from = "FROM nodes n LEFT JOIN pv ON pv.host = n.host"
+        dang_expr = (
+            lambda i: f"((SELECT dm FROM d{i}) * coalesce(pv.v6, 0))"
+            f" // {PERS_SCALE}"
+        )
+    elif teleport is not None:
         seeds = ", ".join(
             "'" + str(t).replace("'", "''") + "'"
             for t in sorted({str(t) for t in teleport})
@@ -256,12 +393,18 @@ def sql_host_rank(
             " FROM params)",
         ]
         init_expr = (
-            f"CASE WHEN host IN ({seeds})"
+            f"CASE WHEN n.host IN ({seeds})"
             " THEN (SELECT r0 FROM init) ELSE 0 END"
         )
         base_expr = (
             f"CASE WHEN n.host IN ({seeds})"
             " THEN (SELECT base FROM init) ELSE 0 END"
+        )
+        init_from = "FROM nodes n"
+        dang_expr = (
+            lambda i: f"CASE WHEN n.host IN ({seeds}) THEN"
+            f" (SELECT dm FROM d{i}) // (SELECT ns FROM params)"
+            " ELSE 0 END"
         )
     else:
         ctes += [
@@ -272,15 +415,25 @@ def sql_host_rank(
         ]
         init_expr = "(SELECT r0 FROM init)"
         base_expr = "(SELECT base FROM init)"
+        init_from = "FROM nodes n"
+        dang_expr = (
+            lambda i: f"(SELECT dm FROM d{i}) // (SELECT n FROM params)"
+        )
     ctes += [
         "deg AS (SELECT src, sum(w)::BIGINT AS d FROM e GROUP BY 1)",
-        f"r0 AS (SELECT host, ({init_expr})::BIGINT AS r FROM nodes)",
+        f"r0 AS (SELECT n.host, ({init_expr})::BIGINT AS r {init_from})",
     ]
     for i in range(iters):
         ctes.append(
+            f"d{i} AS (SELECT coalesce(sum(r), 0)::BIGINT AS dm"
+            f" FROM r{i} rr WHERE NOT EXISTS"
+            " (SELECT 1 FROM deg WHERE deg.src = rr.host))"
+        )
+        ctes.append(
             f"r{i + 1} AS (SELECT n.host, {base_expr}"
-            f" + ({damp_pct} * coalesce(f.s, 0)) // 100 AS r"
-            " FROM nodes n LEFT JOIN ("
+            f" + ({damp_pct} * (coalesce(f.s, 0)"
+            f" + ({dang_expr(i)}))) // 100 AS r"
+            f" {iter_from} LEFT JOIN ("
             "   SELECT e.dst AS host, sum((r.r * e.w) // deg.d)::BIGINT AS s"
             f"  FROM e JOIN r{i} r ON r.host = e.src"
             "   JOIN deg ON deg.src = e.src GROUP BY 1"

@@ -2016,6 +2016,64 @@ def _sql_graph_trust_rank() -> str:
     return G.sql_host_rank(_sql_graph_rank_edges(), teleport=TRUST_SEEDS)
 
 
+# personalized rank: non-uniform teleport weights (CCNet-style quality
+# prior from a labeled seed set), over a graph that HAS dangling hosts so
+# the per-iteration dangling-mass fold is exercised by the driver gate
+HOST_RANK_SRC_MOD = 17  # only h0..h16 ever link out -> h17..h22 dangling
+PERSONAL_SEEDS = {
+    "h0.example": 4.0,   # non-uniform: h0 gets 4x h2's teleport share
+    "h1.example": 2.0,
+    "h2.example": 1.0,
+    "h99.example": 1.0,  # absent from the graph: lost-mass semantics
+}
+
+
+def _synthetic_dangling_edges(spark, sf_dir):
+    """Host link graph where only h0..h16 link out (src = doc_id % 17)
+    while destinations span h0..h22 — hosts h17..h22 are DANGLING and
+    park rank mass that the fold must redistribute each iteration."""
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+    host = lambda e: F.concat(  # noqa: E731
+        F.lit("h"), e.cast("string"), F.lit(".example")
+    )
+    edges = docs.select(
+        host(F.col("doc_id") % HOST_RANK_SRC_MOD).alias("src_host"),
+        F.explode(
+            F.array(
+                *[
+                    host((F.col("doc_id") * 7 + F.lit(j)) % HOST_RANK_N_HOSTS)
+                    for j in range(1, HOST_RANK_FANOUT + 1)
+                ]
+            )
+        ).alias("dst_host"),
+    )
+    return G.edges_from_pages(edges, "src_host", "dst_host")
+
+
+def q_graph_personal_rank(spark, sf_dir):
+    """Personalized PageRank (ops.graph.host_rank(teleport=dict)): the
+    teleport vector is a weighted labeled seed set — the CCNet-style
+    'quality prior from trusted hosts' generalizing TrustRank's uniform
+    seeds. The fixture graph has 6 dangling hosts, so the per-iteration
+    dangling-mass fold (through the teleport vector, exact PERS_SCALE
+    integer arithmetic) is live in this query; one seed is absent from
+    the graph, pinning the documented lost-mass semantics."""
+    return G.host_rank(
+        _synthetic_dangling_edges(spark, sf_dir), teleport=PERSONAL_SEEDS
+    )
+
+
+def _sql_graph_personal_rank() -> str:
+    h, m = HOST_RANK_N_HOSTS, HOST_RANK_SRC_MOD
+    edges = f"""
+  SELECT 'h' || (doc_id % {m}) || '.example' AS src,
+         'h' || ((doc_id * 7 + j) % {h}) || '.example' AS dst
+  FROM documents, unnest([1, 2, 3]) AS t(j)
+  WHERE (doc_id % {m}) <> ((doc_id * 7 + j) % {h})
+"""
+    return G.sql_host_rank(edges, teleport=PERSONAL_SEEDS)
+
+
 # ---------------------------------------------------------------------------
 # text 0a — PII audit counts (scrub stage's reporting twin)
 # ---------------------------------------------------------------------------
@@ -3553,6 +3611,7 @@ OPS_QUERIES = {
     "graph_host_rank": q_graph_host_rank,
     "graph_host_rank_wt": q_graph_host_rank_wt,
     "graph_trust_rank": q_graph_trust_rank,
+    "graph_personal_rank": q_graph_personal_rank,
     "text_crawl_latest": q_text_crawl_latest,
     "text_url_spam": q_text_url_spam,
     "text_fertility": q_text_fertility,
@@ -3635,6 +3694,7 @@ OPS_ORACLES = {
     "graph_host_rank": _sql_graph_host_rank(),
     "graph_host_rank_wt": _sql_graph_host_rank_wt(),
     "graph_trust_rank": _sql_graph_trust_rank(),
+    "graph_personal_rank": _sql_graph_personal_rank(),
     "text_crawl_latest": _sql_text_crawl_latest(),
     "text_url_spam": _sql_text_url_spam(),
     "text_fertility": _sql_text_fertility(),

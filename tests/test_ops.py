@@ -2279,7 +2279,9 @@ def test_nb_weights_geometry_sidecar(spark, tmp_path):
 def test_host_rank_star_graph(spark):
     """Star graph: every leaf links to the hub — the hub must out-rank
     every leaf, values must match a pure-python rendering of the SAME
-    integer micro-unit recurrence exactly (determinism contract)."""
+    integer micro-unit recurrence exactly (determinism contract). The hub
+    is DANGLING (no out-edges): its mass folds back uniformly each
+    iteration, so total rank stays RANK_SCALE ± integer-floor rounding."""
     from data_quality_spark.ops import graph as G
 
     leaves = [f"l{i}.example" for i in range(6)]
@@ -2288,18 +2290,21 @@ def test_host_rank_star_graph(spark):
     )
     got = {r["host"]: r["rank_units"]
            for r in G.host_rank(edges).collect()}
-    # python twin of the recurrence
+    # python twin of the recurrence (with the dangling-mass fold)
     n = 7
     init = G.RANK_SCALE // n
     base = ((100 - G.RANK_DAMP_PCT) * init) // 100
     rank = {h: init for h in leaves + ["hub.example"]}
     for _ in range(G.RANK_ITERS):
-        inflow = {h: 0 for h in rank}
+        dm = rank["hub.example"]  # the only dangling host
+        inflow = {h: dm // n for h in rank}
         for leaf in leaves:
             inflow["hub.example"] += rank[leaf] // 1  # out-degree 1
         rank = {h: base + (G.RANK_DAMP_PCT * inflow[h]) // 100 for h in rank}
     assert got == rank
     assert got["hub.example"] > max(got[leaf] for leaf in leaves)
+    # canonical-PageRank mass conservation (each floor div loses < 1 unit)
+    assert abs(sum(got.values()) - G.RANK_SCALE) < n * (G.RANK_ITERS + 1) * 3
 
 
 def test_edges_from_pages_drops_self_loops_and_dups(spark):
@@ -2434,7 +2439,8 @@ def test_host_rank_weighted_star(spark):
     base = ((100 - G.RANK_DAMP_PCT) * init) // 100
     rank = {h: init for h in hosts}
     for _ in range(G.RANK_ITERS):
-        inflow = {h: 0 for h in hosts}
+        dm = rank["heavy.example"] + rank["light.example"]  # dangling hubs
+        inflow = {h: dm // n for h in hosts}
         for leaf in ["l0.example", "l1.example"]:
             inflow["heavy.example"] += (rank[leaf] * 3) // 4
             inflow["light.example"] += (rank[leaf] * 1) // 4
@@ -2464,6 +2470,87 @@ def test_host_rank_teleport_trustrank(spark):
 
     with _pytest.raises(ValueError, match="no seed host"):
         G.host_rank(edges, teleport=["absent.example"])
+
+
+def test_host_rank_personalized_exact_recurrence(spark):
+    """Personalized PageRank (teleport=dict): values must match a pure
+    python rendering of the PERS_SCALE integer recurrence exactly,
+    including the dangling-mass fold THROUGH the teleport vector and the
+    lost-mass semantics for seeds absent from the graph."""
+    from data_quality_spark.ops import graph as G
+
+    edges = spark.createDataFrame(
+        [("a.example", "b.example"), ("b.example", "a.example"),
+         ("a.example", "dang.example")],
+        "src string, dst string",
+    )
+    weights = {"a.example": 3.0, "b.example": 1.0, "absent.example": 1.0}
+    got = {r["host"]: r["rank_units"]
+           for r in G.host_rank(edges, teleport=weights).collect()}
+
+    hosts = ["a.example", "b.example", "dang.example"]
+    v6 = {h: int(w * G.PERS_SCALE / 5.0) for h, w in weights.items()}
+    v6.setdefault("dang.example", 0)
+    init = {h: (G.RANK_SCALE * v6.get(h, 0)) // G.PERS_SCALE for h in hosts}
+    base = {h: ((100 - G.RANK_DAMP_PCT) * init[h]) // 100 for h in hosts}
+    out = {"a.example": ["b.example", "dang.example"],
+           "b.example": ["a.example"]}
+    rank = dict(init)
+    for _ in range(G.RANK_ITERS):
+        dm = rank["dang.example"]  # the only dangling host
+        inflow = {h: (dm * v6.get(h, 0)) // G.PERS_SCALE for h in hosts}
+        for s, dsts in out.items():
+            for d in dsts:
+                inflow[d] += rank[s] // len(dsts)
+        rank = {h: base[h] + (G.RANK_DAMP_PCT * inflow[h]) // 100
+                for h in hosts}
+    assert got == rank
+    # absent.example's 20% teleport share is lost mass by contract
+    assert sum(got.values()) < G.RANK_SCALE * 85 // 100
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="no seed host"):
+        G.host_rank(edges, teleport={"absent.example": 1.0})
+    with _pytest.raises(ValueError, match="non-positive"):
+        G.host_rank(edges, teleport={"a.example": 0})
+
+
+def test_host_rank_weight_clamp_and_deep_iters(spark):
+    """Out-of-range edge weights raise loudly (bigint-wrap guard); deep
+    iteration counts localCheckpoint the rank frame and still produce the
+    exact python-recurrence values."""
+    from data_quality_spark.ops import graph as G
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="summed edge weights"):
+        G.host_rank(
+            spark.createDataFrame([("a", "b", G.RANK_MAX_WEIGHT + 1)],
+                                  "src string, dst string, w long"),
+            weight_col="w",
+        )
+    with _pytest.raises(ValueError, match="summed edge weights"):
+        G.host_rank(
+            spark.createDataFrame([("a", "b", 0)],
+                                  "src string, dst string, w long"),
+            weight_col="w",
+        )
+    # iters > 12 triggers the checkpoint path (lineage hygiene)
+    edges = spark.createDataFrame(
+        [("a.example", "b.example"), ("b.example", "a.example")],
+        "src string, dst string",
+    )
+    got = {r["host"]: r["rank_units"]
+           for r in G.host_rank(edges, iters=13).collect()}
+    n, iters = 2, 13
+    init = G.RANK_SCALE // n
+    base = ((100 - G.RANK_DAMP_PCT) * init) // 100
+    rank = {"a.example": init, "b.example": init}
+    for _ in range(iters):
+        inflow = {"a.example": rank["b.example"],
+                  "b.example": rank["a.example"]}
+        rank = {h: base + (G.RANK_DAMP_PCT * inflow[h]) // 100 for h in rank}
+    assert got == rank
 
 
 def test_host_edges_weighted(spark):
