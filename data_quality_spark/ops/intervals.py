@@ -293,7 +293,16 @@ def overlap_flags_global(
     Repeat callers skip even the slim job by passing ``state=`` (from
     ``compute_overlap_state``) or ``state_path=`` (a JSON file previously
     written by ``save_overlap_state``; if the file does not exist yet, the
-    freshly computed state is saved there for the next caller)."""
+    freshly computed state is saved there for the next caller).
+
+    STALE-STATE GUARD: reused state carries each range partition's recorded
+    row count (__n); the flag pass counts the rows it actually sees per pid
+    and RAISES on any mismatch (or on a pid absent from the state) instead
+    of silently mis-stitching prev_end/next-chk at partition boundaries —
+    the same geometry-drift discipline as the Bloom sidecar and NB/PQ
+    weights. A partition recorded non-empty that became empty is the one
+    drift no task observes; every other input change moves at least one
+    observed count."""
     tiebreak_cols = tiebreak_cols or []
     sort_cols = [start_col, end_col, *tiebreak_cols]
 
@@ -376,6 +385,21 @@ def overlap_flags_global(
         carry_end = None
         pending_row: pd.DataFrame | None = None  # deferred group-last row
         pending_chk = False
+        observed = 0  # rows seen in the current pid group (stale guard)
+
+        def _check_group(pid_done: int | None):
+            if pid_done is None:
+                return
+            exp = info[pid_done]["__n"] if pid_done in info else None
+            if exp != observed:
+                raise ValueError(
+                    "overlap state is stale for this input: range "
+                    f"partition {pid_done} holds {observed} rows but the "
+                    "state recorded "
+                    f"{'no such partition' if exp is None else exp} — the "
+                    "table changed since compute_overlap_state; recompute "
+                    "or delete the persisted state"
+                )
 
         def _chk(prev_end: pd.Series, start: pd.Series) -> pd.Series:
             if extremes_exclude:
@@ -406,8 +430,11 @@ def overlap_flags_global(
                     # previous group's true last row: lead(chk) from the
                     # driver stitch (successor pid's first-row chk)
                     yield from _finalize(cur_pid)
+                    _check_group(cur_pid)
                     cur_pid = p
+                    observed = 0
                     carry_end = prev_end_for.get(p)
+                observed += e - s
                 prev_end = seg[end_col].shift(1)
                 if carry_end is not None:
                     prev_end.iloc[0] = carry_end
@@ -428,5 +455,6 @@ def overlap_flags_global(
                 pending_chk = bool(chk.iloc[-1])
                 carry_end = seg[end_col].iloc[-1]
         yield from _finalize(cur_pid)
+        _check_group(cur_pid)
 
     return ordered.mapInPandas(patch, out_schema)

@@ -1196,6 +1196,49 @@ def test_overlap_state_reuse_and_persistence(spark, tmp_path, monkeypatch):
         ).count()
 
 
+def test_overlap_state_stale_input_raises(spark):
+    """Round-5 ADVICE: state reuse against a CHANGED table must fail loudly
+    (per-pid recorded __n vs observed count), never silently mis-stitch the
+    prev_end/next-chk chain at partition boundaries."""
+    import datetime as dt
+
+    from pyspark.errors.exceptions.captured import PythonException
+
+    from data_quality_spark.ops import intervals as IV
+
+    base = dt.datetime(2024, 1, 1)
+    rows = [
+        (i, base + dt.timedelta(minutes=3 * i),
+         base + dt.timedelta(minutes=3 * i + 2))
+        for i in range(300)
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, start_ts timestamp, end_ts timestamp"
+    )
+    state = IV.compute_overlap_state(
+        df, "start_ts", "end_ts", tiebreak_cols=["event_id"],
+        num_partitions=6,
+    )
+    # same state, DIFFERENT data: one appended row shifts one pid's count
+    extra = spark.createDataFrame(
+        [(999, base + dt.timedelta(minutes=100),
+          base + dt.timedelta(minutes=101))],
+        "event_id long, start_ts timestamp, end_ts timestamp",
+    )
+    import pytest as _pytest
+
+    with _pytest.raises(PythonException, match="overlap state is stale"):
+        IV.overlap_flags_global(
+            df.unionByName(extra), "start_ts", "end_ts",
+            tiebreak_cols=["event_id"], state=state,
+        ).count()
+    # unchanged input still passes through the guard
+    n = IV.overlap_flags_global(
+        df, "start_ts", "end_ts", tiebreak_cols=["event_id"], state=state
+    ).count()
+    assert n == 300
+
+
 def test_q_period_overlap_global_caches_state(spark, monkeypatch):
     """The registered query memoizes the plan state per sf_dir: the second
     invocation runs ONLY the flag pass (compute_overlap_state poisoned)."""
