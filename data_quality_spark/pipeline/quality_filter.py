@@ -34,7 +34,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from data_quality_spark.functions import models, scrub, textstats
-from data_quality_spark.pipeline import extract
+from data_quality_spark.pipeline import extract, fsio
 from data_quality_spark.rules import checks as C
 from data_quality_spark.rules.core import Rule, RuleEngine, is_empty, not_empty
 
@@ -258,11 +258,12 @@ def with_model_scores(df: DataFrame, cfg: QFConfig = DEFAULT_CONFIG) -> DataFram
         wdf = df.sparkSession.read.parquet(cfg.clf_weights_path)
         # geometry gate (ops.textops.save_nb_weights sidecar): a model
         # hashed into a different bucket count scores garbage silently —
-        # validate the recorded geometry when the sidecar is local, and
-        # the table's actual bucket-row count always
+        # validate the recorded geometry when the sidecar exists (any
+        # Hadoop-supported URI via fsio), and the table's actual
+        # bucket-row count always
         meta_path = cfg.clf_weights_path + ".meta.json"
-        if os.path.exists(meta_path):
-            meta = json.load(open(meta_path))
+        if fsio.exists(df.sparkSession, meta_path):
+            meta = fsio.read_json(df.sparkSession, meta_path)
             if int(meta.get("buckets", CLF_BUCKETS)) != CLF_BUCKETS:
                 raise ValueError(
                     f"classifier weights at {cfg.clf_weights_path} were "
@@ -505,43 +506,24 @@ def dedup_kept(kept: DataFrame, mode: str | None) -> DataFrame:
 PIPELINE_BLOOM_M = 1 << 27
 
 
-def _require_local(path: str, what: str) -> str:
-    """The pipeline's resume/index machinery (manifest, bucket cleanup, the
-    Bloom (m,k) sidecar) is driver-local-filesystem based: for a remote URI
-    (hdfs://, s3a://, ...) the sidecar/manifest existence checks would
-    silently miss — e.g. a populated remote Bloom index resolving to the
-    default m and probing mod the wrong modulus, the exact silent-dedup-off
-    failure the sidecar exists to prevent (r3 advice). Until those paths go
-    through the Hadoop FS API, demand a local path loudly. file:// URIs are
-    accepted and stripped."""
-    if path.startswith("file://"):
-        return path[len("file://"):]
-    scheme = path.split("://", 1)
-    if len(scheme) == 2 and scheme[0] and not os.path.isabs(path):
-        raise ValueError(
-            f"{what}={path!r} is a remote URI, but the pipeline's "
-            "checkpoint/index metadata (manifest, _bloom_meta.json) is "
-            "read with driver-local filesystem calls — a remote index "
-            "would silently resolve to default geometry and disable "
-            "dedup. Mount it locally or pass a file:// path."
-        )
-    return path
-
-
 def _bloom_meta_path(path: str) -> str:
-    return os.path.join(path, "_bloom_meta.json")
+    return fsio.join(path, "_bloom_meta.json")
 
 
-def _resolve_bloom_m(path: str, bloom_m: int | None, k: int) -> int:
+def _resolve_bloom_m(spark, path: str, bloom_m: int | None, k: int) -> int:
     """The m this run must probe/build with. The artifact's recorded
     (m, k) — written alongside the bitmap — governs when present: merging
     or probing tables built under different moduli silently disables dedup
     (positions land mod the wrong m), so an explicit bloom_m that
     contradicts the artifact is a loud error, and omitting bloom_m on a
-    later run simply reuses the recorded value instead of guessing."""
+    later run simply reuses the recorded value instead of guessing.
+    Sidecar IO goes through fsio, so the artifact may live on any
+    Hadoop-supported filesystem (the round-3 ``_require_local`` refusal is
+    retired — a remote index now resolves its real recorded geometry
+    instead of being rejected)."""
     meta = None
-    if os.path.exists(_bloom_meta_path(path)):
-        meta = json.load(open(_bloom_meta_path(path)))
+    if fsio.exists(spark, _bloom_meta_path(path)):
+        meta = fsio.read_json(spark, _bloom_meta_path(path))
     if meta is not None:
         if int(meta.get("k", k)) != k:
             raise ValueError(
@@ -563,9 +545,7 @@ def _resolve_bloom_m(path: str, bloom_m: int | None, k: int) -> int:
     # the wrong modulus — dedup silently off — and the next bit_or merge
     # would mix positions from two moduli, corrupting the index for good.
     # Demand the m it was built with instead.
-    import glob
-
-    if glob.glob(os.path.join(path, "*.parquet")):
+    if fsio.has_glob(spark, fsio.join(path, "*.parquet")):
         raise ValueError(
             f"Bloom index at {path} predates the (m, k) sidecar and no "
             "bloom_m was passed — its modulus is unknown, and probing or "
@@ -579,9 +559,7 @@ def _resolve_bloom_m(path: str, bloom_m: int | None, k: int) -> int:
 def _read_bloom(spark: SparkSession, path: str):
     """The persisted [word_idx, bits] filter, or None before the first
     run ever writes one."""
-    import glob
-
-    if not glob.glob(os.path.join(path, "*.parquet")):
+    if not fsio.has_glob(spark, fsio.join(path, "*.parquet")):
         return None
     return spark.read.parquet(path)
 
@@ -600,11 +578,9 @@ def _update_bloom_index(
     gone for good), while manifest-then-crash merely leaves this batch's
     texts out of the filter, so some future duplicates survive — Bloom's
     benign direction."""
-    import glob
-
     from data_quality_spark.ops import dedup as D
 
-    if glob.glob(os.path.join(kept_root, "bucket=*")):
+    if fsio.has_glob(spark, fsio.join(kept_root, "bucket=*")):
         texts = (
             spark.read.parquet(kept_root)
             .where(F.col("bucket").isin(list(pending)))
@@ -627,8 +603,7 @@ def _update_bloom_index(
     out.coalesce(1).write.mode("overwrite").parquet(path)
     # record the geometry the bitmap was built under — later runs reuse it
     # when bloom_m is omitted and refuse a contradicting explicit value
-    with open(_bloom_meta_path(path), "w") as f:
-        json.dump({"m": m, "k": D.BLOOM_K}, f)
+    fsio.write_json(spark, _bloom_meta_path(path), {"m": m, "k": D.BLOOM_K})
 
 
 def run_pipeline(
@@ -668,14 +643,15 @@ def run_pipeline(
     it writes, never completed ones). The round-1 shape — a filter+write
     loop per bucket — re-scanned the input n_buckets times (8 buckets = 8×
     read amplification of a 100 TB table)."""
-    out_dir = _require_local(out_dir, "out_dir")
-    if bloom_index is not None:
-        bloom_index = _require_local(bloom_index, "bloom_index")
-    os.makedirs(out_dir, exist_ok=True)
-    manifest_path = os.path.join(out_dir, "_manifest.json")
+    # out_dir / bloom_index may be any Hadoop-supported URI (hdfs://,
+    # s3a://, file://) — data planes use Spark's own writers, and the
+    # driver-side metadata (manifest, sidecar, partition cleanup) goes
+    # through fsio's Hadoop FileSystem shim
+    fsio.mkdirs(spark, out_dir)
+    manifest_path = fsio.join(out_dir, "_manifest.json")
     done: dict = {}
-    if resume and os.path.exists(manifest_path):
-        done = json.load(open(manifest_path))
+    if resume and fsio.exists(spark, manifest_path):
+        done = fsio.read_json(spark, manifest_path)
         # bucket membership IS pmod(url-hash, n_buckets): resuming under a
         # different bucket count would re-admit already-processed urls into
         # the new pending buckets (duplicates) and skip others — the same
@@ -735,20 +711,16 @@ def run_pipeline(
         # replaces partitions the job WRITES, so a pending bucket that now
         # keeps zero rows would otherwise leave a crashed earlier attempt's
         # stale files in place (and be mis-counted as this run's output)
-        import shutil
-
         for sub in ("kept", "metrics"):
             for b in pending:
-                shutil.rmtree(
-                    os.path.join(out_dir, sub, f"bucket={b}"), ignore_errors=True
-                )
+                fsio.delete(spark, fsio.join(out_dir, sub, f"bucket={b}"))
         try:
-            kept_root = os.path.join(out_dir, "kept")
+            kept_root = fsio.join(out_dir, "kept")
             kept_df = dedup_kept(ann.filter(F.col("keep")).select(*present), dedup)
             if bloom_index is not None:
                 from data_quality_spark.ops import dedup as D
 
-                bm = _resolve_bloom_m(bloom_index, bloom_m, D.BLOOM_K)
+                bm = _resolve_bloom_m(spark, bloom_index, bloom_m, D.BLOOM_K)
                 old_bloom = _read_bloom(spark, bloom_index)
                 if old_bloom is not None:
                     kept_df = D.bloom_keep(
@@ -764,7 +736,7 @@ def run_pipeline(
                 .partitionBy("bucket")
                 .parquet(kept_root)
             )
-            metrics_root = os.path.join(out_dir, "metrics")
+            metrics_root = fsio.join(out_dir, "metrics")
             (
                 metrics_by_partition(ann, cfg, group_cols=["bucket", "part_id"])
                 .write.mode("overwrite")
@@ -780,9 +752,7 @@ def run_pipeline(
         # failure propagates instead of silently corrupting the manifest
         # (a swallowed transient error would record pending buckets as done
         # with rows_kept=0)
-        import glob
-
-        if glob.glob(os.path.join(kept_root, "bucket=*")):
+        if fsio.has_glob(spark, fsio.join(kept_root, "bucket=*")):
             counts = {
                 r["bucket"]: r["n"]
                 for r in spark.read.parquet(kept_root)
@@ -801,8 +771,7 @@ def run_pipeline(
         # manifest update = the resume checkpoint (geometry stamped so a
         # later resume cannot silently change bucket membership)
         done["_n_buckets"] = n_buckets
-        with open(manifest_path, "w") as f:
-            json.dump(done, f)
+        fsio.write_json(spark, manifest_path, done)
         # fold this run's kept texts into the cross-run filter AFTER the
         # manifest commit (see _update_bloom_index crash contract: a crash
         # here only lets future duplicates survive, it never drops data)

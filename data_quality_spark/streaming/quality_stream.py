@@ -92,9 +92,8 @@ def stream_quality_filter(
 
     ``bloom``: a persisted kept-text Bloom filter. Pass the PATH of
     run_pipeline's bloom_index artifact (its ``_bloom_meta.json`` sidecar
-    supplies the geometry — local paths only, same ``_require_local``
-    contract as run_pipeline: a remote URI would silently resolve to the
-    default m and turn dedup off). A raw [word_idx, bits] DataFrame is the
+    supplies the geometry; any Hadoop-supported URI works — the sidecar
+    is read through pipeline.fsio). A raw [word_idx, bits] DataFrame is the
     advanced form: its geometry CANNOT be inferred, so ``bloom_m`` must
     match the build (defaults to ``ops.dedup.BLOOM_M`` — bloom_build's
     default, NOT the pipeline artifact's) — an oversized build fails
@@ -118,20 +117,16 @@ def stream_quality_filter(
         from data_quality_spark.ops import dedup as D
 
         if isinstance(bloom, str):
-            # a pipeline artifact carries its (m, k); reuse/validate it.
-            # _require_local FIRST: _resolve_bloom_m's sidecar probe is
-            # driver-local, so a remote URI would silently fall through to
-            # the default m and probe the bitmap mod the wrong size —
-            # dedup off with no error (the exact failure run_pipeline
-            # guards against at its own entry)
+            # a pipeline artifact carries its (m, k); reuse/validate it —
+            # the sidecar probe goes through the fsio Hadoop-FS shim, so
+            # the artifact may live on any Hadoop-supported URI (the old
+            # _require_local local-only restriction is retired)
             from data_quality_spark.pipeline.quality_filter import (
-                _require_local,
                 _resolve_bloom_m,
             )
 
-            bloom = _require_local(bloom, "bloom")
             bdf = spark.read.parquet(bloom)
-            bm = _resolve_bloom_m(bloom, bloom_m, D.BLOOM_K)
+            bm = _resolve_bloom_m(spark, bloom, bloom_m, D.BLOOM_K)
         else:
             bdf = bloom
             bm = bloom_m if bloom_m is not None else D.BLOOM_M

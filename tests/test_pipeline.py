@@ -361,6 +361,57 @@ def test_pipeline_bloom_cross_run_dedup(spark, fixture_path, tmp_path):
     assert before == after
 
 
+def test_pipeline_remote_uri_via_hadoop_fs(spark, fixture_path, tmp_path):
+    """out_dir / bloom_index as URIs (file:// here) drive the driver-side
+    metadata — manifest, Bloom (m,k) sidecar, partition cleanup, existence
+    probes — through the Hadoop FileSystem API (pipeline.fsio), the exact
+    code path an hdfs:// or s3a:// run takes. Round 4 rejected these
+    outright (_require_local); now they must WORK: resume skips completed
+    buckets read from a remote manifest, and a second run resolves the
+    index geometry from the remote sidecar (full cross-run suppression)."""
+    from data_quality_spark.pipeline import fsio
+    from data_quality_spark.pipeline.quality_filter import _bloom_meta_path
+
+    out_local = tmp_path / "out_uri"
+    idx_local = tmp_path / "bloom_idx_uri"
+    out_uri = "file://" + str(out_local)
+    idx_uri = "file://" + str(idx_local)
+
+    s1 = run_pipeline(spark, fixture_path, out_uri, n_buckets=2,
+                      bloom_index=idx_uri)
+    assert s1["rows_kept"] > 0
+    # metadata landed where the URI points (visible on the local disk twin)
+    assert (out_local / "_manifest.json").exists()
+    assert (idx_local / "_bloom_meta.json").exists()
+    manifest = json.loads((out_local / "_manifest.json").read_text())
+    assert manifest["_n_buckets"] == 2
+
+    # resume reads the manifest back through the FS API: nothing pending
+    s2 = run_pipeline(spark, fixture_path, out_uri, n_buckets=2,
+                      bloom_index=idx_uri)
+    assert s2["buckets_done"] == 0 and s2["buckets_skipped"] == 2
+
+    # a FRESH out_dir over the same content: the sidecar (read via the FS
+    # API) supplies m, and the populated index suppresses every kept text
+    out2_uri = "file://" + str(tmp_path / "out_uri_b")
+    s3 = run_pipeline(spark, fixture_path, out2_uri, n_buckets=2,
+                      bloom_index=idx_uri)
+    assert s3["rows_kept"] == 0
+
+    # fsio primitive round-trip on the URI scheme (covers read_text/
+    # write_text/exists/has_glob/delete on the Hadoop path)
+    meta_uri = _bloom_meta_path(idx_uri)
+    assert fsio.is_uri(meta_uri) and fsio.exists(spark, meta_uri)
+    assert set(fsio.read_json(spark, meta_uri)) == {"m", "k"}
+    probe = "file://" + str(tmp_path / "fsio_probe" / "x.json")
+    fsio.mkdirs(spark, "file://" + str(tmp_path / "fsio_probe"))
+    fsio.write_text(spark, probe, '{"a": 1}')
+    assert fsio.read_json(spark, probe) == {"a": 1}
+    assert fsio.has_glob(spark, "file://" + str(tmp_path / "fsio_probe" / "*.json"))
+    fsio.delete(spark, "file://" + str(tmp_path / "fsio_probe"))
+    assert not fsio.exists(spark, probe)
+
+
 def test_pipeline_bloom_meta_pins_geometry(spark, fixture_path, tmp_path):
     """The index artifact records (m, k): a later run that omits bloom_m
     reuses the recorded m, and one that contradicts it fails loudly instead
