@@ -2,12 +2,14 @@
 ``binary`` columns with typed metadata, processed in Arrow-batched
 ``mapInPandas`` stages.
 
-The sandbox has no image/audio codecs, so the DECODE step is stubbed
-(deterministic fake features derived from the bytes, or
-``NotImplementedError`` when a real decode is requested). Everything
-Spark-side — schema, batch iteration, partitioning, UDF signatures — is
-real and tested; swapping the stub for Pillow/librosa is a one-function
-change inside the pandas batch.
+The sandbox has no image/audio codec LIBRARIES, but image container
+HEADERS are plain byte layouts: ``real_decode=True`` parses PNG IHDR and
+JPEG SOF0/2 width/height in pure Python inside the same Arrow batches (no
+external libs, no full pixel decode — exactly what a metadata pass over
+100 TB of crawl images should do: header bytes only, payloads never leave
+the executor). Formats without a header parser here (audio, video) fall
+back to the deterministic fake decoder; swapping in Pillow/librosa for a
+full pixel decode remains a one-function change inside the pandas batch.
 
 Scale notes: binary payloads never shuffle (all stages are map-only);
 ``spark.sql.execution.arrow.maxRecordsPerBatch`` bounds batch memory when
@@ -17,6 +19,8 @@ payloads are large (tune down for video frames).
 from __future__ import annotations
 
 import hashlib
+import struct
+import zlib
 from collections.abc import Iterator
 
 import pandas as pd
@@ -58,6 +62,157 @@ def synthesize_media(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     ).where(F.col(text_col).isNotNull())
 
 
+PNG_SIG = b"\x89PNG\r\n\x1a\n"
+# SOF markers that carry frame dimensions: C0-CF minus DHT (C4), JPG (C8)
+# and DAC (CC). Includes baseline SOF0 and progressive SOF2.
+_JPEG_SOF = {0xC0, 0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7,
+             0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF}
+_JPEG_STANDALONE = {0x01, *range(0xD0, 0xD8)}  # TEM, RSTn: no length field
+
+
+def parse_png_header(b: bytes) -> tuple[int, int] | None:
+    """(width, height) from a PNG IHDR, or None if not a parseable PNG.
+    The spec pins IHDR as the FIRST chunk, immediately after the 8-byte
+    signature: length(4) 'IHDR' width(4 BE) height(4 BE) ... — so this is
+    a fixed-offset read, no chunk walk and no CRC verification (a metadata
+    scan must tolerate payloads a full decoder would reject)."""
+    if len(b) < 24 or b[:8] != PNG_SIG or b[12:16] != b"IHDR":
+        return None
+    w, h = struct.unpack(">II", b[16:24])
+    if w == 0 or h == 0:
+        return None
+    return w, h
+
+
+def parse_jpeg_header(b: bytes) -> tuple[int, int] | None:
+    """(width, height) from the first JPEG SOF segment, or None.
+    Walks the marker stream from SOI: fill 0xFF bytes are skipped,
+    standalone markers (TEM/RSTn) advance 2 bytes, every other segment
+    carries a 2-byte big-endian length. SOFn (except DHT/JPG/DAC, which
+    share the 0xCn range but are not frame headers) carries
+    [len(2) precision(1) height(2 BE) width(2 BE)]. Stops at SOS/EOI —
+    dimensions always precede entropy-coded data."""
+    if len(b) < 4 or b[0] != 0xFF or b[1] != 0xD8:
+        return None
+    pos = 2
+    n = len(b)
+    while pos + 1 < n:
+        if b[pos] != 0xFF:
+            return None  # marker stream out of sync — not a valid JPEG
+        while pos + 1 < n and b[pos + 1] == 0xFF:
+            pos += 1  # fill bytes
+        if pos + 1 >= n:
+            return None
+        marker = b[pos + 1]
+        if marker in _JPEG_STANDALONE:
+            pos += 2
+            continue
+        if marker in (0xD9, 0xDA):  # EOI / SOS: no SOF seen → give up
+            return None
+        if pos + 4 > n:
+            return None
+        seglen = struct.unpack(">H", b[pos + 2:pos + 4])[0]
+        if seglen < 2:
+            return None
+        if marker in _JPEG_SOF:
+            if pos + 9 > n:
+                return None
+            h, w = struct.unpack(">HH", b[pos + 5:pos + 9])
+            if w == 0 or h == 0:
+                return None
+            return w, h
+        pos += 2 + seglen
+    return None
+
+
+def sniff_image(b: bytes) -> tuple[str, int, int] | None:
+    """(format, width, height) for payloads whose container header we can
+    parse; None otherwise (caller decides the fallback)."""
+    dims = parse_png_header(b)
+    if dims is not None:
+        return ("png", *dims)
+    dims = parse_jpeg_header(b)
+    if dims is not None:
+        return ("jpeg", *dims)
+    return None
+
+
+def png_bytes(w: int, h: int, tail: bytes = b"") -> bytes:
+    """A syntactically real PNG prefix (signature + IHDR with a correct
+    CRC32) followed by arbitrary tail bytes — what the fixture builder and
+    tests feed the parser. 8-bit RGB, no interlace."""
+    ihdr = struct.pack(">II", w, h) + bytes([8, 2, 0, 0, 0])
+    chunk = (struct.pack(">I", len(ihdr)) + b"IHDR" + ihdr
+             + struct.pack(">I", zlib.crc32(b"IHDR" + ihdr)))
+    return PNG_SIG + chunk + tail
+
+
+def jpeg_bytes(w: int, h: int, tail: bytes = b"",
+               progressive: bool = False) -> bytes:
+    """A syntactically real JPEG prefix: SOI, a JFIF APP0 segment (so the
+    parser must actually walk the marker stream, not read a fixed offset),
+    then SOF0 (baseline) or SOF2 (progressive) with 3 components."""
+    app0 = (b"\xff\xe0" + struct.pack(">H", 16) + b"JFIF\x00\x01\x01\x00"
+            + struct.pack(">HHBB", 1, 1, 0, 0))
+    comps = b"".join(bytes([i + 1, 0x11, 0]) for i in range(3))
+    sof = ((b"\xff\xc2" if progressive else b"\xff\xc0")
+           + struct.pack(">HBHH", 8 + 3 * 3, 8, h, w) + bytes([3]) + comps)
+    return b"\xff\xd8" + app0 + sof + tail
+
+
+# header sizes the synthesized payloads add (oracle twins recompute
+# n_bytes arithmetically from these)
+PNG_HEADER_LEN = len(png_bytes(1, 1))        # 8 sig + 25 IHDR chunk = 33
+JPEG_HEADER_LEN = len(jpeg_bytes(1, 1))      # 2 SOI + 18 APP0 + 19 SOF = 39
+
+
+def synthesize_media_real(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Fixture builder whose payloads carry GENUINE container headers:
+    format cycles png / jpeg / wav by id; png and jpeg payloads start with
+    a real signature+IHDR / SOI+APP0+SOF prefix encoding deterministic
+    dimensions (w = 16 + id % 625, h = 16 + 7·id % 475; jpeg alternates
+    baseline SOF0 and progressive SOF2 by id), followed by the utf-8 text
+    bytes. wav payloads are raw text bytes — no parser here, so they
+    exercise the fake-decoder fallback. The dims being pure id arithmetic
+    is what lets a SQL oracle verify the parse round-trip exactly."""
+    src = df.select(
+        F.col(id_col).cast("long").alias("media_id"),
+        F.col(text_col).alias("__text"),
+    ).where(F.col(text_col).isNotNull())
+    out_schema = StructType([
+        StructField("media_id", LongType()),
+        StructField("payload", BinaryType()),
+        StructField("format", StringType()),
+    ])
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            ids, payloads, fmts = [], [], []
+            for mid, text in zip(pdf["media_id"], pdf["__text"]):
+                mid = int(mid)
+                tail = str(text).encode("utf-8")
+                w, h = 16 + mid % 625, 16 + (mid * 7) % 475
+                k = mid % 3
+                if k == 0:
+                    payloads.append(png_bytes(w, h, tail))
+                    fmts.append("png")
+                elif k == 1:
+                    payloads.append(
+                        jpeg_bytes(w, h, tail, progressive=(mid // 3) % 2 == 0)
+                    )
+                    fmts.append("jpeg")
+                else:
+                    payloads.append(tail)
+                    fmts.append("wav")
+                ids.append(mid)
+            yield pd.DataFrame(
+                {"media_id": pd.Series(ids, dtype="int64"),
+                 "payload": payloads, "format": fmts}
+            )
+
+    return src.mapInPandas(batches, out_schema)
+
+
 def _fake_decode(payload: bytes, fmt: str) -> tuple[int, int]:
     """STUB for the codec step (no image/audio libs in this container).
     Deterministic pseudo-dimensions from the digest — replace with
@@ -71,24 +226,30 @@ def decode_media_meta(
 ) -> DataFrame:
     """mapInPandas stage: binary payload → typed metadata row per media.
 
-    The Arrow batch iterator shape (Iterator[pd.DataFrame] →
-    Iterator[pd.DataFrame]) is the production contract; only the per-row
-    decode inside is stubbed."""
-    if real_decode:
-        raise NotImplementedError(
-            "real media decode requires codec libraries not present in this "
-            "environment; the Spark plumbing is identical either way"
-        )
+    ``real_decode=True`` parses genuine container headers (PNG IHDR, JPEG
+    SOF0/2 — pure-Python byte reads, no codec libs, no pixel decode): the
+    sniffed format and header dimensions win; payloads with no parseable
+    image header (audio/video/corrupt) keep the declared format column and
+    fall back to the deterministic fake decoder. ``real_decode=False``
+    keeps the historical all-fake behavior (fixture-stable digests/dims).
+    Either way the Arrow batch iterator shape (Iterator[pd.DataFrame] →
+    Iterator[pd.DataFrame]) is the production contract."""
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
             payloads = pdf["payload"]
-            widths, heights, digests, sizes = [], [], [], []
-            for p in payloads:
+            widths, heights, digests, sizes, fmts = [], [], [], [], []
+            for p, declared in zip(payloads, pdf["format"]):
                 b = bytes(p) if p is not None else b""
-                w, h = _fake_decode(b, "")
+                sniffed = sniff_image(b) if real_decode else None
+                if sniffed is not None:
+                    fmt, w, h = sniffed
+                else:
+                    fmt = declared
+                    w, h = _fake_decode(b, fmt)
                 widths.append(w)
                 heights.append(h)
+                fmts.append(fmt)
                 digests.append(hashlib.md5(b).hexdigest())
                 sizes.append(len(b))
             yield pd.DataFrame(
@@ -96,7 +257,7 @@ def decode_media_meta(
                     "media_id": pdf["media_id"],
                     "n_bytes": sizes,
                     "digest_md5": digests,
-                    "format": pdf["format"],
+                    "format": fmts,
                     "width": widths,
                     "height": heights,
                 }

@@ -3154,6 +3154,21 @@ def q_multimodal_meta(spark, sf_dir):
     return M.decode_media_meta(media)
 
 
+def q_multimodal_real_meta(spark, sf_dir):
+    """REAL header decode round-trip: the fixture builder writes genuine
+    PNG IHDR / JPEG SOF0/2 prefixes encoding id-arithmetic dimensions;
+    decode_media_meta(real_decode=True) must parse those exact values back
+    out of the bytes (the oracle recomputes them arithmetically — any
+    parser bug breaks the hash). wav rows carry no image header and pin
+    the fake-decoder fallback."""
+    media = M.synthesize_media_real(
+        _t(spark, sf_dir, "documents"), "doc_id", "text"
+    )
+    return M.decode_media_meta(media, real_decode=True).select(
+        "media_id", "n_bytes", "format", "width", "height"
+    )
+
+
 FRAME_EVERY_N = 2
 
 
@@ -3192,6 +3207,27 @@ SELECT doc_id AS media_id,
        ['png','jpeg','wav'][doc_id % 3 + 1] AS format,
        64 + ('0x' || substring(md5(text), 1, 2))::INT % 192 AS width,
        64 + ('0x' || substring(md5(text), 3, 2))::INT % 192 AS height
+FROM documents WHERE text IS NOT NULL
+"""
+
+
+# dims/header sizes mirror ops.multimodal.synthesize_media_real exactly:
+# the engine round-trips them through real PNG/JPEG header BYTES, the
+# oracle recomputes them arithmetically — equality proves the parse.
+SQL_MULTIMODAL_REAL_META = f"""
+SELECT doc_id AS media_id,
+       octet_length(encode(text))
+         + CASE doc_id % 3 WHEN 0 THEN {M.PNG_HEADER_LEN}
+                           WHEN 1 THEN {M.JPEG_HEADER_LEN}
+                           ELSE 0 END AS n_bytes,
+       CASE doc_id % 3 WHEN 0 THEN 'png' WHEN 1 THEN 'jpeg'
+                       ELSE 'wav' END AS format,
+       CASE WHEN doc_id % 3 = 2
+            THEN 64 + ('0x' || substring(md5(text), 1, 2))::INT % 192
+            ELSE CAST(16 + doc_id % 625 AS INT) END AS width,
+       CASE WHEN doc_id % 3 = 2
+            THEN 64 + ('0x' || substring(md5(text), 3, 2))::INT % 192
+            ELSE CAST(16 + (doc_id * 7) % 475 AS INT) END AS height
 FROM documents WHERE text IS NOT NULL
 """
 
@@ -3649,6 +3685,7 @@ OPS_QUERIES = {
     "text_boilerplate": q_text_boilerplate,
     "doc_fingerprint": q_doc_fingerprint,
     "multimodal_meta": q_multimodal_meta,
+    "multimodal_real_meta": q_multimodal_real_meta,
     "multimodal_frames": q_multimodal_frames,
     "qf_heuristic_keep": q_qf_heuristic_keep,
     "qf_scrub": q_qf_scrub,
@@ -3732,6 +3769,7 @@ OPS_ORACLES = {
     "text_boilerplate": _sql_boilerplate(),
     "doc_fingerprint": SQL_DOC_FINGERPRINT,
     "multimodal_meta": SQL_MULTIMODAL_META,
+    "multimodal_real_meta": SQL_MULTIMODAL_REAL_META,
     "multimodal_frames": SQL_MULTIMODAL_FRAMES,
     "qf_heuristic_keep": _sql_qf_heuristic_keep(),
     "qf_scrub": _sql_qf_scrub(),
