@@ -1320,41 +1320,70 @@ def split_sentences(text: Column) -> Column:
 
 
 def remove_dup_spans(
-    df: DataFrame, id_col: str, text_col: str, n: int = SPAN_N
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = SPAN_N,
+    unit: str = "sentence",
+    min_chars: int = 0,
 ) -> DataFrame:
     """C4-style corpus-level duplicated-span REMOVAL: any run of `n`
-    consecutive sentences occurring more than once across the corpus is
+    consecutive units occurring more than once across the corpus is
     kept at its FIRST occurrence (min (id, start)) and removed everywhere
-    else; affected documents are rebuilt from their surviving sentences
-    (single-space joins — the boundary whitespace is consumed by the
-    sentence split; unaffected documents pass through byte-identical).
+    else; affected documents are rebuilt from their surviving units.
     Returns (id_col, text_dedup, n_removed) for every input row.
 
-    This is the REWRITE twin of dup_span_stats (which only reports the
-    duplicated fraction): C4's three-sentence dedup / Lee et al. 2022's
-    exact-substring removal at sentence granularity.
+    unit='sentence' (default): terminal-punctuation split, single-space
+    rejoin (the boundary whitespace is consumed by the split; unaffected
+    documents pass through byte-identical) — C4's three-sentence dedup /
+    Lee et al. 2022's exact-substring removal at sentence granularity.
+    unit='paragraph': newline split, newline rejoin — with n=1 this is
+    Dolma-style exact paragraph dedup as a corpus-level first-occurrence
+    keeper (the Bloom sibling remove_seen_paragraphs dedups against a
+    PERSISTED snapshot instead and cannot pick in-corpus keepers).
+
+    min_chars: spans containing any unit shorter than this are never
+    dedup candidates (no key emitted). Essential at paragraph grain —
+    blank lines and one-word paragraphs repeat corpus-wide by nature, and
+    removing them would rewrite formatting everywhere (same rationale as
+    boilerplate_lines' min_line_chars).
 
     Scale shape (100 TB): the span exchange carries (key, id, start) ONLY —
-    md5 span keys, never sentence text; duplicate detection and keeper
+    md5 span keys, never unit text; duplicate detection and keeper
     selection are ONE window over the key (single shuffle, occ evaluated
-    once). Only AFFECTED documents' sentences re-shuffle for reassembly
+    once). Only AFFECTED documents' units re-shuffle for reassembly
     (cost ∝ duplicated content, not corpus). Ids of any orderable type
     work — the keeper is a lexicographic (id, start) struct min."""
-    sents = split_sentences(F.col(text_col))
+    if unit == "paragraph":
+        units = F.split(F.col(text_col), r"\n")
+        joiner = "\n"
+    elif unit == "sentence":
+        units = split_sentences(F.col(text_col))
+        joiner = " "
+    else:
+        raise ValueError(f"unknown unit {unit!r}: 'sentence' or 'paragraph'")
     base = (
         df.where(F.col(text_col).isNotNull())
-        .select(F.col(id_col).alias("id"), sents.alias("__s"))
+        .select(F.col(id_col).alias("id"), units.alias("__s"))
     )
     nspan = F.size(F.col("__s")) - (n - 1)
-    span_at = lambda i: F.struct(  # noqa: E731
-        i.alias("start"),
-        F.md5(
+
+    def span_at(i):
+        key = F.md5(
             F.concat_ws(
                 SPAN_SENT_SEP,
                 *[F.element_at(F.col("__s"), i + j) for j in range(n)],
             )
-        ).alias("key"),
-    )
+        )
+        if min_chars > 0:
+            ok = F.lit(True)
+            for j in range(n):
+                ok = ok & (
+                    F.length(F.element_at(F.col("__s"), i + j)) >= min_chars
+                )
+            key = F.when(ok, key)
+        return F.struct(i.alias("start"), key.alias("key"))
+
     occ = (
         base.select(
             "id",
@@ -1366,6 +1395,7 @@ def remove_dup_spans(
             ).alias("sp"),
         )
         .select("id", F.col("sp.start").alias("start"), F.col("sp.key").alias("key"))
+        .where(F.col("key").isNotNull())
     )
     # duplicate detection + keeper selection as a WINDOW over the span key,
     # not a count/min-aggregate self-join: occ appears ONCE in the plan
@@ -1403,7 +1433,7 @@ def remove_dup_spans(
                     F.array_sort(F.collect_list(F.struct("idx", "sent"))),
                     lambda x: x["sent"],
                 ),
-                " ",
+                joiner,
             ).alias("__txt")
         )
     )

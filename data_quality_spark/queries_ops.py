@@ -533,6 +533,80 @@ def q_dedup_span_removal(spark, sf_dir):
     return D.remove_dup_spans(corpus, "doc_id", "text")
 
 
+# paragraph-grain fixture: every 15th doc gains a shared spam paragraph
+# (corpus-wide duplicate → removed after the first occurrence) and every
+# 7th doc gains a SHORT duplicated line that min_chars must protect
+PARA_SPAM = "Subscribe to our newsletter for exclusive spam offers today"
+PARA_SHORT = "ok"
+PARA_MIN_CHARS = 10
+
+
+def q_dedup_span_removal_para(spark, sf_dir):
+    """Paragraph-grain duplicated-span removal (Dolma-style exact paragraph
+    dedup with an in-corpus first-occurrence keeper): n=1 paragraph spans
+    over newline-split docs; paragraphs shorter than min_chars (blank
+    lines, 'ok') are never candidates, so formatting survives."""
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    corpus = docs.select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.when(F.col("doc_id") % 15 == 0, F.lit("\n" + PARA_SPAM))
+            .otherwise(F.lit("")),
+            F.when(F.col("doc_id") % 7 == 0, F.lit("\n" + PARA_SHORT))
+            .otherwise(F.lit("")),
+        ).alias("text"),
+    )
+    return D.remove_dup_spans(
+        corpus, "doc_id", "text", n=1, unit="paragraph",
+        min_chars=PARA_MIN_CHARS,
+    )
+
+
+def _sql_dedup_span_removal_para() -> str:
+    return f"""
+WITH corpus AS (
+  SELECT doc_id,
+         text || CASE WHEN doc_id % 15 = 0 THEN chr(10) || '{PARA_SPAM}'
+                      ELSE '' END
+              || CASE WHEN doc_id % 7 = 0 THEN chr(10) || '{PARA_SHORT}'
+                      ELSE '' END AS text
+  FROM documents),
+base AS (
+  SELECT doc_id AS id, string_split(text, chr(10)) AS s
+  FROM corpus WHERE text IS NOT NULL),
+occ AS (
+  SELECT id, i AS start, md5(s[i]) AS key
+  FROM base, unnest(range(1, len(s) + 1)) AS t(i)
+  WHERE length(s[i]) >= {PARA_MIN_CHARS}),
+marked AS (
+  SELECT id, start,
+         count(*) OVER (PARTITION BY key) AS n_occ,
+         min((id, start)) OVER (PARTITION BY key) AS keeper
+  FROM occ),
+rem AS (
+  SELECT DISTINCT id, start AS idx
+  FROM marked WHERE n_occ > 1 AND (id, start) <> keeper),
+sent AS (
+  SELECT id, i AS idx, s[i] AS sent
+  FROM base, unnest(range(1, len(s) + 1)) AS t(i)),
+kept AS (
+  SELECT s2.id, s2.idx, s2.sent FROM sent s2
+  WHERE NOT EXISTS (SELECT 1 FROM rem r WHERE r.id = s2.id AND r.idx = s2.idx)),
+nrem AS (SELECT id, count(*) AS n_removed FROM rem GROUP BY 1),
+rebuilt AS (
+  SELECT id, string_agg(sent, chr(10) ORDER BY idx) AS txt
+  FROM kept WHERE id IN (SELECT id FROM nrem) GROUP BY id)
+SELECT c.doc_id,
+       CASE WHEN nrem.id IS NOT NULL THEN coalesce(rebuilt.txt, '')
+            ELSE c.text END AS text_dedup,
+       coalesce(nrem.n_removed, 0) AS n_removed
+FROM corpus c
+LEFT JOIN nrem ON nrem.id = c.doc_id
+LEFT JOIN rebuilt ON rebuilt.id = c.doc_id
+"""
+
+
 def _sql_dedup_span_removal() -> str:
     n = D.SPAN_N
     key = " || chr(2) || ".join(
@@ -3617,6 +3691,7 @@ OPS_QUERIES = {
     "dedup_para_bloom": q_dedup_bloom_paras,
     "dedup_minhash_incr": q_dedup_minhash_incr,
     "dedup_span_removal": q_dedup_span_removal,
+    "dedup_span_removal_para": q_dedup_span_removal_para,
     "dedup_span_removal_tok": q_dedup_span_removal_tok,
     "dedup_dup_spans": q_dedup_dup_spans,
     "dedup_exact_drop": q_dedup_exact_drop,
@@ -3701,6 +3776,7 @@ OPS_ORACLES = {
     "dedup_para_bloom": _sql_dedup_bloom_paras(),
     "dedup_minhash_incr": _sql_dedup_minhash_incr(),
     "dedup_span_removal": _sql_dedup_span_removal(),
+    "dedup_span_removal_para": _sql_dedup_span_removal_para(),
     "dedup_span_removal_tok": _sql_dedup_span_removal_tok(),
     "dedup_dup_spans": _sql_dedup_dup_spans(),
     "dedup_exact_drop": SQL_DEDUP_EXACT_DROP,

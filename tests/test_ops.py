@@ -1942,6 +1942,40 @@ def test_remove_dup_spans(spark):
     assert out[5]["text_dedup"] is None and out[5]["n_removed"] == 0
 
 
+def test_remove_dup_spans_paragraph_grain(spark):
+    """unit='paragraph', n=1 (Dolma-style): a paragraph duplicated across
+    docs survives only at its first (id, start) occurrence; short/blank
+    paragraphs are protected by min_chars; rebuild joins with newlines."""
+    spam = "Subscribe now for the best unbeatable offers"
+    df = spark.createDataFrame(
+        [(1, f"First doc intro paragraph.\n{spam}\nFirst doc closing words."),
+         (2, f"Second doc other content.\n\nok\n{spam}"),
+         (3, f"{spam}\n{spam}"),  # in-doc repeat: only the cross-ref keeper row survives corpus-wide
+         (4, "Clean document.\n\nok\nNothing here repeats at length."),
+         (5, None)],
+        "doc_id int, text string",
+    )
+    out = {r["doc_id"]: r for r in
+           D.remove_dup_spans(df, "doc_id", "text", n=1, unit="paragraph",
+                              min_chars=10).collect()}
+    # keeper = min (id, start): doc 1 keeps the spam paragraph
+    assert out[1]["text_dedup"] == (
+        f"First doc intro paragraph.\n{spam}\nFirst doc closing words."
+    )
+    assert out[1]["n_removed"] == 0
+    # doc 2 loses it but KEEPS the blank line and the short 'ok' paragraph
+    assert out[2]["text_dedup"] == "Second doc other content.\n\nok"
+    assert out[2]["n_removed"] == 1
+    # both of doc 3's copies are non-keepers → doc empties
+    assert out[3]["text_dedup"] == "" and out[3]["n_removed"] == 2
+    # 'ok' repeats across docs 2 and 4 but is under min_chars → untouched
+    assert out[4]["text_dedup"] == (
+        "Clean document.\n\nok\nNothing here repeats at length."
+    )
+    assert out[4]["n_removed"] == 0
+    assert out[5]["text_dedup"] is None and out[5]["n_removed"] == 0
+
+
 def test_remove_dup_token_spans(spark):
     # 8-token copied passage with NO terminal punctuation — invisible to the
     # sentence-grain op, the exact case the token-grain variant exists for
