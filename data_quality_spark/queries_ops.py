@@ -1958,6 +1958,43 @@ FROM snaps GROUP BY 1
 """
 
 
+def q_text_crawl_latest_tied(spark, sf_dir):
+    """Tie-semantics pin for latest_snapshot (r4 ADVICE): the fixture
+    PRODUCES tied crawl_ids per doc (two snapshots share crawl 202401 with
+    different texts), so the documented tie rule — max payload struct, i.e.
+    lexicographic max text among max-crawl rows — is what the hash gate
+    actually verifies (the untied fixture could never exercise it)."""
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    a = docs.select(
+        "doc_id", F.lit(202401).cast("bigint").alias("crawl_id"),
+        F.concat(F.col("text"), F.lit(" a1")).alias("text"))
+    b = docs.where(F.col("doc_id") % 2 == 0).select(
+        "doc_id", F.lit(202401).cast("bigint").alias("crawl_id"),
+        F.concat(F.col("text"), F.lit(" b1")).alias("text"))
+    c = docs.where(F.col("doc_id") % 3 == 0).select(
+        "doc_id", F.lit(202402).cast("bigint").alias("crawl_id"),
+        F.concat(F.col("text"), F.lit(" c2")).alias("text"))
+    snaps = a.unionByName(b).unionByName(c)
+    return T.latest_snapshot(snaps, "doc_id", "crawl_id", ["text"])
+
+
+def _sql_text_crawl_latest_tied() -> str:
+    # engine tie rule restated in ANSI SQL: max crawl_id first, then
+    # lexicographic max text among the rows tied on it (= struct max)
+    return """
+WITH snaps AS (
+  SELECT doc_id, 202401 AS crawl_id, text || ' a1' AS text FROM documents
+  UNION ALL
+  SELECT doc_id, 202401, text || ' b1' FROM documents WHERE doc_id % 2 = 0
+  UNION ALL
+  SELECT doc_id, 202402, text || ' c2' FROM documents WHERE doc_id % 3 = 0),
+mx AS (SELECT doc_id, max(crawl_id) AS crawl_id FROM snaps GROUP BY 1)
+SELECT s.doc_id, s.crawl_id, max(s.text) AS text
+FROM snaps s JOIN mx USING (doc_id, crawl_id)
+GROUP BY 1, 2
+"""
+
+
 # ---------------------------------------------------------------------------
 # graph 1 — host-rank quality prior (CCNet/RefinedWeb-style crawl ranks)
 # ---------------------------------------------------------------------------
@@ -3724,6 +3761,7 @@ OPS_QUERIES = {
     "graph_trust_rank": q_graph_trust_rank,
     "graph_personal_rank": q_graph_personal_rank,
     "text_crawl_latest": q_text_crawl_latest,
+    "text_crawl_latest_tied": q_text_crawl_latest_tied,
     "text_url_spam": q_text_url_spam,
     "text_fertility": q_text_fertility,
     "text_pii_counts": q_text_pii_counts,
@@ -3809,6 +3847,7 @@ OPS_ORACLES = {
     "graph_trust_rank": _sql_graph_trust_rank(),
     "graph_personal_rank": _sql_graph_personal_rank(),
     "text_crawl_latest": _sql_text_crawl_latest(),
+    "text_crawl_latest_tied": _sql_text_crawl_latest_tied(),
     "text_url_spam": _sql_text_url_spam(),
     "text_fertility": _sql_text_fertility(),
     "text_pii_counts": _sql_text_pii_counts(),

@@ -2523,6 +2523,21 @@ def test_latest_snapshot(spark):
     assert got == {"u1": (202403, "new"), "u2": (202401, "only")}
 
 
+def test_latest_snapshot_tie_breaks_on_payload_struct(spark):
+    """Documented tie rule (r4 ADVICE): rows tied on order_col resolve to
+    the lexicographic MAX payload struct — deterministic under any
+    partitioning, and what the text_crawl_latest_tied oracle pins."""
+    df = spark.createDataFrame(
+        [("u1", 202401, "alpha"), ("u1", 202401, "beta"),
+         ("u1", 202400, "zzz-older-crawl-never-wins"),
+         ("u2", 202401, "b"), ("u2", 202401, "a")],
+        "url string, crawl_id bigint, text string",
+    )
+    got = {r["url"]: (r["crawl_id"], r["text"]) for r in
+           T.latest_snapshot(df, "url", "crawl_id", ["text"]).collect()}
+    assert got == {"u1": (202401, "beta"), "u2": (202401, "b")}
+
+
 def test_q_dedup_para_minhash(spark):
     """Paragraph-grain near-dup pairs over the exact-dup-augmented corpus:
     cross-doc exact paragraph copies come out at J=1.0 and the in-doc
