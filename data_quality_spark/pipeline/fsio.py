@@ -124,6 +124,27 @@ def write_json(spark, path: str, obj: dict) -> None:
     write_text(spark, path, json.dumps(obj))
 
 
+def content_length(spark, path: str) -> int:
+    """Total bytes under ``path`` (file or directory tree) — the cheap
+    footer-level size probe used to gate broadcast decisions. 0 for a
+    missing path."""
+    if not is_uri(path):
+        if os.path.isfile(path):
+            return os.path.getsize(path)
+        total = 0
+        for root, _dirs, files in os.walk(path):
+            for f in files:
+                try:
+                    total += os.path.getsize(os.path.join(root, f))
+                except OSError:
+                    pass
+        return total
+    fs, jpath, _ = _hfs(spark, path)
+    if not fs.exists(jpath):
+        return 0
+    return int(fs.getContentSummary(jpath).getLength())
+
+
 def join(path: str, *parts: str) -> str:
     """Join path components; URI-safe (always '/', never os.sep games)."""
     out = path.rstrip("/")

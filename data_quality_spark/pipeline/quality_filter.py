@@ -303,27 +303,52 @@ def with_model_scores(df: DataFrame, cfg: QFConfig = DEFAULT_CONFIG) -> DataFram
     return df
 
 
+# On-disk ceiling for auto-broadcasting the rank artifact. A forced
+# broadcast must fit the DRIVER heap and every executor heap, not just the
+# 8 GB relation ceiling — and parquet decompresses 3-5× into the in-memory
+# hash relation, so a few hundred MB on disk is the sane cutoff (r4
+# advice: the earlier unconditional hint hard-aborted on default driver
+# memory long before the ceiling).
+HOST_RANK_BROADCAST_MAX_BYTES = 256 << 20
+
+
 def with_host_rank(
-    df: DataFrame, cfg: QFConfig, broadcast: bool = True
+    df: DataFrame, cfg: QFConfig, broadcast: bool | str = "auto"
 ) -> DataFrame:
     """Join the persisted crawl-rank prior (ops.graph.host_rank artifact)
     onto the pages frame as a `host_rank` column (NULL = host unknown).
 
-    broadcast=True (default) pins the rank table as the build side: the
-    pages frame must NEVER shuffle for a lookup, and a CommonCrawl-scale
-    host table (~10^8 hosts × ~40 B ≈ 4 GB) still fits the 8 GB broadcast
-    ceiling on production executors — but it DOES bypass
-    autoBroadcastJoinThreshold, so callers with a pathologically wide rank
-    table (extra columns, unaggregated host duplicates) should pass False
-    and pre-bucket both sides instead; a plain left join would otherwise
-    sort-merge-shuffle the 100 TB pages side. Stream-safe either way
-    (stream-static join)."""
+    broadcast='auto' (default) probes the artifact's on-disk footprint
+    (fsio.content_length — one metadata RPC) and adds the broadcast hint
+    only under HOST_RANK_BROADCAST_MAX_BYTES; above it the plan is left to
+    AQE, which still broadcast-converts at runtime if the scanned relation
+    turns out small, and otherwise shuffles — a slow plan instead of a
+    driver/executor OOM abort. broadcast=True forces the hint (caller
+    asserts the table fits the heaps: the pages side must NEVER shuffle
+    for a lookup); False never hints — pre-bucket both sides instead.
+    Stream-safe either way (stream-static join)."""
     from data_quality_spark.ops.textops import host_of
 
+    spark = df.sparkSession
     ranks = (
-        df.sparkSession.read.parquet(cfg.host_rank_path)
+        spark.read.parquet(cfg.host_rank_path)
         .select(F.col("host").alias("__hr_host"), F.col("rank").alias("host_rank"))
     )
+    if broadcast == "auto":
+        nbytes = fsio.content_length(spark, cfg.host_rank_path)
+        broadcast = nbytes <= HOST_RANK_BROADCAST_MAX_BYTES
+        if not broadcast:
+            import warnings
+
+            warnings.warn(
+                f"host-rank artifact at {cfg.host_rank_path} is "
+                f"{nbytes >> 20} MiB on disk — above the "
+                f"{HOST_RANK_BROADCAST_MAX_BYTES >> 20} MiB auto-broadcast "
+                "ceiling; leaving the join strategy to AQE. Pass "
+                "broadcast=True to force the hint if your executors are "
+                "sized for it.",
+                stacklevel=2,
+            )
     if broadcast:
         ranks = F.broadcast(ranks)
     return (

@@ -701,6 +701,42 @@ def test_host_low_rank_rule(spark, fixture_path, tmp_path):
     assert mism <= 2  # same tolerance as the full-corpus fired-rules test
 
 
+def test_host_rank_broadcast_gated_on_artifact_size(spark, tmp_path, monkeypatch):
+    """r4 ADVICE: the broadcast hint must be gated on the artifact's
+    on-disk size — a small artifact gets the hint (pages side never
+    shuffles), an over-ceiling one warns and leaves the strategy to AQE
+    instead of force-broadcasting into a driver/executor OOM."""
+    from data_quality_spark.pipeline import quality_filter as QF
+    from data_quality_spark.pipeline.quality_filter import QFConfig, with_host_rank
+
+    rank_path = str(tmp_path / "ranks.parquet")
+    spark.createDataFrame(
+        [("a.example", 0.9), ("b.example", 0.1)], "host string, rank double"
+    ).write.parquet(rank_path)
+    pages = spark.createDataFrame(
+        [(f"https://a.example/{i}",) for i in range(10)], "url string"
+    )
+    cfg = QFConfig(host_rank_path=rank_path)
+
+    # under the ceiling: hint applied → broadcast join in the plan
+    plan = with_host_rank(pages, cfg)._jdf.queryExecution().executedPlan().toString()
+    assert "Broadcast" in plan
+
+    # over the ceiling (forced via monkeypatch): loud warning, no hint
+    monkeypatch.setattr(QF, "HOST_RANK_BROADCAST_MAX_BYTES", 0)
+    with pytest.warns(UserWarning, match="auto-broadcast"):
+        out = with_host_rank(pages, cfg)
+    opt = out._jdf.queryExecution().optimizedPlan().toString()
+    assert "ResolvedHint" not in opt and "hints=" not in opt
+    # explicit opt-in still forces the hint regardless of size
+    forced = with_host_rank(pages, cfg, broadcast=True)
+    assert "Broadcast" in (
+        forced._jdf.queryExecution().executedPlan().toString()
+    )
+    # and the join result is unchanged either way
+    assert sorted(r["host_rank"] for r in out.collect()) == [0.9] * 10
+
+
 def test_rule_ablation_counts(spark):
     """Per-rule ablation: n_fired counts every firing doc, n_sole only
     docs where that rule fires alone; clean docs contribute nothing."""
