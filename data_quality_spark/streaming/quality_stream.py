@@ -212,6 +212,42 @@ def host_quota_stream(
     )
 
 
+def latest_snapshot_stream(
+    pages: DataFrame,
+    key_col: str,
+    ts_col: str,
+    payload_cols: list[str],
+    window: str = "1 day",
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """Streaming twin of ``ops.textops.latest_snapshot``: one winner row
+    per key per event-time window — the max (ts, payload...) STRUCT, so
+    out-of-order revisions inside the window resolve to the newest one and
+    ties on the timestamp break exactly like the batch op (lexicographic
+    max payload struct — the documented, oracle-pinned rule).
+
+    Built-in windowed aggregation, not custom state: watermark + window
+    grouping makes it APPEND-compatible (a window's winner is emitted
+    once, when the watermark passes its end) and bounds state at one
+    struct per live (key, window) — revisions arriving later than the
+    watermark are dropped, the standard lambda split (the nightly batch
+    latest_snapshot over the lake remains the exact-final source of
+    truth). Output: (key, window_start, ts, payloads...)."""
+    m = F.max(
+        F.struct(F.col(ts_col), *[F.col(c) for c in payload_cols])
+    ).alias("__m")
+    return (
+        pages.withWatermark(ts_col, watermark)
+        .groupBy(F.window(F.col(ts_col), window).alias("w"), F.col(key_col))
+        .agg(m)
+        .select(
+            key_col,
+            F.col("w.start").alias("window_start"),
+            *[F.col(f"__m.{c}").alias(c) for c in [ts_col] + payload_cols],
+        )
+    )
+
+
 def stream_rule_metrics(
     spark: SparkSession,
     in_path: str,

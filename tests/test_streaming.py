@@ -218,6 +218,68 @@ def test_stream_dedup_within_watermark(spark, tmp_path):
     assert len(urls) == 2
 
 
+def test_latest_snapshot_stream_out_of_order(spark, tmp_path):
+    """Streaming latest-snapshot keeper (r4 verdict #8): out-of-order
+    revisions of a url inside one window resolve to the newest (struct-max,
+    identical to batch latest_snapshot); the winner row is APPENDED once
+    the watermark passes the window end (advanced here by a later sentinel
+    file in a second micro-batch)."""
+    import datetime as dt
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from data_quality_spark.ops.textops import latest_snapshot
+    from data_quality_spark.streaming.quality_stream import (
+        latest_snapshot_stream,
+    )
+
+    base = dt.datetime(2024, 1, 1, 0, 0, 0)
+    schema = pa.schema([("url", pa.string()), ("warc_ts", pa.timestamp("us")),
+                        ("text", pa.string())])
+    # u1's NEWEST revision arrives FIRST (out of order); u2 single row;
+    # u3 has a timestamp TIE → lexicographic max text must win
+    revs = [
+        {"url": "u1", "warc_ts": base + dt.timedelta(minutes=30), "text": "v3"},
+        {"url": "u1", "warc_ts": base + dt.timedelta(minutes=10), "text": "v1"},
+        {"url": "u1", "warc_ts": base + dt.timedelta(minutes=20), "text": "v2"},
+        {"url": "u2", "warc_ts": base + dt.timedelta(minutes=5), "text": "only"},
+        {"url": "u3", "warc_ts": base + dt.timedelta(minutes=7), "text": "aa"},
+        {"url": "u3", "warc_ts": base + dt.timedelta(minutes=7), "text": "bb"},
+    ]
+    sentinel = [{"url": "zz-flush", "warc_ts": base + dt.timedelta(days=3),
+                 "text": "advances the watermark past window 1"}]
+    src = str(tmp_path / "snap_src")
+    os.makedirs(src, exist_ok=True)
+    pq.write_table(pa.Table.from_pylist(revs, schema=schema),
+                   os.path.join(src, "a_revs.parquet"))
+    pq.write_table(pa.Table.from_pylist(sentinel, schema=schema),
+                   os.path.join(src, "b_flush.parquet"))
+
+    sschema = "url string, warc_ts timestamp, text string"
+    stream = (spark.readStream.schema(sschema)
+              .option("maxFilesPerTrigger", 1).parquet(src))
+    agg = latest_snapshot_stream(stream, "url", "warc_ts", ["text"],
+                                 window="1 day", watermark="1 hour")
+    out = str(tmp_path / "snap_out")
+    q = (agg.writeStream.format("parquet").option("path", out)
+         .option("checkpointLocation", str(tmp_path / "snap_ckpt"))
+         .outputMode("append").trigger(availableNow=True).start())
+    q.awaitTermination(300)
+    got = {r["url"]: (r["warc_ts"], r["text"])
+           for r in spark.read.parquet(out).collect()}
+    # the sentinel's own window never closes → exactly the 3 real urls
+    assert set(got) == {"u1", "u2", "u3"}
+    assert got["u1"] == (base + dt.timedelta(minutes=30), "v3")
+    assert got["u2"] == (base + dt.timedelta(minutes=5), "only")
+    assert got["u3"] == (base + dt.timedelta(minutes=7), "bb")  # tie → max text
+    # exact batch parity on the same rows (struct-max tie rule shared)
+    batch = {r["url"]: (r["warc_ts"], r["text"]) for r in latest_snapshot(
+        spark.createDataFrame([tuple(r.values()) for r in revs], sschema),
+        "url", "warc_ts", ["text"]).collect()}
+    assert batch == got
+
+
 def test_stream_bloom_suppression(spark, stream_in, tmp_path):
     """Static Bloom filter of the batch layer's kept texts suppresses
     re-crawled content in the stream with ZERO streaming state."""
