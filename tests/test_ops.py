@@ -2323,6 +2323,64 @@ def test_read_warc_large_segment_warning(spark, tmp_path):
     assert df.count() == 1  # warning only — the read still works
 
 
+def test_read_warc_split_member_grain(spark, tmp_path):
+    """Index-less record-grain reads (r4 verdict #9): the boundary scan
+    finds every gzip member in a multi-record .warc.gz without holding the
+    file (chunked decompress-and-discard), and the fetch stage spreads
+    members over >1 task. Byte fidelity per record; whole-file-gzip and
+    plain segments degrade to one range each."""
+    import gzip as _gz
+    import io as _io
+
+    from data_quality_spark.sources import warc as W
+
+    recs = [(f"https://s.example/{i}", "2024-01-02T03:04:05Z",
+             f"<html><main><p>split body {i}.</p></main></html>".encode())
+            for i in range(8)]
+    # per-record-member segment (Common-Crawl framing), NO cdx written
+    W.write_warc_cdx(str(tmp_path / "seg.warc.gz"), recs,
+                     str(tmp_path / "ignored.cdx"))
+    (tmp_path / "ignored.cdx").unlink()
+
+    # boundary scan: 8 members, contiguous, chunk smaller than one member
+    with open(tmp_path / "seg.warc.gz", "rb") as fh:
+        spans = list(W.iter_gzip_members(fh, chunk_bytes=7))
+    assert len(spans) == 8
+    assert spans[0][0] == 0
+    for (o1, l1), (o2, _) in zip(spans, spans[1:]):
+        assert o1 + l1 == o2
+    import os as _os
+
+    assert spans[-1][0] + spans[-1][1] == _os.path.getsize(
+        tmp_path / "seg.warc.gz")
+    # a torn trailing member is dropped, not a phantom range
+    with open(tmp_path / "seg.warc.gz", "rb") as fh:
+        torn = fh.read()[: spans[-1][0] + 5]
+    assert len(list(W.iter_gzip_members(_io.BytesIO(torn)))) == 7
+
+    df = W.read_warc_split(spark, str(tmp_path / "seg.warc.gz"), num_tasks=4)
+    assert df.rdd.getNumPartitions() == 4  # ONE file, >1 task — the point
+    rows = {r["url"]: r for r in df.collect()}
+    assert len(rows) == 8
+    for url, _ts, html in recs:
+        assert bytes(rows[url]["html"]) == html
+
+    # whole-file gzip (not per-record members): one member → one range,
+    # but every record still parses
+    blob = _io.BytesIO()
+    for url, ts, html in recs[:3]:
+        http = b"HTTP/1.1 200 OK\r\n\r\n" + html
+        head = (f"WARC/1.0\r\nWARC-Type: response\r\nWARC-Target-URI: {url}"
+                f"\r\nWARC-Date: {ts}\r\nContent-Length: {len(http)}").encode()
+        blob.write(head + b"\r\n\r\n" + http + b"\r\n\r\n")
+    whole_dir = tmp_path / "whole"
+    whole_dir.mkdir()
+    with open(whole_dir / "whole.warc.gz", "wb") as fh:
+        fh.write(_gz.compress(blob.getvalue()))
+    got = W.read_warc_split(spark, str(whole_dir / "whole.warc.gz")).count()
+    assert got == 3
+
+
 def test_read_warc_cdx_task_sizing(spark, tmp_path):
     """CDX ranged-read tasks are sized to the distinct segment count, not
     spark.sql.shuffle.partitions (r3 advice: 200 mostly-empty tasks on
