@@ -737,6 +737,38 @@ def test_host_rank_broadcast_gated_on_artifact_size(spark, tmp_path, monkeypatch
     assert sorted(r["host_rank"] for r in out.collect()) == [0.9] * 10
 
 
+def test_output_sink_parquet_fallback(spark, tmp_path):
+    """Sink seam without an Iceberg runtime: parquet round-trips with
+    partitioning, and an explicit fmt='iceberg' ask fails LOUDLY (never a
+    silent downgrade)."""
+    from data_quality_spark.sources import sinks as S
+
+    df = spark.createDataFrame([(1, "a"), (2, "b")], "id bigint, v string")
+    out = str(tmp_path / "sink_out")
+    used = S.write_output_table(df, out, partition_by=["v"])
+    assert used == "parquet"
+    back = S.read_output_table(spark, out)
+    assert sorted(map(tuple, back.select("id", "v").collect())) == [
+        (1, "a"), (2, "b")]
+    if not S.iceberg_available(spark):
+        with pytest.raises(RuntimeError, match="Iceberg"):
+            S.write_output_table(df, "cat.db.t", fmt="iceberg")
+
+
+def test_output_sink_iceberg_snapshot(spark, tmp_path):
+    """Iceberg snapshot write + read-back — runs only where the
+    iceberg-spark-runtime jar is on the classpath (not this sandbox)."""
+    from data_quality_spark.sources import sinks as S
+
+    if not S.iceberg_available(spark):
+        pytest.skip("no iceberg-spark-runtime on the classpath")
+    df = spark.createDataFrame([(1, "a"), (2, "b")], "id bigint, v string")
+    used = S.write_output_table(df, "spark_catalog.default.sink_t")
+    assert used == "iceberg"
+    assert S.read_output_table(
+        spark, "spark_catalog.default.sink_t").count() == 2
+
+
 def test_rule_ablation_counts(spark):
     """Per-rule ablation: n_fired counts every firing doc, n_sole only
     docs where that rule fires alone; clean docs contribute nothing."""
