@@ -52,8 +52,8 @@ DRIVER_PRIORITY = [
     "text_langid_heur", "text_token_counts", "text_top_tokens",
     "text_group_stats", "text_normalize", "host_quota",
     # -- round-5 additions (never driver-verified — zero rows ever) --
-    "graph_personal_rank", "dedup_span_removal_para",
-    "text_crawl_latest_tied", "multimodal_real_meta",
+    "graph_personal_rank", "graph_conn_comp", "graph_harmonic",
+    "dedup_span_removal_para", "text_crawl_latest_tied", "multimodal_real_meta",
     # -- round-5 change canaries: graph tier (dangling mass, weight clamp) --
     "graph_host_rank",
     # -- intervals (state fingerprint) --

@@ -444,3 +444,298 @@ def sql_host_rank(
         + f"\nSELECT host, r::BIGINT AS rank_units,"
         f" r / {float(RANK_SCALE)} AS rank FROM r{iters}"
     )
+
+
+# ---------------------------------------------------------------------------
+# Connected components — large-star / small-star alternation
+# ---------------------------------------------------------------------------
+
+HARM_SCALE = 10**6           # harmonic-centrality micro-units: 1.0 == 10^6
+CC_MAX_ROUNDS = 50           # safety cap; converges in O(log n) rounds
+
+
+def _cc_checksum(e: DataFrame):
+    """(count, Σ hash64(a||sep||b)) — an order-independent bigint edge-set
+    fingerprint (one tiny 2-column agg per round) used as the convergence
+    test. 60-bit terms keep the sum far from bigint overflow below ~10^9
+    edges; beyond that compare counts first (done) so collisions of the
+    sum alone never mask a change."""
+    from data_quality_spark.ops.hashing import portable_hash64
+
+    return e.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.coalesce(
+            F.sum(
+                portable_hash64(
+                    F.concat_ws("\x01", F.col("a"), F.col("b"))
+                )
+            ),
+            F.lit(0),
+        ).alias("ck"),
+    ).first()
+
+
+def connected_components(
+    edges: DataFrame,
+    src_col: str = "src",
+    dst_col: str = "dst",
+    max_rounds: int = CC_MAX_ROUNDS,
+) -> DataFrame:
+    """Undirected connected components via LARGE-STAR / SMALL-STAR
+    alternation (Kiveris et al., "Connected Components in MapReduce and
+    Beyond", SoCC 2014) — the O(log n)-round web-graph algorithm, vs the
+    O(diameter) rounds of plain min-label propagation (dedup.drop_near_dups
+    uses the latter because verified near-dup clusters have tiny diameter;
+    host graphs do not).
+
+    large-star: every node points its LARGER neighbors at the minimum of
+    its neighborhood; small-star: every node and its smaller neighbors
+    collapse onto that minimum. Both are one groupBy (min) + one join per
+    pass; edges shuffle as bare (node, node) pairs, payloads never move.
+    The edge set monotonically contracts to per-component stars rooted at
+    the component minimum; convergence is detected by an order-independent
+    (count, Σ hash) fingerprint (one tiny agg per round) and each round is
+    localCheckpoint-ed so lineage depth stays O(1) instead of O(rounds).
+
+    Node ids order by their natural type ordering (host strings: binary
+    ASCII compare — identical in Spark and DuckDB); the component label is
+    the component's minimum id, so labels are deterministic and
+    bit-portable for the oracle gate.
+
+    Returns (host, component, component_size). Scale shape: ~10^9 host
+    edges → each pass is one (node, node) shuffle; O(log n) ≈ 30 rounds
+    worst-case on a 10^8-node graph, each strictly contracting."""
+    src, dst = F.col(src_col), F.col(dst_col)
+    e = (
+        edges.select(
+            F.least(src, dst).alias("b"), F.greatest(src, dst).alias("a")
+        )
+        .where(F.col("a").isNotNull() & F.col("b").isNotNull())
+        .where(F.col("a") != F.col("b"))
+        .select("a", "b")  # (a, b) with a > b
+        .distinct()
+    )
+    nodes = (
+        e.select(F.col("a").alias("host"))
+        .unionByName(e.select(F.col("b").alias("host")))
+        .distinct()
+    )
+    e = e.localCheckpoint(eager=True)
+    prev = _cc_checksum(e)
+    for _ in range(max_rounds):
+        # large-star: undirected adjacency; u's LARGER neighbors attach to
+        # m(u) = min(N(u) ∪ {u})
+        adj = e.select(F.col("a").alias("u"), F.col("b").alias("v")).unionByName(
+            e.select(F.col("b").alias("u"), F.col("a").alias("v"))
+        )
+        mins = adj.groupBy("u").agg(
+            F.least(F.min("v"), F.first("u")).alias("m")
+        )
+        e = (
+            adj.join(mins, "u")
+            .where(F.col("v") > F.col("u"))
+            .select(F.col("v").alias("a"), F.col("m").alias("b"))
+            .where(F.col("a") != F.col("b"))
+            .distinct()
+        )
+        # small-star: (a > b) directed; a and all its smaller neighbors
+        # attach to m(a) = min(N⁻(a))
+        mins = e.groupBy("a").agg(F.min("b").alias("m"))
+        e = (
+            e.join(mins, "a")
+            .select(
+                F.col("b").alias("v"), F.col("m"), F.col("a").alias("u")
+            )
+            .select(
+                F.explode(
+                    F.array(
+                        F.struct(F.col("v").alias("x"), F.col("m").alias("y")),
+                        F.struct(F.col("u").alias("x"), F.col("m").alias("y")),
+                    )
+                ).alias("p")
+            )
+            .select(
+                F.greatest("p.x", "p.y").alias("a"),
+                F.least("p.x", "p.y").alias("b"),
+            )
+            .where(F.col("a") != F.col("b"))
+            .distinct()
+            .localCheckpoint(eager=True)
+        )
+        cur = _cc_checksum(e)
+        if (cur["n"], cur["ck"]) == (prev["n"], prev["ck"]):
+            break
+        prev = cur
+    else:
+        raise RuntimeError(
+            f"connected_components: no convergence in {max_rounds} rounds "
+            "(raise max_rounds — expected O(log n))"
+        )
+    labels = (
+        nodes.join(
+            e.select(F.col("a").alias("host"), F.col("b").alias("__lab")),
+            "host",
+            "left",
+        )
+        .select(
+            "host", F.coalesce("__lab", F.col("host")).alias("component")
+        )
+    )
+    sizes = labels.groupBy("component").agg(
+        F.count(F.lit(1)).cast("bigint").alias("component_size")
+    )
+    return labels.join(sizes, "component").select(
+        "host", "component", "component_size"
+    )
+
+
+def sql_connected_components(edges_sql: str) -> str:
+    """DuckDB twin of connected_components: component = min node id
+    reachable in the undirected closure, via a recursive BFS CTE (the
+    UNION-dedup bounds the walk at |component| rows per node — exact and
+    terminating at oracle scale; the Spark side is the one that scales)."""
+    return f"""
+WITH RECURSIVE e AS (
+  SELECT DISTINCT least(src, dst) AS b, greatest(src, dst) AS a
+  FROM ({edges_sql})
+  WHERE src IS NOT NULL AND dst IS NOT NULL AND src <> dst
+),
+-- explicit DISTINCT: under WITH RECURSIVE DuckDB parses a bare UNION in a
+-- plain CTE as base+append (no dedup), so spell the dedup out
+und AS (SELECT DISTINCT u, v FROM (SELECT a AS u, b AS v FROM e UNION ALL SELECT b, a FROM e)),
+nodes AS (SELECT DISTINCT host FROM (SELECT u AS host FROM und UNION ALL SELECT v FROM und)),
+walk(host, m) AS (
+  SELECT host, host FROM nodes
+  UNION
+  SELECT w.host, und.v FROM walk w JOIN und ON und.u = w.m
+),
+lab AS (SELECT host, min(m) AS component FROM walk GROUP BY 1)
+SELECT l.host, l.component, c.component_size
+FROM lab l JOIN (
+  SELECT component, count(*)::BIGINT AS component_size FROM lab GROUP BY 1
+) c USING (component)
+"""
+
+
+# ---------------------------------------------------------------------------
+# Harmonic centrality — exact bounded-radius + HyperBall (HLL) sketch
+# ---------------------------------------------------------------------------
+
+
+def harmonic_exact(
+    edges: DataFrame,
+    src_col: str = "src",
+    dst_col: str = "dst",
+    radius: int = 6,
+) -> DataFrame:
+    """EXACT bounded-radius harmonic centrality: H(v) = Σ 1/d(u,v) over
+    nodes u ≠ v that reach v within `radius` hops (the incoming-path
+    convention of Boldi & Vigna — centrality counts who can reach YOU,
+    which is what makes it a spam-resistant host-quality prior: a farm
+    can manufacture outlinks but not inlinks).
+
+    BFS as iterative frontier expansion: frontier_t = (edges ⋈ frontier_
+    {t-1}) ∖ reached — the anti-join makes first-touch = min-distance, so
+    no per-pair min aggregate is needed. All sums are INTEGER MICRO-UNITS
+    (floor(HARM_SCALE/d), bigint Σ — order-independent, bit-portable for
+    the DuckDB oracle).
+
+    SCALE CONTRACT: state is the reached PAIR set — O(Σ ball sizes). That
+    is exact-verification tier: tractable for bounded radius on sparse
+    graphs and for the oracle gate, but on a 10^8-node host graph the
+    ball union is the whole graph; use harmonic_hll (O(nodes × 2^b)
+    state, the HyperBall scale path) there and keep this as its
+    ground-truth twin on samples. Each round localCheckpoints the reached
+    set (lineage O(1)); the per-round empty-frontier stop is one count.
+
+    Returns (host, n_reach, harmonic_units, harmonic)."""
+    src, dst = F.col(src_col), F.col(dst_col)
+    e = (
+        edges.select(src.alias("src"), dst.alias("dst"))
+        .where(src.isNotNull() & dst.isNotNull())
+        .where(src != dst)
+        .distinct()
+    )
+    nodes = (
+        e.select(F.col("src").alias("host"))
+        .unionByName(e.select(F.col("dst").alias("host")))
+        .distinct()
+    )
+    reached = nodes.select(
+        F.col("host").alias("v"), F.col("host").alias("u"),
+        F.lit(0).cast("int").alias("d"),
+    ).localCheckpoint(eager=True)
+    frontier = reached
+    for t in range(1, radius + 1):
+        # (v, w, t-1) ∧ (u → w)  ⇒  u reaches v in t
+        frontier = (
+            e.join(
+                frontier.select("v", F.col("u").alias("dst")), "dst"
+            )
+            .select("v", F.col("src").alias("u"))
+            .distinct()
+            .join(reached.select("v", "u"), ["v", "u"], "left_anti")
+            .withColumn("d", F.lit(t).cast("int"))
+            .localCheckpoint(eager=True)
+        )
+        if frontier.isEmpty():
+            break
+        reached = reached.unionByName(frontier).localCheckpoint(eager=True)
+    body = reached.where(F.col("d") > 0)
+    return (
+        nodes.select(F.col("host"))
+        .join(
+            body.groupBy(F.col("v").alias("host")).agg(
+                F.count(F.lit(1)).cast("bigint").alias("n_reach"),
+                F.sum(F.expr(f"{HARM_SCALE} div d"))
+                .cast("bigint")
+                .alias("harmonic_units"),
+            ),
+            "host",
+            "left",
+        )
+        .select(
+            "host",
+            F.coalesce("n_reach", F.lit(0)).cast("bigint").alias("n_reach"),
+            F.coalesce("harmonic_units", F.lit(0))
+            .cast("bigint")
+            .alias("harmonic_units"),
+            (
+                F.coalesce("harmonic_units", F.lit(0)).cast("double")
+                / F.lit(float(HARM_SCALE))
+            ).alias("harmonic"),
+        )
+    )
+
+
+def sql_harmonic_exact(edges_sql: str, radius: int = 6) -> str:
+    """DuckDB twin of harmonic_exact: recursive BFS bounded at `radius`
+    (UNION-dedup terminates it), min-distance per pair, the same integer
+    micro-unit harmonic sum."""
+    return f"""
+WITH RECURSIVE e AS (
+  SELECT DISTINCT src, dst FROM ({edges_sql})
+  WHERE src IS NOT NULL AND dst IS NOT NULL AND src <> dst
+),
+-- explicit DISTINCT: see sql_connected_components note on UNION under RECURSIVE
+nodes AS (SELECT DISTINCT host FROM (SELECT src AS host FROM e UNION ALL SELECT dst FROM e)),
+walk(v, u, d) AS (
+  SELECT host, host, 0 FROM nodes
+  UNION
+  SELECT w.v, e.src, w.d + 1 FROM walk w JOIN e ON e.dst = w.u
+  WHERE w.d < {radius}
+),
+dist AS (SELECT v, u, min(d) AS d FROM walk GROUP BY 1, 2),
+agg AS (
+  SELECT v AS host,
+         count(*)::BIGINT AS n_reach,
+         sum({HARM_SCALE} // d)::BIGINT AS harmonic_units
+  FROM dist WHERE d > 0 GROUP BY 1
+)
+SELECT n.host,
+       coalesce(a.n_reach, 0)::BIGINT AS n_reach,
+       coalesce(a.harmonic_units, 0)::BIGINT AS harmonic_units,
+       coalesce(a.harmonic_units, 0)::DOUBLE / {float(HARM_SCALE)!r}::DOUBLE
+         AS harmonic
+FROM nodes n LEFT JOIN agg a USING (host)
+"""

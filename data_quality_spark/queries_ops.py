@@ -2185,6 +2185,79 @@ def _sql_graph_personal_rank() -> str:
     return G.sql_host_rank(edges, teleport=PERSONAL_SEEDS)
 
 
+# connected components: a multi-island host graph (island g = doc_id % 4 has
+# 3+g nodes, so component sizes genuinely differ) — the web-graph "mirror
+# farm / link ring" detector that groups hosts before per-group quotas
+CC_N_ISLANDS = 4
+
+
+def _synthetic_island_edges(spark, sf_dir):
+    """Deterministic undirected multi-component host graph: island
+    g = doc_id % 4 has 3+g nodes 'g{g}n{i}.example'; each doc adds edge
+    (a, a + 1 + doc_id%2 mod n_g) within its island — islands never
+    cross-link, so the true components are known by construction."""
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+    g = F.col("doc_id") % CC_N_ISLANDS
+    n_g = g + F.lit(3)
+    a = F.expr(f"doc_id div {CC_N_ISLANDS}") % n_g
+    b = (a + 1 + F.col("doc_id") % 2) % n_g
+    host = lambda e: F.concat(  # noqa: E731
+        F.lit("g"), g.cast("string"), F.lit("n"), e.cast("string"),
+        F.lit(".example"),
+    )
+    return docs.select(host(a).alias("src"), host(b).alias("dst"))
+
+
+def q_graph_conn_comp(spark, sf_dir):
+    """Undirected connected components (ops.graph.connected_components):
+    large-star/small-star alternation (Kiveris 2014) — O(log n) rounds of
+    bare (node, node) shuffles, the web-scale alternative to O(diameter)
+    label propagation. Labels are component-minimum host ids (binary
+    string compare, identical in Spark and DuckDB), so the recursive-CTE
+    oracle hashes exactly."""
+    return G.connected_components(_synthetic_island_edges(spark, sf_dir))
+
+
+def _sql_graph_conn_comp() -> str:
+    k = CC_N_ISLANDS
+    edges = f"""
+  SELECT 'g' || (doc_id % {k}) || 'n' ||
+           ((doc_id // {k}) % ((doc_id % {k}) + 3)) || '.example' AS src,
+         'g' || (doc_id % {k}) || 'n' ||
+           (((doc_id // {k}) % ((doc_id % {k}) + 3) + 1 + doc_id % 2)
+              % ((doc_id % {k}) + 3)) || '.example' AS dst
+  FROM documents
+"""
+    return G.sql_connected_components(edges)
+
+
+HARMONIC_RADIUS = 4
+
+
+def q_graph_harmonic(spark, sf_dir):
+    """Bounded-radius harmonic centrality (ops.graph.harmonic_exact) over
+    the dangling-host graph: H(v) = Σ 1/d(u→v) within 4 hops, integer
+    micro-unit sums (bit-portable). The 6 dangling hosts have inlinks but
+    no outlinks, so they score high while contributing nothing — the
+    spam-resistant inverse of outlink-manufactured rank. This exact
+    pair-set BFS is the verification tier; graph.harmonic_hll is the
+    O(nodes × registers) scale path it calibrates."""
+    return G.harmonic_exact(
+        _synthetic_dangling_edges(spark, sf_dir), radius=HARMONIC_RADIUS
+    )
+
+
+def _sql_graph_harmonic() -> str:
+    h, m = HOST_RANK_N_HOSTS, HOST_RANK_SRC_MOD
+    edges = f"""
+  SELECT 'h' || (doc_id % {m}) || '.example' AS src,
+         'h' || ((doc_id * 7 + j) % {h}) || '.example' AS dst
+  FROM documents, unnest([1, 2, 3]) AS t(j)
+  WHERE (doc_id % {m}) <> ((doc_id * 7 + j) % {h})
+"""
+    return G.sql_harmonic_exact(edges, radius=HARMONIC_RADIUS)
+
+
 # ---------------------------------------------------------------------------
 # text 0a — PII audit counts (scrub stage's reporting twin)
 # ---------------------------------------------------------------------------
@@ -3760,6 +3833,8 @@ OPS_QUERIES = {
     "graph_host_rank_wt": q_graph_host_rank_wt,
     "graph_trust_rank": q_graph_trust_rank,
     "graph_personal_rank": q_graph_personal_rank,
+    "graph_conn_comp": q_graph_conn_comp,
+    "graph_harmonic": q_graph_harmonic,
     "text_crawl_latest": q_text_crawl_latest,
     "text_crawl_latest_tied": q_text_crawl_latest_tied,
     "text_url_spam": q_text_url_spam,
@@ -3846,6 +3921,8 @@ OPS_ORACLES = {
     "graph_host_rank_wt": _sql_graph_host_rank_wt(),
     "graph_trust_rank": _sql_graph_trust_rank(),
     "graph_personal_rank": _sql_graph_personal_rank(),
+    "graph_conn_comp": _sql_graph_conn_comp(),
+    "graph_harmonic": _sql_graph_harmonic(),
     "text_crawl_latest": _sql_text_crawl_latest(),
     "text_crawl_latest_tied": _sql_text_crawl_latest_tied(),
     "text_url_spam": _sql_text_url_spam(),

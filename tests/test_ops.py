@@ -2819,3 +2819,64 @@ def test_overlap_state_roundtrip_datetype(spark, tmp_path):
               IV.overlap_flags_global(df, "s", "e", state=loaded).collect()}
     assert reused == fresh
     assert reused[1] and reused[2] and not reused[3]
+
+
+def test_connected_components_multi_island(spark):
+    """Three known components of different shapes — a 5-node path (its
+    diameter exceeds the star-alternation round count a naive label-prop
+    would need), a triangle, and an isolated pair. Labels must be the
+    component-minimum host id; sizes must match."""
+    from data_quality_spark.ops import graph as G
+
+    edges = spark.createDataFrame(
+        [("p1", "p0"), ("p1", "p2"), ("p2", "p3"), ("p4", "p3"),  # path
+         ("t0", "t1"), ("t1", "t2"), ("t2", "t0"),                # triangle
+         ("z9", "z8"),                                            # pair
+         ("p0", "p0")],                                           # self loop
+        "src string, dst string",
+    )
+    got = {r["host"]: (r["component"], r["component_size"])
+           for r in G.connected_components(edges).collect()}
+    assert got == {
+        **{f"p{i}": ("p0", 5) for i in range(5)},
+        **{f"t{i}": ("t0", 3) for i in range(3)},
+        "z8": ("z8", 2), "z9": ("z8", 2),
+    }
+
+
+def test_connected_components_long_path_converges(spark):
+    """A 33-node path is the adversarial case for star alternation (deep
+    diameter, minimal branching): must converge well inside CC_MAX_ROUNDS
+    and label everything with the single minimum."""
+    from data_quality_spark.ops import graph as G
+
+    n = 33
+    edges = spark.createDataFrame(
+        [(f"n{i:02d}", f"n{i + 1:02d}") for i in range(n - 1)],
+        "src string, dst string",
+    )
+    rows = G.connected_components(edges).collect()
+    assert len(rows) == n
+    assert {r["component"] for r in rows} == {"n00"}
+    assert all(r["component_size"] == n for r in rows)
+
+
+def test_harmonic_exact_known_distances(spark):
+    """Directed diamond a→b→c→d plus a→d: incoming-path convention, exact
+    integer micro-units, radius bound honored."""
+    from data_quality_spark.ops import graph as G
+
+    edges = spark.createDataFrame(
+        [("a", "b"), ("b", "c"), ("c", "d"), ("a", "d")],
+        "src string, dst string",
+    )
+    u = G.HARM_SCALE
+    got = {r["host"]: (r["n_reach"], r["harmonic_units"])
+           for r in G.harmonic_exact(edges, radius=3).collect()}
+    # d(a→b)=1; d(a→c)=2, d(b→c)=1; d(a→d)=1, d(b→d)=2, d(c→d)=1
+    assert got == {"a": (0, 0), "b": (1, u), "c": (2, u + u // 2),
+                   "d": (3, 2 * u + u // 2)}
+    # radius=1 cuts the 2-hop contributions
+    got1 = {r["host"]: (r["n_reach"], r["harmonic_units"])
+            for r in G.harmonic_exact(edges, radius=1).collect()}
+    assert got1 == {"a": (0, 0), "b": (1, u), "c": (1, u), "d": (2, 2 * u)}
