@@ -739,3 +739,227 @@ SELECT n.host,
          AS harmonic
 FROM nodes n LEFT JOIN agg a USING (host)
 """
+
+
+# ---------------------------------------------------------------------------
+# HyperBall harmonic centrality — the sketch-based scale path
+# ---------------------------------------------------------------------------
+
+HLL_M = 64          # registers per node (b=6)
+HLL_RHO_CAP = 56    # so Σ_j 2^(56-reg_j) ≤ 64·2^56 = 2^62 < bigint max
+HLL_ALPHA = 0.709   # the standard m=64 HLL constant; raw estimator, no
+                    # small/large-range corrections (they need ln(), whose
+                    # last-ulp behavior is libm-specific — a portability
+                    # hazard this module bans; rawness is documented)
+HLL_EST_C = HLL_ALPHA * HLL_M * HLL_M * 2.0**HLL_RHO_CAP  # E = C / S_units
+
+
+def _hll_bucket_rho(col):
+    """(bucket, rho) for a node id, both from ONE md5 via string ops only
+    (no float log2, no engine-specific bit intrinsics): bucket =
+    hash64(id) % m from hex digits [1,15]; rho = 1 + leading zero BITS of
+    the independent hex digits [16,30], counted as 4·(leading '0' hex
+    chars) + zeros within the first non-zero char. Bit-exact in Spark,
+    DuckDB and python (tests/py twin below)."""
+    from data_quality_spark.ops.hashing import portable_hash64
+
+    bucket = (portable_hash64(col) % HLL_M).cast("int")
+    hex2 = F.substring(F.md5(col), 16, 15)
+    trimmed = F.regexp_replace(hex2, "^0+", "")
+    lead_hex = F.length(hex2) - F.length(trimmed)
+    first = F.substring(trimmed, 1, 1)
+    zadd = (
+        F.when(first == "1", 3)
+        .when(first.isin("2", "3"), 2)
+        .when(first.isin("4", "5", "6", "7"), 1)
+        .otherwise(0)
+    )
+    rho = F.least(lead_hex * 4 + zadd + 1, F.lit(HLL_RHO_CAP)).cast("int")
+    return bucket, rho
+
+
+def py_hll_bucket_rho(node: str) -> tuple[int, int]:
+    """Python twin of _hll_bucket_rho (unit tests)."""
+    from data_quality_spark.ops.hashing import py_hash64
+
+    import hashlib
+
+    bucket = py_hash64(node) % HLL_M
+    hex2 = hashlib.md5(node.encode()).hexdigest()[15:30]
+    trimmed = hex2.lstrip("0")
+    lead_hex = len(hex2) - len(trimmed)
+    zadd = (
+        0 if not trimmed
+        else 3 if trimmed[0] == "1"
+        else 2 if trimmed[0] in "23"
+        else 1 if trimmed[0] in "4567"
+        else 0
+    )
+    return bucket, min(lead_hex * 4 + zadd + 1, HLL_RHO_CAP)
+
+
+def _hll_s_units_col():
+    """Σ_j 2^(HLL_RHO_CAP - reg_j) over the 'regs' array as an EXACT
+    bigint — the register state collapsed to one order-independent
+    integer (every term is a power of two with exponent 0..56, exactly
+    representable as a double, so pow→bigint is lossless). All float
+    math downstream derives from this single value."""
+    return F.aggregate(
+        F.transform(
+            F.col("regs"),
+            lambda r: F.pow(F.lit(2.0), F.lit(HLL_RHO_CAP) - r).cast("bigint"),
+        ),
+        F.lit(0).cast("bigint"),
+        lambda acc, x: acc + x,
+    )
+
+
+def harmonic_hll(
+    edges: DataFrame,
+    src_col: str = "src",
+    dst_col: str = "dst",
+    radius: int = 6,
+) -> DataFrame:
+    """HyperBall (Boldi & Vigna 2013) harmonic centrality: each node
+    carries an m=64-register HLL sketch of its incoming-reach ball; per
+    iteration every edge u→v merges u's sketch into v's (elementwise max
+    — the union of sketches IS the sketch of the union, so after t
+    rounds node v holds exactly the sketch of {u : d(u→v) ≤ t}).
+    H(v) ≈ Σ_t (E_t - E_{t-1})/t over per-round cardinality estimates.
+
+    SCALE CONTRACT (the 10^8-node path harmonic_exact calibrates): state
+    is O(nodes × m) — 64 small ints per node, NOT the O(Σ ball sizes)
+    pair set of the exact op; each round shuffles |E| + |V| sketch rows
+    through ONE groupBy whose 64 max-aggregates partial-aggregate
+    map-side, and rounds are localCheckpoint-ed (lineage stays O(1)).
+
+    DETERMINISM: registers derive from md5 string ops (_hll_bucket_rho);
+    the register state collapses to the exact bigint S_t = Σ_j
+    2^(56-reg_j) (order-independent sum), and every float — raw-HLL
+    estimate E_t = C/S_t and the fixed t-order harmonic accumulation —
+    is computed from those integers by an identical expression tree in
+    Spark and the DuckDB twin, so even this sketch op is hash-exact
+    under the oracle gate. The estimator is RAW HLL (no linear-counting
+    / large-range correction — those need ln(); see HLL_ALPHA), biased
+    at tiny cardinalities; its regime is the ≥10^4-node ball, with
+    harmonic_exact as ground truth on samples.
+
+    Returns (host, s_units, reach_est, harmonic_est)."""
+    if radius < 1:
+        raise ValueError("harmonic_hll: radius must be >= 1")
+    src, dst = F.col(src_col), F.col(dst_col)
+    e = (
+        edges.select(src.alias("src"), dst.alias("dst"))
+        .where(src.isNotNull() & dst.isNotNull())
+        .where(src != dst)
+        .distinct()
+    )
+    nodes = (
+        e.select(F.col("src").alias("host"))
+        .unionByName(e.select(F.col("dst").alias("host")))
+        .distinct()
+    )
+    bucket, rho = _hll_bucket_rho(F.col("host"))
+    cur = nodes.select(
+        "host",
+        F.array(
+            *[
+                F.when(bucket == j, rho).otherwise(0).cast("int")
+                for j in range(HLL_M)
+            ]
+        ).alias("regs"),
+    ).localCheckpoint(eager=True)
+    s_frames = [cur.select("host", _hll_s_units_col().alias("s0"))]
+    for t in range(1, radius + 1):
+        inc = e.join(cur.withColumnRenamed("host", "src"), "src").select(
+            F.col("dst").alias("host"), "regs"
+        )
+        cur = (
+            cur.unionByName(inc)
+            .groupBy("host")
+            .agg(*[F.max(F.col("regs")[j]).alias(f"r{j}")
+                   for j in range(HLL_M)])
+            .select(
+                "host",
+                F.array(*[F.col(f"r{j}") for j in range(HLL_M)]).alias("regs"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        s_frames.append(cur.select("host", _hll_s_units_col().alias(f"s{t}")))
+    out = s_frames[0]
+    for f in s_frames[1:]:
+        out = out.join(f, "host")
+    est = lambda tt: F.lit(HLL_EST_C) / F.col(f"s{tt}").cast("double")  # noqa: E731
+    h = (est(1) - est(0)) / F.lit(1.0)
+    for tt in range(2, radius + 1):
+        h = h + (est(tt) - est(tt - 1)) / F.lit(float(tt))
+    return out.select(
+        "host",
+        F.col(f"s{radius}").alias("s_units"),
+        (est(radius) - F.lit(1.0)).alias("reach_est"),
+        h.alias("harmonic_est"),
+    )
+
+
+def sql_harmonic_hll(edges_sql: str, radius: int = 6) -> str:
+    """DuckDB twin of harmonic_hll — NON-iterative: after t merge rounds
+    a node's registers equal the registers computed directly from its
+    true radius-t ball (the HyperBall invariant), so the oracle derives
+    register states from the exact bounded-BFS distance pairs, then
+    renders the SAME integer S_t = Σ_j 2^(56-reg_j) and the same float
+    expression tree as the Spark side."""
+    cap, m, c = HLL_RHO_CAP, HLL_M, HLL_EST_C
+    hh_rho = f"""
+      least(4 * (15 - length(regexp_replace(substring(md5(host), 16, 15),
+                                            '^0+', ''))) +
+            CASE substring(regexp_replace(substring(md5(host), 16, 15),
+                                          '^0+', ''), 1, 1)
+              WHEN '1' THEN 3 WHEN '2' THEN 2 WHEN '3' THEN 2
+              WHEN '4' THEN 1 WHEN '5' THEN 1 WHEN '6' THEN 1
+              WHEN '7' THEN 1 ELSE 0 END + 1, {cap})"""
+    s_ctes = ",\n".join(
+        f"""s{t} AS (
+  SELECT g.host, sum((1::BIGINT << ({cap} - coalesce(b.m, 0))))::BIGINT AS s
+  FROM grid g LEFT JOIN (
+    SELECT d.v AS host, hh.bucket AS j, max(hh.rho) AS m
+    FROM dist d JOIN hh ON hh.host = d.u WHERE d.d <= {t} GROUP BY 1, 2
+  ) b ON b.host = g.host AND b.j = g.j
+  GROUP BY 1
+)"""
+        for t in range(0, radius + 1)
+    )
+    est = lambda t: f"({c!r} / s{t}.s::DOUBLE)"  # noqa: E731
+    h = f"({est(1)} - {est(0)}) / 1.0"
+    for t in range(2, radius + 1):
+        h = f"{h} + ({est(t)} - {est(t - 1)}) / {float(t)!r}"
+    joins = "\n".join(
+        f"JOIN s{t} ON s{t}.host = s0.host" for t in range(1, radius + 1)
+    )
+    return f"""
+WITH RECURSIVE e AS (
+  SELECT DISTINCT src, dst FROM ({edges_sql})
+  WHERE src IS NOT NULL AND dst IS NOT NULL AND src <> dst
+),
+nodes AS (SELECT DISTINCT host FROM
+          (SELECT src AS host FROM e UNION ALL SELECT dst FROM e)),
+hh AS (
+  SELECT host,
+         (('0x' || substring(md5(host), 1, 15))::BIGINT % {m})::INT AS bucket,
+         ({hh_rho})::INT AS rho
+  FROM nodes
+),
+grid AS (SELECT host, r.range::INT AS j FROM nodes, range({m}) r),
+walk(v, u, d) AS (
+  SELECT host, host, 0 FROM nodes
+  UNION
+  SELECT w.v, e.src, w.d + 1 FROM walk w JOIN e ON e.dst = w.u
+  WHERE w.d < {radius}
+),
+dist AS (SELECT v, u, min(d) AS d FROM walk GROUP BY 1, 2),
+{s_ctes}
+SELECT s0.host, s{radius}.s AS s_units,
+       {est(radius)} - 1.0 AS reach_est,
+       {h} AS harmonic_est
+FROM s0
+{joins}
+"""

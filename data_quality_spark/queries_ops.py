@@ -2247,6 +2247,30 @@ def q_graph_harmonic(spark, sf_dir):
     )
 
 
+def q_graph_harmonic_hll(spark, sf_dir):
+    """HyperBall harmonic centrality (ops.graph.harmonic_hll) — the
+    O(nodes × 64-register) sketch path over the same dangling-host graph
+    as graph_harmonic. Hash-exact despite being a sketch: registers come
+    from portable md5 string ops, the per-round state collapses to the
+    exact bigint S_t = Σ 2^(56-reg), and the oracle derives the SAME
+    registers non-iteratively from exact BFS balls (the HyperBall
+    invariant: sketch-of-union == union-of-sketches)."""
+    return G.harmonic_hll(
+        _synthetic_dangling_edges(spark, sf_dir), radius=HARMONIC_RADIUS
+    )
+
+
+def _sql_graph_harmonic_hll() -> str:
+    h, m = HOST_RANK_N_HOSTS, HOST_RANK_SRC_MOD
+    edges = f"""
+  SELECT 'h' || (doc_id % {m}) || '.example' AS src,
+         'h' || ((doc_id * 7 + j) % {h}) || '.example' AS dst
+  FROM documents, unnest([1, 2, 3]) AS t(j)
+  WHERE (doc_id % {m}) <> ((doc_id * 7 + j) % {h})
+"""
+    return G.sql_harmonic_hll(edges, radius=HARMONIC_RADIUS)
+
+
 def _sql_graph_harmonic() -> str:
     h, m = HOST_RANK_N_HOSTS, HOST_RANK_SRC_MOD
     edges = f"""
@@ -3835,6 +3859,7 @@ OPS_QUERIES = {
     "graph_personal_rank": q_graph_personal_rank,
     "graph_conn_comp": q_graph_conn_comp,
     "graph_harmonic": q_graph_harmonic,
+    "graph_harmonic_hll": q_graph_harmonic_hll,
     "text_crawl_latest": q_text_crawl_latest,
     "text_crawl_latest_tied": q_text_crawl_latest_tied,
     "text_url_spam": q_text_url_spam,
@@ -3923,6 +3948,7 @@ OPS_ORACLES = {
     "graph_personal_rank": _sql_graph_personal_rank(),
     "graph_conn_comp": _sql_graph_conn_comp(),
     "graph_harmonic": _sql_graph_harmonic(),
+    "graph_harmonic_hll": _sql_graph_harmonic_hll(),
     "text_crawl_latest": _sql_text_crawl_latest(),
     "text_crawl_latest_tied": _sql_text_crawl_latest_tied(),
     "text_url_spam": _sql_text_url_spam(),
