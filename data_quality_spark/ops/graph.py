@@ -963,3 +963,108 @@ SELECT s0.host, s{radius}.s AS s_units,
 FROM s0
 {joins}
 """
+
+
+# ---------------------------------------------------------------------------
+# anchor-text aggregation (the link-description prior: what OTHER sites say
+# a host is — search-engine ranking's classic off-page text signal, and a
+# cheap crawl-quality feature: spam targets collect many near-identical or
+# empty anchors from few source hosts)
+# ---------------------------------------------------------------------------
+
+
+def anchor_stats(
+    df: DataFrame, url_col: str = "url", html_col: str = "html"
+) -> DataFrame:
+    """Per-TARGET-host anchor statistics from a raw pages table.
+
+    pipeline.extract.with_anchors pulls (href, text) pairs map-side (two
+    codegen regexp_extract_all passes — the html payload never shuffles);
+    hosts come from ops.textops.host_of; internal links (src host ==
+    target host) and malformed hosts ('') are dropped — the signal is
+    what OTHER hosts say. Returns one row per dst_host:
+
+      n_anchors      — inbound text anchors
+      n_src_hosts    — distinct referring hosts (breadth of endorsement)
+      n_uniq_texts   — distinct non-empty anchor texts (trim+lower; low
+                       diversity at high volume = anchor spam)
+      n_empty        — anchors with blank text bodies
+      n_anchor_toks  — Σ whitespace tokens over anchor texts
+
+    Scale shape: the exchange carries (dst_host, src_host, short anchor
+    text) — never the page. The two COUNT(DISTINCT) expand the aggregate
+    input 2× (Spark's expand operator), on those tiny rows; partial
+    aggregation still applies per distinct branch. Text normalization is
+    trim+lower on ASCII-space boundaries — identical in Spark and DuckDB.
+    """
+    from data_quality_spark.ops.textops import host_of
+    from data_quality_spark.pipeline.extract import with_anchors
+
+    pairs = (
+        with_anchors(
+            df.select(F.col(url_col).alias("__u"), F.col(html_col)),
+            html_col,
+            "__hrefs",
+            "__texts",
+        )
+        .select(
+            host_of(F.col("__u")).alias("src_host"),
+            F.explode(F.arrays_zip("__hrefs", "__texts")).alias("__a"),
+        )
+        .select(
+            "src_host",
+            host_of(F.col("__a.__hrefs")).alias("dst_host"),
+            F.trim(F.lower(F.col("__a.__texts"))).alias("__t"),
+        )
+        .where(
+            (F.col("src_host") != "")
+            & (F.col("dst_host") != "")
+            & (F.col("src_host") != F.col("dst_host"))
+        )
+    )
+    return pairs.groupBy("dst_host").agg(
+        F.count(F.lit(1)).alias("n_anchors"),
+        F.countDistinct("src_host").alias("n_src_hosts"),
+        F.countDistinct(
+            F.when(F.col("__t") != "", F.col("__t"))
+        ).alias("n_uniq_texts"),
+        F.sum((F.col("__t") == "").cast("bigint")).alias("n_empty"),
+        F.sum(
+            F.size(F.regexp_extract_all(F.col("__t"), F.lit(r"\S+"), F.lit(0)))
+        ).cast("bigint").alias("n_anchor_toks"),
+    )
+
+
+def sql_anchor_stats(pages_sql: str) -> str:
+    """DuckDB twin of anchor_stats. `pages_sql` must yield (url, html)
+    with html as VARCHAR. Same grammar (extract.ANCHOR_PATTERN, RE2-safe
+    by construction), same host extraction (textops.HOST_RE), same
+    trim+lower normalization and \\S+ token count."""
+    from data_quality_spark.ops.textops import HOST_RE
+    from data_quality_spark.pipeline.extract import ANCHOR_PATTERN
+
+    pat = ("(?i)" + ANCHOR_PATTERN).replace("'", "''")
+    return f"""
+WITH pages AS ({pages_sql}),
+raw AS (
+  SELECT lower(regexp_extract(url, '{HOST_RE}', 1)) AS src_host,
+         unnest(regexp_extract_all(html, '{pat}', 1)) AS href,
+         unnest(regexp_extract_all(html, '{pat}', 2)) AS body
+  FROM pages WHERE html IS NOT NULL
+),
+pairs AS (
+  SELECT src_host,
+         lower(regexp_extract(href, '{HOST_RE}', 1)) AS dst_host,
+         trim(lower(body)) AS t
+  FROM raw
+)
+SELECT dst_host,
+       count(*)::BIGINT AS n_anchors,
+       count(DISTINCT src_host)::BIGINT AS n_src_hosts,
+       count(DISTINCT CASE WHEN t <> '' THEN t END)::BIGINT AS n_uniq_texts,
+       sum(CASE WHEN t = '' THEN 1 ELSE 0 END)::BIGINT AS n_empty,
+       sum(len(regexp_extract_all(t, '\\S+')))::BIGINT AS n_anchor_toks
+FROM pairs
+WHERE src_host <> '' AND dst_host <> '' AND src_host <> dst_host
+GROUP BY dst_host
+"""

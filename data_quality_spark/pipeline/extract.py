@@ -188,6 +188,63 @@ def py_links(html_bytes: bytes | None) -> list[str] | None:
 
 
 # ---------------------------------------------------------------------------
+# anchor-text extraction (host-graph feed — ops/graph.py aggregates the
+# (target host, anchor text) pairs into the classic link-description prior)
+# ---------------------------------------------------------------------------
+
+# <a ...href=URL...>text</a> with PLAIN text bodies only ([^<]*): an anchor
+# wrapping markup (<a ...><img/></a>) is intentionally NOT matched — image
+# links carry no text signal, and keeping the body class backref-free makes
+# the grammar identical under Java regex (Spark) and RE2 (DuckDB oracle).
+# Absolute http(s) targets only, same rationale as HREF_PATTERN above.
+ANCHOR_PATTERN = (
+    r"""<a\s[^>]*href=["'](https?://[^"']+)["'][^>]*>([^<]*)</a>"""
+)
+
+_ANCHOR = re.compile(ANCHOR_PATTERN, re.I | re.ASCII)
+
+
+def with_anchors(
+    df: DataFrame,
+    html_col: str = "html",
+    href_col: str = "anchor_hrefs",
+    text_col: str = "anchor_texts",
+) -> DataFrame:
+    """Add two PARALLEL arrays — `href_col` (absolute link targets) and
+    `text_col` (the anchor's plain-text body, possibly '') — in document
+    order (NULL html → NULL both). Two regexp_extract_all passes over the
+    decoded page (one per capture group): regexp_extract_all returns ONE
+    group, and running the same anchor grammar twice map-side is cheaper
+    at scale than exploding snippets through an interpreted higher-order
+    lambda (NOTES.md: per-element lambdas re-evaluate non-cheap exprs).
+    Both passes stay in whole-stage codegen; the html payload never
+    shuffles."""
+    html = F.col(html_col)
+    pat = F.lit(f"(?i){ANCHOR_PATTERN}")
+    none_arr = F.lit(None).cast("array<string>")
+    dec = F.decode(html, "UTF-8")
+    return df.withColumn(
+        href_col,
+        F.when(html.isNull(), none_arr).otherwise(
+            F.regexp_extract_all(dec, pat, F.lit(1))
+        ),
+    ).withColumn(
+        text_col,
+        F.when(html.isNull(), none_arr).otherwise(
+            F.regexp_extract_all(dec, pat, F.lit(2))
+        ),
+    )
+
+
+def py_anchors(html_bytes: bytes | None) -> list[tuple[str, str]] | None:
+    """Python twin of with_anchors (oracle/test parity): (href, text)
+    pairs in document order."""
+    if html_bytes is None:
+        return None
+    return _ANCHOR.findall(html_bytes.decode("utf-8", errors="replace"))
+
+
+# ---------------------------------------------------------------------------
 # robots meta directive (noindex gate — a page that asks not to be indexed
 # should not enter a training corpus either)
 # ---------------------------------------------------------------------------

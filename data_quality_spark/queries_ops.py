@@ -2283,6 +2283,69 @@ def _sql_graph_harmonic() -> str:
 
 
 # ---------------------------------------------------------------------------
+# graph 5 — anchor-text aggregation (the link-description prior)
+# ---------------------------------------------------------------------------
+
+# Deterministic anchor-bearing pages derived from doc_id: page for doc d
+# (host h{d%23}) carries three absolute anchors to h{(d*7+j)%23} — one
+# plain double-quoted, one EMPTY-body uppercase single-quoted (exercises
+# (?i) + n_empty), one mixed-case multi-token — plus two decoys the
+# grammar must SKIP: a relative link and an image anchor (body contains
+# markup). Both engines render the identical byte string.
+
+
+def _anchor_pages(spark, sf_dir):
+    h = HOST_RANK_N_HOSTS
+    d = F.col("doc_id")
+    s = lambda e: e.cast("string")  # noqa: E731
+    host = lambda j: F.concat(  # noqa: E731
+        F.lit("h"), s((d * 7 + F.lit(j)) % h), F.lit(".example")
+    )
+    html = F.concat(
+        F.lit('<p>intro</p><a class="x" href="http://'), host(1),
+        F.lit('/p'), s(d), F.lit('">anchor '), s(d % 11), F.lit("</a>"),
+        F.lit("<A HREF='http://"), host(2), F.lit("/q"), s(d),
+        F.lit("'></A>"),
+        F.lit('<a href="http://'), host(3), F.lit('/r'), s(d),
+        F.lit('">Go '), s(d % 5), F.lit(' Now</a>'),
+        F.lit('<a href="/rel">skip</a>'
+              '<a href="http://h0.example/i"><img/></a>'),
+    )
+    return _t(spark, sf_dir, "documents").select(
+        F.concat(F.lit("http://h"), s(d % h), F.lit(".example/p"), s(d))
+        .alias("url"),
+        F.encode(html, "UTF-8").alias("html"),
+    )
+
+
+def q_graph_anchor_stats(spark, sf_dir):
+    """Per-target-host anchor-text statistics (ops.graph.anchor_stats):
+    inbound anchor volume, referring-host breadth, text diversity, empty
+    anchors, token mass — the off-page description signal search ranking
+    and anchor-spam detection both read. Map-side grammar extraction
+    (extract.ANCHOR_PATTERN, Java/RE2-identical by construction); the
+    exchange carries (host, host, short text) only."""
+    return G.anchor_stats(_anchor_pages(spark, sf_dir))
+
+
+def _sql_graph_anchor_stats() -> str:
+    h = HOST_RANK_N_HOSTS
+    hh = lambda j: f"'http://h' || ((doc_id * 7 + {j}) % {h}) || '.example'"  # noqa: E731
+    pages = f"""
+  SELECT 'http://h' || (doc_id % {h}) || '.example/p' || doc_id AS url,
+         '<p>intro</p><a class="x" href="' || {hh(1)} || '/p' || doc_id
+         || '">anchor ' || (doc_id % 11) || '</a>'
+         || '<A HREF=''' || {hh(2)} || '/q' || doc_id || '''></A>'
+         || '<a href="' || {hh(3)} || '/r' || doc_id || '">Go '
+         || (doc_id % 5) || ' Now</a>'
+         || '<a href="/rel">skip</a><a href="http://h0.example/i"><img/></a>'
+         AS html
+  FROM documents
+"""
+    return G.sql_anchor_stats(pages)
+
+
+# ---------------------------------------------------------------------------
 # text 0a — PII audit counts (scrub stage's reporting twin)
 # ---------------------------------------------------------------------------
 
@@ -3860,6 +3923,7 @@ OPS_QUERIES = {
     "graph_conn_comp": q_graph_conn_comp,
     "graph_harmonic": q_graph_harmonic,
     "graph_harmonic_hll": q_graph_harmonic_hll,
+    "graph_anchor_stats": q_graph_anchor_stats,
     "text_crawl_latest": q_text_crawl_latest,
     "text_crawl_latest_tied": q_text_crawl_latest_tied,
     "text_url_spam": q_text_url_spam,
@@ -3949,6 +4013,7 @@ OPS_ORACLES = {
     "graph_conn_comp": _sql_graph_conn_comp(),
     "graph_harmonic": _sql_graph_harmonic(),
     "graph_harmonic_hll": _sql_graph_harmonic_hll(),
+    "graph_anchor_stats": _sql_graph_anchor_stats(),
     "text_crawl_latest": _sql_text_crawl_latest(),
     "text_crawl_latest_tied": _sql_text_crawl_latest_tied(),
     "text_url_spam": _sql_text_url_spam(),

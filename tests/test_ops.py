@@ -2941,3 +2941,48 @@ def test_harmonic_hll_radius_validation(spark):
     edges = spark.createDataFrame([("a", "b")], "src string, dst string")
     with pytest.raises(ValueError):
         G.harmonic_hll(edges, radius=0)
+
+
+def test_anchor_stats_grammar_and_agg(spark):
+    """Anchor grammar edge classes: quote styles, uppercase tags, empty
+    bodies, image anchors (body contains markup — SKIPPED), relative
+    links (skipped), internal links (dropped as self-host), NULL html.
+    Aggregates checked against a hand-computed expectation."""
+    from data_quality_spark.ops import graph as G
+    from data_quality_spark.pipeline.extract import py_anchors
+
+    pages = [
+        # a.example endorses t.example twice (distinct texts), one empty
+        ("http://a.example/1",
+         '<a href="http://t.example/x">Good Site</a>'
+         "<A HREF='http://t.example/y'></A>"
+         '<a href="http://t.example/z">good   site</a>'),
+        # b.example: image anchor skipped, relative skipped, one kept
+        ("http://b.example/1",
+         '<a href="http://t.example/i"><img/></a>'
+         '<a href="/rel">nope</a>'
+         '<a class="k" href="http://t.example/w">  Good Site </a>'),
+        # internal link only -> contributes nothing
+        ("http://t.example/self", '<a href="http://t.example/s">me</a>'),
+        # NULL html -> no rows
+        ("http://c.example/1", None),
+    ]
+    df = spark.createDataFrame(
+        [(u, h.encode() if h else None) for u, h in pages],
+        "url string, html binary",
+    )
+    # python-twin sanity on the grammar itself
+    assert py_anchors(pages[1][1].encode()) == [
+        ("http://t.example/w", "  Good Site ")
+    ]
+    rows = {r["dst_host"]: r for r in G.anchor_stats(df).collect()}
+    assert list(rows) == ["t.example"]
+    r = rows["t.example"]
+    # kept anchors: a->t (3), b->t (1); texts lower+trim (inner
+    # whitespace is PRESERVED): {'good site', 'good   site'}, one empty
+    assert r["n_anchors"] == 4
+    assert r["n_src_hosts"] == 2
+    assert r["n_uniq_texts"] == 2
+    assert r["n_empty"] == 1
+    # 'good site' appears 3x (2 tokens each) + 1 empty body = 6 tokens
+    assert r["n_anchor_toks"] == 6
