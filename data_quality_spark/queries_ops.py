@@ -2318,6 +2318,41 @@ def _anchor_pages(spark, sf_dir):
     )
 
 
+def q_sketch_distinct_hll(spark, sf_dir):
+    """Per-host distinct-URL cardinality via the 64-register HLL sketch
+    (ops.sketches.distinct_hll) — the 100 TB replacement for
+    COUNT(DISTINCT url) GROUP BY host, whose exact state is O(urls) per
+    host. Hash-exact despite being a sketch: registers are portable md5
+    string ops, the state collapses to one exact bigint, and the single
+    float estimate is the same IEEE division in both engines. Fixture:
+    urls recycle (doc_id % 40) paths over 7 hosts → true distinct = 40
+    per host; the raw-HLL estimate's job here is determinism, accuracy
+    is pinned at larger n by pytest."""
+    from data_quality_spark.ops import sketches as SK
+
+    d = F.col("doc_id")
+    rows = _t(spark, sf_dir, "documents").select(
+        F.concat(F.lit("h"), (d % 7).cast("string"), F.lit(".example"))
+        .alias("host"),
+        F.concat(
+            F.lit("http://h"), (d % 7).cast("string"),
+            F.lit(".example/p"), (d % 40).cast("string"),
+        ).alias("url"),
+    )
+    return SK.distinct_hll(rows, "host", "url")
+
+
+def _sql_sketch_distinct_hll() -> str:
+    from data_quality_spark.ops import sketches as SK
+
+    rows = """
+  SELECT 'h' || (doc_id % 7) || '.example' AS host,
+         'http://h' || (doc_id % 7) || '.example/p' || (doc_id % 40) AS url
+  FROM documents
+"""
+    return SK.sql_distinct_hll(rows, "host", "url")
+
+
 def q_graph_anchor_stats(spark, sf_dir):
     """Per-target-host anchor-text statistics (ops.graph.anchor_stats):
     inbound anchor volume, referring-host breadth, text diversity, empty
@@ -3924,6 +3959,7 @@ OPS_QUERIES = {
     "graph_harmonic": q_graph_harmonic,
     "graph_harmonic_hll": q_graph_harmonic_hll,
     "graph_anchor_stats": q_graph_anchor_stats,
+    "sketch_distinct_hll": q_sketch_distinct_hll,
     "text_crawl_latest": q_text_crawl_latest,
     "text_crawl_latest_tied": q_text_crawl_latest_tied,
     "text_url_spam": q_text_url_spam,
@@ -4014,6 +4050,7 @@ OPS_ORACLES = {
     "graph_harmonic": _sql_graph_harmonic(),
     "graph_harmonic_hll": _sql_graph_harmonic_hll(),
     "graph_anchor_stats": _sql_graph_anchor_stats(),
+    "sketch_distinct_hll": _sql_sketch_distinct_hll(),
     "text_crawl_latest": _sql_text_crawl_latest(),
     "text_crawl_latest_tied": _sql_text_crawl_latest_tied(),
     "text_url_spam": _sql_text_url_spam(),

@@ -2986,3 +2986,30 @@ def test_anchor_stats_grammar_and_agg(spark):
     assert r["n_empty"] == 1
     # 'good site' appears 3x (2 tokens each) + 1 empty body = 6 tokens
     assert r["n_anchor_toks"] == 6
+
+
+def test_distinct_hll_accuracy_and_parity(spark):
+    """distinct_hll: (a) register state matches a pure-python HLL built
+    from py_hll_bucket_rho exactly (bit-portability contract), (b) the
+    raw estimate lands within 3 sigma (~40%) of truth at n=2000 for
+    m=64, (c) NULL values are skipped."""
+    from data_quality_spark.ops import sketches as SK
+    from data_quality_spark.ops.graph import (
+        HLL_EST_C, HLL_M, HLL_RHO_CAP, py_hll_bucket_rho,
+    )
+
+    vals = [f"url-{i}" for i in range(2000)]
+    rows = [("g", v) for v in vals] + [("g", None)] * 5
+    df = spark.createDataFrame(rows, "k string, v string")
+    out = SK.distinct_hll(df, "k", "v").collect()
+    assert len(out) == 1
+    got = out[0]
+    regs = [0] * HLL_M
+    for v in vals:
+        b, r = py_hll_bucket_rho(v)
+        regs[b] = max(regs[b], r)
+    s_expect = sum(1 << (HLL_RHO_CAP - r) for r in regs)
+    assert got["s_units"] == s_expect
+    est = HLL_EST_C / s_expect
+    assert got["distinct_est"] == est
+    assert abs(est / 2000.0 - 1.0) < 0.4
