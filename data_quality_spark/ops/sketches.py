@@ -120,3 +120,124 @@ st AS (
 SELECT {keys}, s_units, {c!r} / s_units::DOUBLE AS distinct_est
 FROM st
 """
+
+
+# ---------------------------------------------------------------------------
+# Count-Min sketch (Cormode & Muthukrishnan 2005) — token-frequency
+# estimation whose state is a fixed d×w integer table instead of the
+# O(vocabulary) exact groupBy. The corpus-frequency companion of the HLL
+# op above: HLL answers "how many distinct", CMS answers "how often is X".
+# ---------------------------------------------------------------------------
+
+CMS_D = 4     # hash rows: P(overestimate > eps) decays as 2^-d
+CMS_W = 512   # buckets per row: eps ~= e / w of total token mass
+
+
+def token_cms(
+    df: DataFrame, text_col: str, d: int = CMS_D, w: int = CMS_W
+) -> DataFrame:
+    """d×w Count-Min table over whitespace tokens of `text_col`.
+
+    One token explode, then each token emits d (row, bucket) int pairs
+    (bucket_r = portable md5 hash of token salted by row, mod w) into
+    ONE groupBy sum. The pair stream is d× the token count but consists
+    of two ints, and partial aggregation collapses it to ≤ d·w rows PER
+    PARTITION before the exchange — the shuffle is O(d·w·partitions)
+    regardless of corpus size, and the result is ≤ d·w rows. Counts are
+    exact integers (bit-portable; the DuckDB twin builds the identical
+    table). Returns (r, b, cnt) with absent buckets omitted (= 0).
+    """
+    toks = df.where(F.col(text_col).isNotNull()).select(
+        F.explode(
+            F.regexp_extract_all(F.col(text_col), F.lit(r"\S+"), F.lit(0))
+        ).alias("__tok")
+    )
+    from data_quality_spark.ops.hashing import portable_hash64
+
+    pairs = toks.select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(r).alias("r"),
+                        (portable_hash64(F.col("__tok"), salt=f"|cms{r}") % w)
+                        .cast("int")
+                        .alias("b"),
+                    )
+                    for r in range(d)
+                ]
+            )
+        ).alias("__p")
+    ).select("__p.r", "__p.b")
+    return pairs.groupBy("r", "b").agg(F.count(F.lit(1)).alias("cnt"))
+
+
+def cms_estimate(
+    sketch: DataFrame, tokens, d: int = CMS_D, w: int = CMS_W
+) -> DataFrame:
+    """Point-frequency estimates for candidate `tokens` (a driver-side
+    list — heavy-hitter candidates come from a cheap local pass or a
+    curated probe list): est(tok) = min over the d rows of the table
+    cell the token hashes to (absent cell = 0). The candidate frame is
+    d·|tokens| tiny rows — broadcast side of the join; the sketch never
+    exceeds d·w rows. Never underestimates; overestimates by at most
+    the documented eps·mass bound."""
+    from data_quality_spark.ops.hashing import py_hash64
+
+    spark = sketch.sparkSession
+    cand = spark.createDataFrame(
+        [
+            (tok, r, py_hash64(tok, salt=f"|cms{r}") % w)
+            for tok in tokens
+            for r in range(d)
+        ],
+        "token string, r int, b int",
+    )
+    return (
+        cand.join(F.broadcast(sketch), ["r", "b"], "left")
+        .groupBy("token")
+        .agg(F.min(F.coalesce(F.col("cnt"), F.lit(0))).alias("est"))
+    )
+
+
+def sql_token_cms(
+    docs_sql: str, text_col: str, d: int = CMS_D, w: int = CMS_W
+) -> str:
+    """DuckDB twin of token_cms over `docs_sql` (must yield text_col)."""
+    from data_quality_spark.ops.hashing import HEX_DIGITS
+
+    return f"""
+WITH docs AS ({docs_sql}),
+toks AS (
+  SELECT unnest(regexp_extract_all({text_col}, '\\S+')) AS tok
+  FROM docs WHERE {text_col} IS NOT NULL
+),
+pairs AS (
+  SELECT t.range::INT AS r,
+         ((('0x' || substring(md5(tok || '|cms' || t.range), 1, {HEX_DIGITS}))::BIGINT
+           % {w}))::INT AS b
+  FROM toks, range({d}) t
+)
+SELECT r, b, count(*)::BIGINT AS cnt FROM pairs GROUP BY r, b
+"""
+
+
+def sql_cms_estimate(
+    sketch_sql: str, tokens, d: int = CMS_D, w: int = CMS_W
+) -> str:
+    """DuckDB twin of cms_estimate (candidate buckets rendered as the
+    same python-computed literals)."""
+    from data_quality_spark.ops.hashing import py_hash64
+
+    rows = ", ".join(
+        f"('{tok}', {r}, {py_hash64(tok, salt=f'|cms{r}') % w})"
+        for tok in tokens
+        for r in range(d)
+    )
+    return f"""
+WITH sk AS ({sketch_sql}),
+cand(token, r, b) AS (VALUES {rows})
+SELECT token, min(coalesce(sk.cnt, 0))::BIGINT AS est
+FROM cand LEFT JOIN sk ON sk.r = cand.r AND sk.b = cand.b
+GROUP BY token
+"""

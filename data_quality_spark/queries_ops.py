@@ -2353,6 +2353,46 @@ def _sql_sketch_distinct_hll() -> str:
     return SK.sql_distinct_hll(rows, "host", "url")
 
 
+CMS_PROBE_TOKENS = ["spark", "join", "table", "nosuchtoken"]
+
+
+def q_sketch_token_cms(spark, sf_dir):
+    """Count-Min token-frequency table (ops.sketches.token_cms) over the
+    documents text: the O(vocabulary)-free corpus-frequency state — the
+    exchange is bounded by d·w·partitions int rows no matter the corpus.
+    Exact integer cells, so the DuckDB twin builds the identical table."""
+    from data_quality_spark.ops import sketches as SK
+
+    return SK.token_cms(_t(spark, sf_dir, "documents"), "text")
+
+
+def _sql_sketch_token_cms() -> str:
+    from data_quality_spark.ops import sketches as SK
+
+    return SK.sql_token_cms("SELECT text FROM documents", "text")
+
+
+def q_sketch_cms_heavy(spark, sf_dir):
+    """Point-frequency estimates for probe tokens from the CMS table
+    (ops.sketches.cms_estimate): min over the d hashed cells, absent
+    cell = 0 (the 'nosuchtoken' probe). Never underestimates; the
+    deterministic hash family makes even the collision error identical
+    across engines."""
+    from data_quality_spark.ops import sketches as SK
+
+    sk = SK.token_cms(_t(spark, sf_dir, "documents"), "text")
+    return SK.cms_estimate(sk, CMS_PROBE_TOKENS)
+
+
+def _sql_sketch_cms_heavy() -> str:
+    from data_quality_spark.ops import sketches as SK
+
+    return SK.sql_cms_estimate(
+        SK.sql_token_cms("SELECT text FROM documents", "text"),
+        CMS_PROBE_TOKENS,
+    )
+
+
 def q_graph_anchor_stats(spark, sf_dir):
     """Per-target-host anchor-text statistics (ops.graph.anchor_stats):
     inbound anchor volume, referring-host breadth, text diversity, empty
@@ -3960,6 +4000,8 @@ OPS_QUERIES = {
     "graph_harmonic_hll": q_graph_harmonic_hll,
     "graph_anchor_stats": q_graph_anchor_stats,
     "sketch_distinct_hll": q_sketch_distinct_hll,
+    "sketch_token_cms": q_sketch_token_cms,
+    "sketch_cms_heavy": q_sketch_cms_heavy,
     "text_crawl_latest": q_text_crawl_latest,
     "text_crawl_latest_tied": q_text_crawl_latest_tied,
     "text_url_spam": q_text_url_spam,
@@ -4051,6 +4093,8 @@ OPS_ORACLES = {
     "graph_harmonic_hll": _sql_graph_harmonic_hll(),
     "graph_anchor_stats": _sql_graph_anchor_stats(),
     "sketch_distinct_hll": _sql_sketch_distinct_hll(),
+    "sketch_token_cms": _sql_sketch_token_cms(),
+    "sketch_cms_heavy": _sql_sketch_cms_heavy(),
     "text_crawl_latest": _sql_text_crawl_latest(),
     "text_crawl_latest_tied": _sql_text_crawl_latest_tied(),
     "text_url_spam": _sql_text_url_spam(),

@@ -3013,3 +3013,33 @@ def test_distinct_hll_accuracy_and_parity(spark):
     est = HLL_EST_C / s_expect
     assert got["distinct_est"] == est
     assert abs(est / 2000.0 - 1.0) < 0.4
+
+
+def test_token_cms_exact_vs_python_twin(spark):
+    """CMS table and point estimates must equal a pure-python rendering
+    of the same d x w construction exactly, and estimates must never
+    underestimate true counts (CMS one-sided error guarantee)."""
+    from collections import Counter
+
+    from data_quality_spark.ops import sketches as SK
+    from data_quality_spark.ops.hashing import py_hash64
+
+    texts = ["a b a  c", "b b  d", None, "a e f g a"]
+    df = spark.createDataFrame([(t,) for t in texts], "text string")
+    table = {(r["r"], r["b"]): r["cnt"]
+             for r in SK.token_cms(df, "text", d=3, w=32).collect()}
+    exact = Counter(t for s in texts if s for t in s.split())
+    expect = Counter()
+    for tok, n in exact.items():
+        for r in range(3):
+            expect[(r, py_hash64(tok, salt=f"|cms{r}") % 32)] += n
+    assert table == dict(expect)
+    sk = SK.token_cms(df, "text", d=3, w=32)
+    ests = {r["token"]: r["est"]
+            for r in SK.cms_estimate(sk, ["a", "b", "zz"], d=3, w=32).collect()}
+    assert ests["zz"] >= 0
+    for tok in ("a", "b"):
+        assert ests[tok] >= exact[tok]
+        assert ests[tok] == min(
+            expect[(r, py_hash64(tok, salt=f"|cms{r}") % 32)] for r in range(3)
+        )
