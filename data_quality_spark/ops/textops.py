@@ -2076,3 +2076,114 @@ def pr_curve(
         F.when(npd + npos > 0, F.round(2 * tp / (npd + npos), 6))
         .alias("f1"),
     )
+
+
+# ---------------------------------------------------------------------------
+# exact group quantiles over integer-valued metrics (doc length, token
+# count) — the distribution-reporting primitive datasheets and filter
+# tuning need. approx_percentile is engine-specific (never oracle-exact);
+# this is the EXACT k-th smallest, computed over the compact (group,
+# distinct value) frame instead of sorting rows.
+# ---------------------------------------------------------------------------
+
+QUANTILE_PCTS_DEFAULT = (25, 50, 75, 90)
+
+
+def group_quantiles(
+    df: DataFrame,
+    key_cols,
+    value_col: str,
+    pcts=QUANTILE_PCTS_DEFAULT,
+) -> DataFrame:
+    """Exact lower-rank quantiles per group: for each integer percent p,
+    the k-th smallest value with k = (n-1)·p div 100 + 1 (the 'lower'
+    interpolation — pure rank selection, no float interpolation, so the
+    result is a VALUE FROM THE DATA and bit-portable across engines).
+    NULL values are ignored; groups with no non-NULL values are absent.
+
+    Scale shape: rows collapse to (key, distinct value, count) in one
+    partial-aggregated groupBy FIRST — for integer metrics (lengths,
+    token counts) that is ≤ ~10^6 rows per key no matter the corpus —
+    then a window cumsum over that compact frame selects the target
+    ranks. The sort under the window orders distinct VALUES per key,
+    never corpus rows (vs the naive row_number plan whose per-key sort
+    is the dataset). Returns (key..., pct, value)."""
+    from pyspark.sql import Window
+
+    if isinstance(key_cols, str):
+        key_cols = [key_cols]
+    pcts = sorted(int(p) for p in pcts)
+    if not pcts or pcts[0] < 0 or pcts[-1] > 100:
+        raise ValueError(f"group_quantiles: pcts must be in [0,100]: {pcts}")
+    v = F.col(value_col)
+    counts = (
+        df.where(v.isNotNull())
+        .groupBy(*key_cols, v.alias("__v"))
+        .agg(F.count(F.lit(1)).alias("__c"))
+    )
+    w_cum = (
+        Window.partitionBy(*key_cols)
+        .orderBy("__v")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    w_all = Window.partitionBy(*key_cols)
+    cum = counts.select(
+        *key_cols,
+        "__v",
+        "__c",
+        F.sum("__c").over(w_cum).alias("__cum"),
+        F.sum("__c").over(w_all).alias("__n"),
+    )
+    # k-th smallest target per pct, integer arithmetic only
+    targets = F.array(
+        *[
+            F.struct(
+                F.lit(p).alias("pct"),
+                (
+                    F.expr(f"((__n - 1) * {p}) div 100") + F.lit(1)
+                ).alias("k"),
+            )
+            for p in pcts
+        ]
+    )
+    return (
+        cum.select(*key_cols, "__v", "__c", "__cum",
+                   F.explode(targets).alias("__t"))
+        .where(
+            (F.col("__cum") >= F.col("__t.k"))
+            & (F.col("__cum") - F.col("__c") < F.col("__t.k"))
+        )
+        .select(*key_cols, F.col("__t.pct").alias("pct"),
+                F.col("__v").alias("value"))
+    )
+
+
+def sql_group_quantiles(
+    rows_sql: str, key_cols, value_col: str, pcts=QUANTILE_PCTS_DEFAULT
+) -> str:
+    """DuckDB twin of group_quantiles (same rank arithmetic)."""
+    if isinstance(key_cols, str):
+        key_cols = [key_cols]
+    keys = ", ".join(key_cols)
+    pcts = sorted(int(p) for p in pcts)
+    plist = ", ".join(str(p) for p in pcts)
+    return f"""
+WITH rows_in AS ({rows_sql}),
+counts AS (
+  SELECT {keys}, {value_col} AS v, count(*) AS c
+  FROM rows_in WHERE {value_col} IS NOT NULL GROUP BY ALL
+),
+cum AS (
+  SELECT {keys}, v, c,
+         sum(c) OVER (PARTITION BY {keys} ORDER BY v
+                      ROWS UNBOUNDED PRECEDING) AS cum,
+         sum(c) OVER (PARTITION BY {keys}) AS n
+  FROM counts
+),
+t AS (
+  SELECT cum.*, p.pct, ((n - 1) * p.pct) // 100 + 1 AS k
+  FROM cum, unnest([{plist}]) AS p(pct)
+)
+SELECT {keys}, pct::INT AS pct, v AS value
+FROM t WHERE cum >= k AND cum - c < k
+"""

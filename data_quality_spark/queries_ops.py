@@ -2353,6 +2353,24 @@ def _sql_sketch_distinct_hll() -> str:
     return SK.sql_distinct_hll(rows, "host", "url")
 
 
+def q_text_len_quantiles(spark, sf_dir):
+    """Exact per-language document-length quantiles
+    (textops.group_quantiles): pure rank selection over the compact
+    (lang, distinct length, count) frame — no float interpolation, no
+    row-grain sort, engine-exact. The datasheet/filter-tuning
+    distribution primitive approx_percentile can't give (its sketch is
+    engine-specific)."""
+    return T.group_quantiles(
+        _t(spark, sf_dir, "documents"), "lang", "n_chars"
+    )
+
+
+def _sql_text_len_quantiles() -> str:
+    return T.sql_group_quantiles(
+        "SELECT lang, n_chars FROM documents", "lang", "n_chars"
+    )
+
+
 CMS_PROBE_TOKENS = ["spark", "join", "table", "nosuchtoken"]
 
 
@@ -4002,6 +4020,7 @@ OPS_QUERIES = {
     "sketch_distinct_hll": q_sketch_distinct_hll,
     "sketch_token_cms": q_sketch_token_cms,
     "sketch_cms_heavy": q_sketch_cms_heavy,
+    "text_len_quantiles": q_text_len_quantiles,
     "text_crawl_latest": q_text_crawl_latest,
     "text_crawl_latest_tied": q_text_crawl_latest_tied,
     "text_url_spam": q_text_url_spam,
@@ -4095,6 +4114,7 @@ OPS_ORACLES = {
     "sketch_distinct_hll": _sql_sketch_distinct_hll(),
     "sketch_token_cms": _sql_sketch_token_cms(),
     "sketch_cms_heavy": _sql_sketch_cms_heavy(),
+    "text_len_quantiles": _sql_text_len_quantiles(),
     "text_crawl_latest": _sql_text_crawl_latest(),
     "text_crawl_latest_tied": _sql_text_crawl_latest_tied(),
     "text_url_spam": _sql_text_url_spam(),

@@ -3043,3 +3043,30 @@ def test_token_cms_exact_vs_python_twin(spark):
         assert ests[tok] == min(
             expect[(r, py_hash64(tok, salt=f"|cms{r}") % 32)] for r in range(3)
         )
+
+
+def test_group_quantiles_exact_rank_selection(spark):
+    """group_quantiles == numpy 'lower' method exactly, across groups,
+    ties, NULLs, p=0/100 extremes, and a single-row group."""
+    import numpy as np
+
+    from data_quality_spark.ops import textops as T
+
+    rng = np.random.RandomState(7)
+    data = (
+        [("a", int(v)) for v in rng.randint(0, 50, 199)]
+        + [("b", int(v)) for v in rng.randint(0, 9, 57)]
+        + [("c", 42)]
+        + [("a", None), ("d", None)]
+    )
+    df = spark.createDataFrame(data, "k string, v int")
+    pcts = (0, 25, 50, 75, 90, 100)
+    got = {(r["k"], r["pct"]): r["value"]
+           for r in T.group_quantiles(df, "k", "v", pcts).collect()}
+    for k in ("a", "b", "c"):
+        vals = sorted(v for kk, v in data if kk == k and v is not None)
+        for p in pcts:
+            expect = vals[(len(vals) - 1) * p // 100]
+            assert got[(k, p)] == expect, (k, p)
+    assert not any(kk == "d" for kk, _ in got)  # all-NULL group absent
+    assert len(got) == 3 * len(pcts)
