@@ -125,6 +125,52 @@ def parse_jpeg_header(b: bytes) -> tuple[int, int] | None:
     return None
 
 
+def parse_gif_header(b: bytes) -> tuple[int, int] | None:
+    """(width, height) from a GIF logical screen descriptor, or None.
+    Fixed layout: 'GIF87a'/'GIF89a' then width(2 LE) height(2 LE) — the
+    canvas dimensions (individual frames may be smaller; a metadata scan
+    wants the canvas)."""
+    if len(b) < 13 or b[:6] not in (b"GIF87a", b"GIF89a"):
+        return None
+    w, h = struct.unpack("<HH", b[6:10])
+    if w == 0 or h == 0:
+        return None
+    return w, h
+
+
+def parse_webp_header(b: bytes) -> tuple[int, int] | None:
+    """(width, height) from a WebP RIFF container, or None. Handles the
+    three first-chunk layouts: 'VP8 ' (lossy — 3-byte frame tag, 9D 01 2A
+    sync, then 14-bit LE dims), 'VP8L' (lossless — 0x2F signature then
+    (w-1):14 | (h-1):14 packed little-endian) and 'VP8X' (extended —
+    24-bit LE canvas minus one). No RIFF size validation: a metadata scan
+    must tolerate truncated payloads a full decoder would reject."""
+    if len(b) < 16 or b[:4] != b"RIFF" or b[8:12] != b"WEBP":
+        return None
+    fourcc = b[12:16]
+    if fourcc == b"VP8 ":
+        if len(b) < 30 or b[23:26] != b"\x9d\x01\x2a":
+            return None
+        w = struct.unpack("<H", b[26:28])[0] & 0x3FFF
+        h = struct.unpack("<H", b[28:30])[0] & 0x3FFF
+    elif fourcc == b"VP8L":
+        if len(b) < 25 or b[20] != 0x2F:
+            return None
+        v = struct.unpack("<I", b[21:25])[0]
+        w = (v & 0x3FFF) + 1
+        h = ((v >> 14) & 0x3FFF) + 1
+    elif fourcc == b"VP8X":
+        if len(b) < 30:
+            return None
+        w = 1 + int.from_bytes(b[24:27], "little")
+        h = 1 + int.from_bytes(b[27:30], "little")
+    else:
+        return None
+    if w == 0 or h == 0:
+        return None
+    return w, h
+
+
 def sniff_image(b: bytes) -> tuple[str, int, int] | None:
     """(format, width, height) for payloads whose container header we can
     parse; None otherwise (caller decides the fallback)."""
@@ -134,6 +180,12 @@ def sniff_image(b: bytes) -> tuple[str, int, int] | None:
     dims = parse_jpeg_header(b)
     if dims is not None:
         return ("jpeg", *dims)
+    dims = parse_gif_header(b)
+    if dims is not None:
+        return ("gif", *dims)
+    dims = parse_webp_header(b)
+    if dims is not None:
+        return ("webp", *dims)
     return None
 
 
@@ -160,21 +212,54 @@ def jpeg_bytes(w: int, h: int, tail: bytes = b"",
     return b"\xff\xd8" + app0 + sof + tail
 
 
+def gif_bytes(w: int, h: int, tail: bytes = b"") -> bytes:
+    """A syntactically real GIF prefix: GIF89a signature + logical screen
+    descriptor (LE dims, global-color-table flags, background, aspect)."""
+    return b"GIF89a" + struct.pack("<HH", w, h) + bytes([0x70, 0, 0]) + tail
+
+
+def webp_bytes(w: int, h: int, tail: bytes = b"",
+               lossless: bool = False) -> bytes:
+    """A syntactically real WebP prefix: RIFF/WEBP container with either
+    a VP8 (lossy: frame tag + 9D 01 2A sync + 14-bit LE dims) or VP8L
+    (lossless: 0x2F + packed (w-1,h-1)) first chunk. Odd-length chunk
+    bodies get the RIFF pad byte; the RIFF size field covers the tail so
+    the container is plausible, though the parser never checks it."""
+    if lossless:
+        if not (1 <= w <= 16384 and 1 <= h <= 16384):
+            raise ValueError("webp_bytes: VP8L dims are 14-bit")
+        body = b"\x2f" + struct.pack("<I", (w - 1) | ((h - 1) << 14))
+        chunk = b"VP8L" + struct.pack("<I", len(body)) + body
+    else:
+        if not (1 <= w <= 0x3FFF and 1 <= h <= 0x3FFF):
+            raise ValueError("webp_bytes: VP8 dims are 14-bit")
+        body = b"\x00\x00\x00\x9d\x01\x2a" + struct.pack("<HH", w, h)
+        chunk = b"VP8 " + struct.pack("<I", len(body)) + body
+    if len(chunk) % 2:
+        chunk += b"\x00"
+    return (b"RIFF" + struct.pack("<I", 4 + len(chunk) + len(tail))
+            + b"WEBP" + chunk + tail)
+
+
 # header sizes the synthesized payloads add (oracle twins recompute
 # n_bytes arithmetically from these)
 PNG_HEADER_LEN = len(png_bytes(1, 1))        # 8 sig + 25 IHDR chunk = 33
 JPEG_HEADER_LEN = len(jpeg_bytes(1, 1))      # 2 SOI + 18 APP0 + 19 SOF = 39
+GIF_HEADER_LEN = len(gif_bytes(1, 1))        # 6 sig + 7 screen desc = 13
+WEBP_VP8_HEADER_LEN = len(webp_bytes(1, 1))              # 12 RIFF + 8 + 10
+WEBP_VP8L_HEADER_LEN = len(webp_bytes(1, 1, lossless=True))  # 12+8+5+pad
 
 
 def synthesize_media_real(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     """Fixture builder whose payloads carry GENUINE container headers:
-    format cycles png / jpeg / wav by id; png and jpeg payloads start with
-    a real signature+IHDR / SOI+APP0+SOF prefix encoding deterministic
-    dimensions (w = 16 + id % 625, h = 16 + 7·id % 475; jpeg alternates
-    baseline SOF0 and progressive SOF2 by id), followed by the utf-8 text
-    bytes. wav payloads are raw text bytes — no parser here, so they
-    exercise the fake-decoder fallback. The dims being pure id arithmetic
-    is what lets a SQL oracle verify the parse round-trip exactly."""
+    format cycles png / jpeg / gif / webp / wav by id; the image payloads
+    start with a real signature prefix encoding deterministic dimensions
+    (w = 16 + id % 625, h = 16 + 7·id % 475; jpeg alternates baseline
+    SOF0 and progressive SOF2, webp alternates VP8L and lossy VP8, both
+    by id div 5), followed by the utf-8 text bytes. wav payloads are raw
+    text bytes — no parser here, so they exercise the fake-decoder
+    fallback. The dims being pure id arithmetic is what lets a SQL
+    oracle verify the parse round-trip exactly."""
     src = df.select(
         F.col(id_col).cast("long").alias("media_id"),
         F.col(text_col).alias("__text"),
@@ -192,15 +277,23 @@ def synthesize_media_real(df: DataFrame, id_col: str, text_col: str) -> DataFram
                 mid = int(mid)
                 tail = str(text).encode("utf-8")
                 w, h = 16 + mid % 625, 16 + (mid * 7) % 475
-                k = mid % 3
+                k = mid % 5
                 if k == 0:
                     payloads.append(png_bytes(w, h, tail))
                     fmts.append("png")
                 elif k == 1:
                     payloads.append(
-                        jpeg_bytes(w, h, tail, progressive=(mid // 3) % 2 == 0)
+                        jpeg_bytes(w, h, tail, progressive=(mid // 5) % 2 == 0)
                     )
                     fmts.append("jpeg")
+                elif k == 2:
+                    payloads.append(gif_bytes(w, h, tail))
+                    fmts.append("gif")
+                elif k == 3:
+                    payloads.append(
+                        webp_bytes(w, h, tail, lossless=(mid // 5) % 2 == 0)
+                    )
+                    fmts.append("webp")
                 else:
                     payloads.append(tail)
                     fmts.append("wav")

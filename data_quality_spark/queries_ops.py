@@ -3520,11 +3520,12 @@ def q_multimodal_meta(spark, sf_dir):
 
 def q_multimodal_real_meta(spark, sf_dir):
     """REAL header decode round-trip: the fixture builder writes genuine
-    PNG IHDR / JPEG SOF0/2 prefixes encoding id-arithmetic dimensions;
-    decode_media_meta(real_decode=True) must parse those exact values back
-    out of the bytes (the oracle recomputes them arithmetically — any
-    parser bug breaks the hash). wav rows carry no image header and pin
-    the fake-decoder fallback."""
+    PNG IHDR / JPEG SOF0/2 / GIF screen-descriptor / WebP VP8+VP8L
+    prefixes encoding id-arithmetic dimensions; decode_media_meta(
+    real_decode=True) must parse those exact values back out of the
+    bytes (the oracle recomputes them arithmetically — any parser bug
+    breaks the hash). wav rows carry no image header and pin the
+    fake-decoder fallback."""
     media = M.synthesize_media_real(
         _t(spark, sf_dir, "documents"), "doc_id", "text"
     )
@@ -3581,15 +3582,20 @@ FROM documents WHERE text IS NOT NULL
 SQL_MULTIMODAL_REAL_META = f"""
 SELECT doc_id AS media_id,
        octet_length(encode(text))
-         + CASE doc_id % 3 WHEN 0 THEN {M.PNG_HEADER_LEN}
+         + CASE doc_id % 5 WHEN 0 THEN {M.PNG_HEADER_LEN}
                            WHEN 1 THEN {M.JPEG_HEADER_LEN}
+                           WHEN 2 THEN {M.GIF_HEADER_LEN}
+                           WHEN 3 THEN CASE WHEN (doc_id // 5) % 2 = 0
+                                            THEN {M.WEBP_VP8L_HEADER_LEN}
+                                            ELSE {M.WEBP_VP8_HEADER_LEN} END
                            ELSE 0 END AS n_bytes,
-       CASE doc_id % 3 WHEN 0 THEN 'png' WHEN 1 THEN 'jpeg'
+       CASE doc_id % 5 WHEN 0 THEN 'png' WHEN 1 THEN 'jpeg'
+                       WHEN 2 THEN 'gif' WHEN 3 THEN 'webp'
                        ELSE 'wav' END AS format,
-       CASE WHEN doc_id % 3 = 2
+       CASE WHEN doc_id % 5 = 4
             THEN 64 + ('0x' || substring(md5(text), 1, 2))::INT % 192
             ELSE CAST(16 + doc_id % 625 AS INT) END AS width,
-       CASE WHEN doc_id % 3 = 2
+       CASE WHEN doc_id % 5 = 4
             THEN 64 + ('0x' || substring(md5(text), 3, 2))::INT % 192
             ELSE CAST(16 + (doc_id * 7) % 475 AS INT) END AS height
 FROM documents WHERE text IS NOT NULL

@@ -436,41 +436,78 @@ def test_image_header_parsers():
 
 
 def test_multimodal_real_decode_headers(spark):
-    """decode_media_meta(real_decode=True) end-to-end: PNG/JPEG payloads
-    carry genuine headers whose dims must round-trip bit-exactly; the wav
-    row (no image header) falls back to the fake decoder + declared
-    format."""
+    """decode_media_meta(real_decode=True) end-to-end: PNG/JPEG/GIF/WebP
+    payloads carry genuine headers whose dims must round-trip bit-exactly;
+    the wav row (no image header) falls back to the fake decoder +
+    declared format."""
     docs = spark.createDataFrame(
-        [(i, f"document body {i}") for i in range(6)], "doc_id long, text string"
+        [(i, f"document body {i}") for i in range(10)],
+        "doc_id long, text string",
     )
     media = M.synthesize_media_real(docs, "doc_id", "text")
     meta = {r["media_id"]: r for r in
             M.decode_media_meta(media, real_decode=True).collect()}
-    assert set(meta) == set(range(6))
-    for i in range(6):
+    assert set(meta) == set(range(10))
+    hdr_len = {
+        0: M.PNG_HEADER_LEN, 1: M.JPEG_HEADER_LEN, 2: M.GIF_HEADER_LEN,
+    }
+    fmt_of = {0: "png", 1: "jpeg", 2: "gif", 3: "webp", 4: "wav"}
+    for i in range(10):
         r = meta[i]
         body = f"document body {i}".encode()
-        if i % 3 == 0:
-            assert r["format"] == "png"
-            assert (r["width"], r["height"]) == (16 + i % 625, 16 + (i * 7) % 475)
-            assert r["n_bytes"] == M.PNG_HEADER_LEN + len(body)
-            assert r["digest_md5"] == hashlib.md5(
-                M.png_bytes(r["width"], r["height"], body)).hexdigest()
-        elif i % 3 == 1:
-            assert r["format"] == "jpeg"
-            assert (r["width"], r["height"]) == (16 + i % 625, 16 + (i * 7) % 475)
-            assert r["n_bytes"] == M.JPEG_HEADER_LEN + len(body)
-        else:
+        k = i % 5
+        assert r["format"] == fmt_of[k]
+        if k == 4:
             d = hashlib.md5(body).digest()
-            assert r["format"] == "wav"
             assert (r["width"], r["height"]) == (64 + d[0] % 192, 64 + d[1] % 192)
             assert r["n_bytes"] == len(body)
+            continue
+        assert (r["width"], r["height"]) == (16 + i % 625, 16 + (i * 7) % 475)
+        if k == 3:
+            hl = (M.WEBP_VP8L_HEADER_LEN if (i // 5) % 2 == 0
+                  else M.WEBP_VP8_HEADER_LEN)
+        else:
+            hl = hdr_len[k]
+        assert r["n_bytes"] == hl + len(body)
+        if k == 0:
+            assert r["digest_md5"] == hashlib.md5(
+                M.png_bytes(r["width"], r["height"], body)).hexdigest()
     # real_decode=False on the same payloads: all dims fake, formats declared
     fake = {r["media_id"]: r for r in M.decode_media_meta(media).collect()}
-    for i in (0, 1):
+    for i in (0, 1, 2, 3):
         assert fake[i]["format"] == meta[i]["format"]  # declared == sniffed here
         assert (fake[i]["width"], fake[i]["height"]) != (
             meta[i]["width"], meta[i]["height"])
+
+
+def test_gif_webp_header_parsers():
+    """Pure-python GIF / WebP header parsers: round-trip through the
+    builders for every variant, plus truncation / corruption classes."""
+    assert M.parse_gif_header(M.gif_bytes(640, 480, b"frames")) == (640, 480)
+    assert M.parse_gif_header(M.gif_bytes(1, 1)) == (1, 1)
+    assert M.parse_gif_header(b"GIF89a" + b"\x00" * 3) is None   # truncated
+    assert M.parse_gif_header(M.gif_bytes(2, 2).replace(b"GIF", b"JIF")) is None
+    # zero width in the screen descriptor -> not a usable image
+    assert M.parse_gif_header(b"GIF89a\x00\x00\x05\x00\x70\x00\x00") is None
+    for lossless in (False, True):
+        b = M.webp_bytes(123, 457, b"bits", lossless=lossless)
+        assert M.parse_webp_header(b) == (123, 457)
+        fmt, w, h = M.sniff_image(b)
+        assert (fmt, w, h) == ("webp", 123, 457)
+    assert M.parse_webp_header(M.webp_bytes(5, 6)[:20]) is None   # truncated
+    bad_sync = bytearray(M.webp_bytes(5, 6))
+    bad_sync[23] = 0x00
+    assert M.parse_webp_header(bytes(bad_sync)) is None
+    # VP8X extended canvas: hand-built chunk
+    vp8x = (b"RIFF" + (4 + 8 + 10).to_bytes(4, "little") + b"WEBP"
+            + b"VP8X" + (10).to_bytes(4, "little") + bytes([0, 0, 0, 0])
+            + (799).to_bytes(3, "little") + (599).to_bytes(3, "little"))
+    assert M.parse_webp_header(vp8x) == (800, 600)
+    assert M.sniff_image(M.gif_bytes(9, 9)) == ("gif", 9, 9)
+    # 14-bit guard rails on the builder
+    import pytest as _pytest
+    with _pytest.raises(ValueError):
+        M.webp_bytes(20000, 5, lossless=True)
 
 
 def test_media_meta_native_agrees_with_pandas_path(spark):
