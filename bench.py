@@ -82,6 +82,12 @@ HEADLINE = [
     "graph_host_rank",        # integer micro-unit PageRank (5 iterations)
     "graph_trust_rank",       # TrustRank teleport variant
     "text_crawl_latest",      # cross-snapshot struct-max keeper
+    "graph_conn_comp",        # hash-to-min connected components
+    "graph_harmonic_hll",     # HyperBall sketch centrality (64 registers)
+    "graph_anchor_stats",     # anchor-text aggregation per target host
+    "sketch_distinct_hll",    # group-wise HLL distinct counting
+    "sketch_token_cms",       # Count-Min token-frequency table
+    "text_len_quantiles",     # exact rank-selection group quantiles
 ]
 
 

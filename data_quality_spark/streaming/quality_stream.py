@@ -248,6 +248,68 @@ def latest_snapshot_stream(
     )
 
 
+def distinct_hll_stream(
+    pages: DataFrame,
+    key_col: str,
+    value_col: str,
+    ts_col: str = "warc_ts",
+    window: str = "1 day",
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """Streaming twin of ``ops.sketches.distinct_hll``: per-key
+    distinct-value cardinality per event-time window — e.g. distinct
+    URLs per host per day over a live crawl feed.
+
+    ONE stateful windowed aggregation (append-compatible): the 64 HLL
+    registers become 64 conditional MAX aggregates, so state is exactly
+    64 small ints per live (window, key) — never a distinct-set. The
+    register→s_units collapse and the estimate are STATELESS projections
+    after the agg, and use the same exact-bigint arithmetic as the batch
+    op, so a window's emitted row equals the batch distinct_hll over
+    that window's rows bit-for-bit (test-pinned). NULL values are
+    skipped, matching batch/COUNT DISTINCT semantics."""
+    from data_quality_spark.ops.graph import (
+        HLL_EST_C,
+        HLL_M,
+        HLL_RHO_CAP,
+        _hll_bucket_rho,
+    )
+
+    bucket, rho = _hll_bucket_rho(F.col(value_col))
+    agg = (
+        pages.where(F.col(value_col).isNotNull())
+        .withWatermark(ts_col, watermark)
+        .select(
+            F.col(ts_col),
+            F.col(key_col),
+            bucket.alias("__b"),
+            rho.alias("__r"),
+        )
+        .groupBy(F.window(F.col(ts_col), window).alias("w"), F.col(key_col))
+        .agg(
+            *[
+                F.max(F.when(F.col("__b") == j, F.col("__r"))).alias(f"r{j}")
+                for j in range(HLL_M)
+            ]
+        )
+    )
+    # stateless collapse: absent register (no row hit bucket j) = rho 0
+    s = None
+    for j in range(HLL_M):
+        term = F.pow(
+            F.lit(2.0),
+            F.lit(HLL_RHO_CAP) - F.coalesce(F.col(f"r{j}"), F.lit(0)),
+        ).cast("bigint")
+        s = term if s is None else s + term
+    return agg.select(
+        key_col,
+        F.col("w.start").alias("window_start"),
+        s.alias("s_units"),
+    ).withColumn(
+        "distinct_est", F.lit(HLL_EST_C) / F.col("s_units").cast("double")
+    )
+
+
 def stream_rule_metrics(
     spark: SparkSession,
     in_path: str,

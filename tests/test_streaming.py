@@ -422,3 +422,60 @@ def test_stream_host_rank_rule_in_set(spark, tmp_path):
     row = annotate_stream(df, cfg).select("host_rank", "fired_rules").first()
     assert row["host_rank"] is not None and row["host_rank"] < 0.5
     assert "host_low_rank" in row["fired_rules"]
+
+
+def test_distinct_hll_stream_matches_batch(spark, tmp_path):
+    """Streaming per-window HLL distinct (distinct_hll_stream) must equal
+    the batch sketch (ops.sketches.distinct_hll) bit-for-bit over the same
+    window's rows — registers, s_units, and the float estimate."""
+    import datetime as dt
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from data_quality_spark.ops.sketches import distinct_hll
+    from data_quality_spark.streaming.quality_stream import (
+        distinct_hll_stream,
+    )
+
+    base = dt.datetime(2024, 3, 1, 0, 0, 0)
+    schema = pa.schema([("host", pa.string()), ("warc_ts", pa.timestamp("us")),
+                        ("url", pa.string())])
+    rows = [
+        {"host": f"h{i % 3}", "warc_ts": base + dt.timedelta(minutes=i),
+         "url": f"http://h{i % 3}.example/p{i % 37}"}
+        for i in range(240)
+    ] + [{"host": "h0", "warc_ts": base + dt.timedelta(minutes=5),
+          "url": None}]
+    sentinel = [{"host": "zz", "warc_ts": base + dt.timedelta(days=3),
+                 "url": "http://zz.example/"}]
+    src = str(tmp_path / "hll_src")
+    os.makedirs(src, exist_ok=True)
+    pq.write_table(pa.Table.from_pylist(rows, schema=schema),
+                   os.path.join(src, "a_rows.parquet"))
+    pq.write_table(pa.Table.from_pylist(sentinel, schema=schema),
+                   os.path.join(src, "b_flush.parquet"))
+
+    sschema = "host string, warc_ts timestamp, url string"
+    stream = (spark.readStream.schema(sschema)
+              .option("maxFilesPerTrigger", 1).parquet(src))
+    agg = distinct_hll_stream(stream, "host", "url",
+                              window="1 day", watermark="1 hour")
+    out = str(tmp_path / "hll_out")
+    q = (agg.writeStream.format("parquet").option("path", out)
+         .option("checkpointLocation", str(tmp_path / "hll_ckpt"))
+         .outputMode("append").trigger(availableNow=True).start())
+    q.awaitTermination(120)
+
+    got = {r["host"]: r for r in spark.read.parquet(out).collect()
+           if r["host"] != "zz"}
+    batch_df = spark.createDataFrame(
+        [(r["host"], r["url"]) for r in rows], "host string, url string"
+    )
+    expect = {r["host"]: r for r in distinct_hll(batch_df, "host", "url").collect()}
+    assert set(got) == {"h0", "h1", "h2"} == set(expect)
+    for h in expect:
+        assert got[h]["s_units"] == expect[h]["s_units"], h
+        assert got[h]["distinct_est"] == expect[h]["distinct_est"], h
+        # truth: 37 urls spread over 3 hosts -> 12-13 distinct per host
+        assert got[h]["distinct_est"] > 0
