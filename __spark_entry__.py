@@ -55,6 +55,7 @@ DRIVER_PRIORITY = [
     "graph_personal_rank", "graph_conn_comp", "graph_harmonic",
     "graph_harmonic_hll", "graph_anchor_stats", "sketch_distinct_hll",
     "sketch_token_cms", "sketch_cms_heavy", "text_len_quantiles",
+    "text_reg_domain",
     "dedup_span_removal_para", "text_crawl_latest_tied", "multimodal_real_meta",
     # -- round-5 change canaries: graph tier (dangling mass, weight clamp) --
     "graph_host_rank",

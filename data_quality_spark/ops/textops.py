@@ -2187,3 +2187,68 @@ t AS (
 SELECT {keys}, pct::INT AS pct, v AS value
 FROM t WHERE cum >= k AND cum - c < k
 """
+
+
+# ---------------------------------------------------------------------------
+# registered-domain extraction (public-suffix rules) — the quota/dedup
+# grain real crawl pipelines group by: example.co.uk and a.example.co.uk
+# are ONE publisher, example.com and example.org are two. host_of gives
+# the raw host; this collapses it to label-before-public-suffix.
+# ---------------------------------------------------------------------------
+
+# minimal multi-label public-suffix set for tests/fixtures — production
+# passes the full publicsuffix.org list (it is curated content, ~9k
+# entries, comfortably a literal array / tiny broadcast).
+PSL_MULTI_DEFAULT = (
+    "co.uk", "org.uk", "ac.uk", "com.au", "net.au", "co.jp", "com.br",
+    "com.cn", "co.in",
+)
+
+
+def registered_domain(host: Column, psl_multi=PSL_MULTI_DEFAULT) -> Column:
+    """Registrable domain of a lowercase host, entirely in codegen string
+    arithmetic (no UDF, no join): the longest dot-suffix present in the
+    multi-label public-suffix set wins (suffix list is longest-first, so
+    the FIRST match is the longest); otherwise the default PSL '*' rule
+    applies — the public suffix is the bare last label. The registrable
+    domain is the label immediately left of the public suffix plus the
+    suffix. A host that IS a public suffix (or a single bare label) has
+    no registrable domain → NULL. NULL/'' host → NULL."""
+    suffixes = _host_suffixes(host)
+    psl = F.array(*[F.lit(s.lower()) for s in sorted(set(psl_multi))])
+    matches = F.filter(suffixes, lambda s: F.array_contains(psl, s))
+    # suffixes run longest→shortest, so element 1 is the longest match;
+    # the bare-TLD default rule is the 1-label suffix (last element)
+    pub = F.coalesce(
+        F.element_at(matches, 1),
+        F.element_at(suffixes, F.size(suffixes)),
+    )
+    prefix = F.substring(
+        host, F.lit(1), F.length(host) - F.length(pub) - F.lit(1)
+    )
+    label = F.regexp_extract(prefix, r"([^.]+)$", 1)
+    return F.when(
+        host.isNull() | (host == "") | (host == pub) | (label == ""),
+        F.lit(None).cast("string"),
+    ).otherwise(F.concat(label, F.lit("."), pub))
+
+
+def sql_registered_domain(host_expr: str, psl_multi=PSL_MULTI_DEFAULT) -> str:
+    """DuckDB twin of registered_domain (same suffix walk via scalar
+    list functions — lateral generate_series is not DuckDB-bindable)."""
+    psl = ", ".join(f"'{s.lower()}'" for s in sorted(set(psl_multi)))
+    h = host_expr
+    labels = f"string_split({h}, '.')"
+    sufs = (f"list_transform(range(1, len({labels}) + 1), "
+            f"i -> array_to_string({labels}[i:], '.'))")
+    pub = (f"coalesce(list_filter({sufs}, "
+           f"s -> list_contains([{psl}], s))[1], {labels}[-1])")
+    reg_label = (f"regexp_extract(substring({h}, 1, "
+                 f"length({h}) - length(pub) - 1), '([^.]+)$', 1)")
+    return f"""(
+      SELECT CASE
+        WHEN {h} IS NULL OR {h} = '' OR {h} = pub OR {reg_label} = ''
+        THEN NULL
+        ELSE {reg_label} || '.' || pub END
+      FROM (SELECT {pub} AS pub)
+    )"""

@@ -2353,6 +2353,58 @@ def _sql_sketch_distinct_hll() -> str:
     return SK.sql_distinct_hll(rows, "host", "url")
 
 
+REG_DOMAIN_HOST_SQL = """
+  CASE doc_id % 6
+    WHEN 0 THEN 'www.s' || (doc_id % 9) || '.co.uk'
+    WHEN 1 THEN 's' || (doc_id % 9) || '.co.uk'
+    WHEN 2 THEN 'a.b.s' || (doc_id % 7) || '.com'
+    WHEN 3 THEN 's' || (doc_id % 7) || '.com'
+    WHEN 4 THEN 'co.uk'
+    ELSE 'media.s' || (doc_id % 5) || '.com.au' END
+"""
+
+
+def _reg_domain_hosts(spark, sf_dir):
+    d = F.col("doc_id")
+    s = lambda e: e.cast("string")  # noqa: E731
+    host = (
+        F.when(d % 6 == 0, F.concat(F.lit("www.s"), s(d % 9), F.lit(".co.uk")))
+        .when(d % 6 == 1, F.concat(F.lit("s"), s(d % 9), F.lit(".co.uk")))
+        .when(d % 6 == 2, F.concat(F.lit("a.b.s"), s(d % 7), F.lit(".com")))
+        .when(d % 6 == 3, F.concat(F.lit("s"), s(d % 7), F.lit(".com")))
+        .when(d % 6 == 4, F.lit("co.uk"))
+        .otherwise(F.concat(F.lit("media.s"), s(d % 5), F.lit(".com.au")))
+    )
+    return _t(spark, sf_dir, "documents").select(host.alias("host"))
+
+
+def q_text_reg_domain(spark, sf_dir):
+    """Registered-domain rollup (textops.registered_domain): hosts
+    collapse to label-before-public-suffix (public-suffix rules — the
+    publisher grain quotas and per-site dedup group by; a per-host quota
+    treats a.example.co.uk and example.co.uk as different sites, this
+    doesn't). Pure codegen string arithmetic, no UDF/join; the NULL row
+    is the public-suffix-only host class."""
+    hosts = _reg_domain_hosts(spark, sf_dir)
+    return hosts.groupBy(
+        T.registered_domain(F.col("host")).alias("reg_domain")
+    ).agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.countDistinct("host").alias("n_hosts"),
+    )
+
+
+def _sql_text_reg_domain() -> str:
+    reg = T.sql_registered_domain("host")
+    return f"""
+WITH hosts AS (SELECT {REG_DOMAIN_HOST_SQL} AS host FROM documents)
+SELECT {reg} AS reg_domain,
+       count(*)::BIGINT AS n_docs,
+       count(DISTINCT host)::BIGINT AS n_hosts
+FROM hosts GROUP BY 1
+"""
+
+
 def q_text_len_quantiles(spark, sf_dir):
     """Exact per-language document-length quantiles
     (textops.group_quantiles): pure rank selection over the compact
@@ -4027,6 +4079,7 @@ OPS_QUERIES = {
     "sketch_token_cms": q_sketch_token_cms,
     "sketch_cms_heavy": q_sketch_cms_heavy,
     "text_len_quantiles": q_text_len_quantiles,
+    "text_reg_domain": q_text_reg_domain,
     "text_crawl_latest": q_text_crawl_latest,
     "text_crawl_latest_tied": q_text_crawl_latest_tied,
     "text_url_spam": q_text_url_spam,
@@ -4121,6 +4174,7 @@ OPS_ORACLES = {
     "sketch_token_cms": _sql_sketch_token_cms(),
     "sketch_cms_heavy": _sql_sketch_cms_heavy(),
     "text_len_quantiles": _sql_text_len_quantiles(),
+    "text_reg_domain": _sql_text_reg_domain(),
     "text_crawl_latest": _sql_text_crawl_latest(),
     "text_crawl_latest_tied": _sql_text_crawl_latest_tied(),
     "text_url_spam": _sql_text_url_spam(),

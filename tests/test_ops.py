@@ -3107,3 +3107,29 @@ def test_group_quantiles_exact_rank_selection(spark):
             assert got[(k, p)] == expect, (k, p)
     assert not any(kk == "d" for kk, _ in got)  # all-NULL group absent
     assert len(got) == 3 * len(pcts)
+
+
+def test_registered_domain_psl_semantics(spark):
+    """registered_domain: multi-label public suffixes collapse correctly,
+    unknown TLDs use the default last-label rule, public-suffix-only and
+    single-label hosts yield NULL — engine column vs hand expectations."""
+    from data_quality_spark.ops import textops as T
+
+    cases = [
+        ("a.b.example.co.uk", "example.co.uk"),
+        ("example.co.uk", "example.co.uk"),
+        ("co.uk", None),
+        ("example.com", "example.com"),
+        ("www.example.com", "example.com"),
+        ("deep.www.example.com", "example.com"),
+        ("localhost", None),
+        ("x.co.jp", "x.co.jp"),
+        ("media.s1.com.au", "s1.com.au"),
+        ("", None),
+        (None, None),
+    ]
+    df = spark.createDataFrame([(h,) for h, _ in cases], "host string")
+    got = {r["host"]: r["reg"] for r in df.select(
+        "host", T.registered_domain(F.col("host")).alias("reg")).collect()}
+    for h, want in cases:
+        assert got[h] == want, (h, got[h], want)
