@@ -48,7 +48,13 @@ RANK_DAMP_PCT = 85           # damping factor d as an integer percentage
 RANK_ITERS = 5
 PERS_SCALE = 10**6           # personalized-teleport weights: 1.0 == 10^6
 RANK_MAX_WEIGHT = 10**6      # edge-weight ceiling: rank*w must fit bigint
-RANK_CHECKPOINT_EVERY = 8    # localCheckpoint cadence for deep iterations
+# localCheckpoint cadence: the dangling-mass fold references the previous
+# rank frame TWICE per iteration (contrib + dangling agg), so the
+# unmaterialized plan tree grows ~3^iters — ReuseExchange dedups the
+# identical subtrees at EXECUTION time (default iters=5 compiles and runs
+# fine), but plan compile cost would explode past ~8 iterations, so the
+# rank frame is pinned every 4
+RANK_CHECKPOINT_EVERY = 4
 
 
 def _personal_v6(
@@ -193,9 +199,10 @@ def host_rank(
     (src, dst, w); nothing wide ever shuffles, and each iteration is one
     shuffle on dst plus the 1-row broadcast dangling aggregate (the
     src-side degree/rank join broadcasts when the host table fits, else
-    shuffle-joins on src). iters > 12 localCheckpoints the rank frame
-    every RANK_CHECKPOINT_EVERY iterations so lineage depth stays bounded
-    (each checkpoint is an eager (host, bigint) materialization)."""
+    shuffle-joins on src). The rank frame is localCheckpoint-ed every
+    RANK_CHECKPOINT_EVERY iterations so the plan tree stays bounded (the
+    dangling fold references rank twice per iteration — see the constant;
+    each checkpoint is an eager (host, bigint) materialization)."""
     src, dst = F.col(src_col), F.col(dst_col)
     if weight_col is not None:
         e = edges.select(
@@ -321,9 +328,7 @@ def host_rank(
                 .alias("__r"),
             )
         )
-        if iters > 12 and (it + 1) % RANK_CHECKPOINT_EVERY == 0 and (
-            it + 1
-        ) < iters:
+        if (it + 1) % RANK_CHECKPOINT_EVERY == 0 and (it + 1) < iters:
             rank = rank.localCheckpoint(eager=True)
     return rank.select(
         "host",

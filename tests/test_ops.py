@@ -3133,3 +3133,29 @@ def test_registered_domain_psl_semantics(spark):
         "host", T.registered_domain(F.col("host")).alias("reg")).collect()}
     for h, want in cases:
         assert got[h] == want, (h, got[h], want)
+
+
+def test_host_rank_deep_iterations_checkpointed(spark):
+    """iters=9 crosses two localCheckpoint boundaries (RANK_CHECKPOINT_
+    EVERY=4): values must still equal the pure-python recurrence exactly
+    — the checkpoint is a plan-tree pin, never a semantic change."""
+    from data_quality_spark.ops import graph as G
+
+    leaves = [f"l{i}.example" for i in range(6)]
+    edges = spark.createDataFrame(
+        [(leaf, "hub.example") for leaf in leaves], "src string, dst string"
+    )
+    iters = 9
+    got = {r["host"]: r["rank_units"]
+           for r in G.host_rank(edges, iters=iters).collect()}
+    n = 7
+    init = G.RANK_SCALE // n
+    base = ((100 - G.RANK_DAMP_PCT) * init) // 100
+    rank = {h: init for h in leaves + ["hub.example"]}
+    for _ in range(iters):
+        dm = rank["hub.example"]
+        inflow = {h: dm // n for h in rank}
+        for leaf in leaves:
+            inflow["hub.example"] += rank[leaf]
+        rank = {h: base + (G.RANK_DAMP_PCT * inflow[h]) // 100 for h in rank}
+    assert got == rank
