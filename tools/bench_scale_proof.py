@@ -40,6 +40,9 @@ HEAVY = [
     "period_overlap_global",  # range-partitioned global window
     "dedup_span_removal_tok",  # token-window hash + keeper window + rebuild
     "graph_host_rank",        # iterative join+agg (integer PageRank)
+    "graph_anchor_stats",     # map-side grammar extraction + distinct agg
+    "sketch_token_cms",       # bounded-exchange CMS table build
+    "text_len_quantiles",     # distinct-value window quantiles
 ]
 
 N_REPS = 3
