@@ -1073,3 +1073,236 @@ FROM pairs
 WHERE src_host <> '' AND dst_host <> '' AND src_host <> dst_host
 GROUP BY dst_host
 """
+
+
+# ---------------------------------------------------------------------------
+# HITS — hubs & authorities (Kleinberg 1999) over the host graph
+# ---------------------------------------------------------------------------
+
+HITS_SCALE = 10**6           # hub/auth micro-units: 1.0 == 10^6
+HITS_ITERS = 8
+# raw scores are Σ over in/out edges of values ≤ HITS_SCALE, so
+# raw ≤ deg · 10^6, and the normalization multiply raw · HITS_SCALE must
+# fit bigint: deg · 10^12 ≤ 9.2·10^18 → deg ≤ ~9.2·10^6. Enforce the same
+# 10^6 ceiling as host_rank's edge weights for headroom + symmetry.
+HITS_MAX_DEG = 10**6
+
+
+def hits(
+    edges: DataFrame,
+    src_col: str = "src",
+    dst_col: str = "dst",
+    iters: int = HITS_ITERS,
+) -> DataFrame:
+    """HITS hubs & authorities, exact-integer micro-unit arithmetic.
+
+    The web-graph complement of host_rank's PageRank prior: authority =
+    "endorsed by good hubs" (a quality signal for CONTENT hosts), hub =
+    "links to good authorities" (high hub + low authority is the classic
+    link-farm / directory-spam shape, a useful drop-rule feature that
+    PageRank alone can't separate).
+
+    Per iteration (micro-units, `div` = integer floor division on
+    non-negative bigints — identical in Spark and DuckDB):
+
+        a_raw(h) = Σ hub(src)  over in-edges      (shuffle on dst)
+        auth(h)  = (a_raw(h) * HITS_SCALE) div max(a_raw)   [L∞ norm]
+        h_raw(h) = Σ auth(dst) over out-edges     (shuffle on src)
+        hub(h)   = (h_raw(h) * HITS_SCALE) div max(h_raw)
+
+    L∞ (max) normalization instead of the textbook L2: it needs no sqrt,
+    keeps every value an exact bigint in [0, HITS_SCALE], and converges to
+    the same principal eigenvectors up to scale. The two max() aggregates
+    are 1-row broadcasts. Both maxima are provably ≥ HITS_SCALE for a
+    non-empty edge set (every edge's dst has a_raw ≥ hub_max ≥ 1 from the
+    argmax node's uniform init / prior normalization), so the floor
+    divisions never see zero.
+
+    Integer sums are order-independent → bit-identical under any
+    partitioning, and hash-exact vs the unrolled-CTE sql_hits twin.
+
+    Scale shape: state is two bigints per host; each iteration exchanges
+    (host, bigint) twice. Degrees are validated ≤ HITS_MAX_DEG=10^6 (one
+    tiny agg) so the normalization multiply can't wrap bigint with ANSI
+    off. The frames are localCheckpoint-pinned every RANK_CHECKPOINT_EVERY
+    iterations (same plan-tree-growth bound as host_rank).
+
+    Returns (host, auth_units, hub_units, auth double, hub double).
+    """
+    e = (
+        edges.select(F.col(src_col).alias("src"), F.col(dst_col).alias("dst"))
+        .distinct()
+    )
+    nodes = (
+        e.select(F.col("src").alias("host"))
+        .unionByName(e.select(F.col("dst").alias("host")))
+        .distinct()
+    )
+    degs = e.groupBy("src").count().agg(F.max("count")).first()[0]
+    degd = e.groupBy("dst").count().agg(F.max("count")).first()[0]
+    if degs is None:  # empty edge set
+        return nodes.select(
+            "host",
+            F.lit(0).cast("bigint").alias("auth_units"),
+            F.lit(0).cast("bigint").alias("hub_units"),
+            F.lit(0.0).alias("auth"),
+            F.lit(0.0).alias("hub"),
+        )
+    if max(degs, degd) > HITS_MAX_DEG:
+        raise ValueError(
+            f"hits(): max in/out degree {max(degs, degd)} exceeds "
+            f"HITS_MAX_DEG={HITS_MAX_DEG}; the normalization multiply "
+            "would overflow bigint — prune super-nodes first"
+        )
+    hub = nodes.select(
+        "host", F.lit(HITS_SCALE).cast("bigint").alias("__h")
+    )
+    auth = None
+    for it in range(iters):
+        a_raw = (
+            e.join(hub.withColumnRenamed("host", "src"), "src")
+            .groupBy(F.col("dst").alias("host"))
+            .agg(F.sum("__h").alias("__ar"))
+        )
+        a_max = a_raw.agg(F.max("__ar").alias("__am"))
+        auth = (
+            nodes.join(a_raw, "host", "left")
+            .crossJoin(F.broadcast(a_max))
+            .select(
+                "host",
+                F.expr(
+                    f"coalesce((__ar * {HITS_SCALE}) div __am, 0L)"
+                ).cast("bigint").alias("__a"),
+            )
+        )
+        h_raw = (
+            e.join(auth.withColumnRenamed("host", "dst"), "dst")
+            .groupBy(F.col("src").alias("host"))
+            .agg(F.sum("__a").alias("__hr"))
+        )
+        h_max = h_raw.agg(F.max("__hr").alias("__hm"))
+        hub = (
+            nodes.join(h_raw, "host", "left")
+            .crossJoin(F.broadcast(h_max))
+            .select(
+                "host",
+                F.expr(
+                    f"coalesce((__hr * {HITS_SCALE}) div __hm, 0L)"
+                ).cast("bigint").alias("__h"),
+            )
+        )
+        if (it + 1) % RANK_CHECKPOINT_EVERY == 0 and (it + 1) < iters:
+            hub = hub.localCheckpoint(eager=True)
+            auth = auth.localCheckpoint(eager=True)
+    return (
+        nodes.join(auth, "host", "left")
+        .join(hub, "host", "left")
+        .select(
+            "host",
+            F.coalesce("__a", F.lit(0)).cast("bigint").alias("auth_units"),
+            F.coalesce("__h", F.lit(0)).cast("bigint").alias("hub_units"),
+            (F.coalesce("__a", F.lit(0)) / F.lit(float(HITS_SCALE))).alias(
+                "auth"
+            ),
+            (F.coalesce("__h", F.lit(0)) / F.lit(float(HITS_SCALE))).alias(
+                "hub"
+            ),
+        )
+    )
+
+
+def sql_hits(edges_sql: str, iters: int = HITS_ITERS) -> str:
+    """DuckDB twin of hits(): the two half-steps unrolled as chained CTEs
+    over the SAME integer micro-unit arithmetic and L∞ normalization.
+    Every CTE is MATERIALIZED: each iteration references its predecessor
+    twice (join + max), so DuckDB's default CTE inlining would expand the
+    plan 2^iters-fold (the same plan-tree growth the Spark side bounds
+    with localCheckpoint).
+    edges_sql must yield (src, dst) with the same rows as the Spark side."""
+    ctes = [
+        f"e AS MATERIALIZED (SELECT DISTINCT src, dst FROM ({edges_sql}))",
+        "nodes AS MATERIALIZED"
+        " (SELECT src AS host FROM e UNION SELECT dst FROM e)",
+        f"h0 AS MATERIALIZED"
+        f" (SELECT host, {HITS_SCALE}::BIGINT AS h FROM nodes)",
+    ]
+    for i in range(iters):
+        ctes += [
+            f"ar{i} AS MATERIALIZED"
+            f" (SELECT e.dst AS host, sum(h.h)::BIGINT AS a"
+            f" FROM e JOIN h{i} h ON h.host = e.src GROUP BY 1)",
+            f"am{i} AS MATERIALIZED (SELECT max(a) AS m FROM ar{i})",
+            f"a{i + 1} AS MATERIALIZED (SELECT n.host,"
+            f" coalesce((ar.a * {HITS_SCALE}) // (SELECT m FROM am{i}),"
+            f" 0)::BIGINT AS a"
+            f" FROM nodes n LEFT JOIN ar{i} ar ON ar.host = n.host)",
+            f"hr{i} AS MATERIALIZED"
+            f" (SELECT e.src AS host, sum(a.a)::BIGINT AS h"
+            f" FROM e JOIN a{i + 1} a ON a.host = e.dst GROUP BY 1)",
+            f"hm{i} AS MATERIALIZED (SELECT max(h) AS m FROM hr{i})",
+            f"h{i + 1} AS MATERIALIZED (SELECT n.host,"
+            f" coalesce((hr.h * {HITS_SCALE}) // (SELECT m FROM hm{i}),"
+            f" 0)::BIGINT AS h"
+            f" FROM nodes n LEFT JOIN hr{i} hr ON hr.host = n.host)",
+        ]
+    return (
+        "WITH " + ",\n".join(ctes)
+        + f"\nSELECT n.host, coalesce(a.a, 0)::BIGINT AS auth_units,"
+        f" coalesce(h.h, 0)::BIGINT AS hub_units,"
+        f" coalesce(a.a, 0) / {float(HITS_SCALE)} AS auth,"
+        f" coalesce(h.h, 0) / {float(HITS_SCALE)} AS hub"
+        f"\nFROM nodes n LEFT JOIN a{iters} a ON a.host = n.host"
+        f" LEFT JOIN h{iters} h ON h.host = n.host"
+    )
+
+
+# ---------------------------------------------------------------------------
+# degree statistics — the cheapest crawl-graph health signal
+# ---------------------------------------------------------------------------
+
+
+def degree_stats(
+    edges: DataFrame, src_col: str = "src", dst_col: str = "dst"
+) -> DataFrame:
+    """Per-host in/out degree over the DISTINCT edge set.
+
+    The first thing anyone profiles on a crawl graph: out_deg ≫ in_deg
+    marks directory/link-farm hosts, in_deg = 0 marks frontier leaves,
+    and the degree histogram (one groupBy away) is the standard power-law
+    sanity check before trusting any rank prior built on the graph.
+
+    One distinct + two (host, count) aggregates + an outer join on host —
+    every exchanged row is (host, bigint). Returns
+    (host, out_deg, in_deg), zeros for missing directions.
+    """
+    e = (
+        edges.select(F.col(src_col).alias("src"), F.col(dst_col).alias("dst"))
+        .distinct()
+    )
+    outd = e.groupBy(F.col("src").alias("host")).agg(
+        F.count(F.lit(1)).alias("out_deg")
+    )
+    ind = e.groupBy(F.col("dst").alias("host")).agg(
+        F.count(F.lit(1)).alias("in_deg")
+    )
+    return (
+        outd.join(ind, "host", "full")
+        .select(
+            "host",
+            F.coalesce("out_deg", F.lit(0)).cast("bigint").alias("out_deg"),
+            F.coalesce("in_deg", F.lit(0)).cast("bigint").alias("in_deg"),
+        )
+    )
+
+
+def sql_degree_stats(edges_sql: str) -> str:
+    """DuckDB twin of degree_stats (same distinct-edge contract)."""
+    return f"""
+WITH e AS (SELECT DISTINCT src, dst FROM ({edges_sql})),
+o AS (SELECT src AS host, count(*)::BIGINT AS out_deg FROM e GROUP BY 1),
+i AS (SELECT dst AS host, count(*)::BIGINT AS in_deg FROM e GROUP BY 1)
+SELECT coalesce(o.host, i.host) AS host,
+       coalesce(o.out_deg, 0)::BIGINT AS out_deg,
+       coalesce(i.in_deg, 0)::BIGINT AS in_deg
+FROM o FULL JOIN i ON o.host = i.host
+"""

@@ -2282,6 +2282,44 @@ def _sql_graph_harmonic() -> str:
     return G.sql_harmonic_exact(edges, radius=HARMONIC_RADIUS)
 
 
+def _sql_dangling_edges() -> str:
+    h, m = HOST_RANK_N_HOSTS, HOST_RANK_SRC_MOD
+    return f"""
+  SELECT 'h' || (doc_id % {m}) || '.example' AS src,
+         'h' || ((doc_id * 7 + j) % {h}) || '.example' AS dst
+  FROM documents, unnest([1, 2, 3]) AS t(j)
+  WHERE (doc_id % {m}) <> ((doc_id * 7 + j) % {h})
+"""
+
+
+def q_graph_hits(spark, sf_dir):
+    """HITS hubs & authorities (ops.graph.hits): Kleinberg's two-score
+    complement to the PageRank prior — authority separates endorsed
+    CONTENT hosts from mere linkers; high-hub/low-authority is the
+    link-farm shape PageRank alone can't see. Runs on the dangling-host
+    graph, so the pure-authority hosts (h17..h22: inlinks, no outlinks →
+    hub exactly 0) and the L∞ integer normalization are both live. Exact
+    bigint micro-units — hash-exact vs the unrolled-CTE oracle."""
+    return G.hits(_synthetic_dangling_edges(spark, sf_dir))
+
+
+def _sql_graph_hits() -> str:
+    return G.sql_hits(_sql_dangling_edges())
+
+
+def q_graph_degree_stats(spark, sf_dir):
+    """Per-host in/out degree (ops.graph.degree_stats) over the distinct
+    edge set of the dangling-host graph — the crawl-graph health profile
+    (out_deg ≫ in_deg flags directories/link farms; in_deg = 0 flags
+    frontier leaves) computed from two (host, bigint) aggregates and one
+    outer join; the h17..h22 dangling hosts pin the out_deg = 0 side."""
+    return G.degree_stats(_synthetic_dangling_edges(spark, sf_dir))
+
+
+def _sql_graph_degree_stats() -> str:
+    return G.sql_degree_stats(_sql_dangling_edges())
+
+
 # ---------------------------------------------------------------------------
 # graph 5 — anchor-text aggregation (the link-description prior)
 # ---------------------------------------------------------------------------
@@ -4075,6 +4113,8 @@ OPS_QUERIES = {
     "graph_harmonic": q_graph_harmonic,
     "graph_harmonic_hll": q_graph_harmonic_hll,
     "graph_anchor_stats": q_graph_anchor_stats,
+    "graph_hits": q_graph_hits,
+    "graph_degree_stats": q_graph_degree_stats,
     "sketch_distinct_hll": q_sketch_distinct_hll,
     "sketch_token_cms": q_sketch_token_cms,
     "sketch_cms_heavy": q_sketch_cms_heavy,
@@ -4170,6 +4210,8 @@ OPS_ORACLES = {
     "graph_harmonic": _sql_graph_harmonic(),
     "graph_harmonic_hll": _sql_graph_harmonic_hll(),
     "graph_anchor_stats": _sql_graph_anchor_stats(),
+    "graph_hits": _sql_graph_hits(),
+    "graph_degree_stats": _sql_graph_degree_stats(),
     "sketch_distinct_hll": _sql_sketch_distinct_hll(),
     "sketch_token_cms": _sql_sketch_token_cms(),
     "sketch_cms_heavy": _sql_sketch_cms_heavy(),

@@ -3159,3 +3159,98 @@ def test_host_rank_deep_iterations_checkpointed(spark):
             inflow["hub.example"] += rank[leaf]
         rank = {h: base + (G.RANK_DAMP_PCT * inflow[h]) // 100 for h in rank}
     assert got == rank
+
+
+def _py_hits(edges, iters):
+    """Pure-python twin of ops.graph.hits's exact integer recurrence."""
+    from data_quality_spark.ops import graph as G
+
+    e = sorted(set(edges))
+    nodes = sorted({s for s, _ in e} | {d for _, d in e})
+    hub = {h: G.HITS_SCALE for h in nodes}
+    auth = {h: 0 for h in nodes}
+    for _ in range(iters):
+        a_raw = {h: 0 for h in nodes}
+        for s, d in e:
+            a_raw[d] += hub[s]
+        am = max(a_raw.values())
+        auth = {h: (a_raw[h] * G.HITS_SCALE) // am for h in nodes}
+        h_raw = {h: 0 for h in nodes}
+        for s, d in e:
+            h_raw[s] += auth[d]
+        hm = max(h_raw.values())
+        hub = {h: (h_raw[h] * G.HITS_SCALE) // hm for h in nodes}
+    return auth, hub
+
+
+def test_hits_bipartite_python_twin(spark):
+    """Directory/content two-tier graph: 3 'directory' hosts each link to
+    4 'content' hosts (overlapping). Directories must come out pure hubs
+    (auth = 0: no inlinks), content pure authorities (hub = 0: no
+    outlinks), the most-linked content host takes auth = HITS_SCALE, and
+    every unit value must equal the pure-python rendering of the SAME
+    integer L∞-normalized recurrence exactly."""
+    from data_quality_spark.ops import graph as G
+
+    edges = [(f"dir{i}.example", f"c{(i + j) % 5}.example")
+             for i in range(3) for j in range(4)]
+    df = spark.createDataFrame(edges, "src string, dst string")
+    got = {r["host"]: (r["auth_units"], r["hub_units"])
+           for r in G.hits(df, iters=5).collect()}
+    auth, hub = _py_hits(edges, 5)
+    assert got == {h: (auth[h], hub[h]) for h in auth}
+    for i in range(3):
+        a, hb = got[f"dir{i}.example"]
+        assert a == 0 and hb > 0                      # pure hub
+    content = {h: got[h] for h in got if h.startswith("c")}
+    assert all(hb == 0 for _, hb in content.values())  # pure authority
+    assert max(a for a, _ in content.values()) == G.HITS_SCALE
+    # c2 is hit by all three directories (j ranges overlap); c0 by one
+    assert got["c2.example"][0] > got["c0.example"][0]
+
+
+def test_hits_checkpoint_parity_and_guards(spark):
+    """iters crossing the localCheckpoint cadence must not change values
+    (pinning is a plan-shape concern only); empty edge sets return an
+    empty frame; a super-node beyond HITS_MAX_DEG raises."""
+    from data_quality_spark.ops import graph as G
+
+    edges = [(f"s{i}.example", f"t{(i * 3 + j) % 4}.example")
+             for i in range(5) for j in range(2)]
+    df = spark.createDataFrame(edges, "src string, dst string")
+    iters = G.RANK_CHECKPOINT_EVERY + 2
+    got = {r["host"]: (r["auth_units"], r["hub_units"])
+           for r in G.hits(df, iters=iters).collect()}
+    auth, hub = _py_hits(edges, iters)
+    assert got == {h: (auth[h], hub[h]) for h in auth}
+
+    empty = spark.createDataFrame([], "src string, dst string")
+    assert G.hits(empty).count() == 0
+
+    orig = G.HITS_MAX_DEG
+    G.HITS_MAX_DEG = 3
+    try:
+        import pytest as _pytest
+
+        with _pytest.raises(ValueError, match="HITS_MAX_DEG"):
+            G.hits(spark.createDataFrame(
+                [("s.example", f"t{i}.example") for i in range(4)],
+                "src string, dst string"))
+    finally:
+        G.HITS_MAX_DEG = orig
+
+
+def test_degree_stats(spark):
+    """Distinct-edge contract (duplicate edges count once), zero-fill for
+    one-sided hosts, and the dangling host shows out_deg = 0."""
+    from data_quality_spark.ops import graph as G
+
+    df = spark.createDataFrame(
+        [("a.example", "b.example"), ("a.example", "b.example"),
+         ("a.example", "c.example"), ("b.example", "c.example")],
+        "src string, dst string",
+    )
+    got = {r["host"]: (r["out_deg"], r["in_deg"])
+           for r in G.degree_stats(df).collect()}
+    assert got == {"a.example": (2, 0), "b.example": (1, 1),
+                   "c.example": (0, 2)}
