@@ -57,7 +57,8 @@ DRIVER_PRIORITY = [
     "sketch_token_cms", "sketch_cms_heavy", "text_len_quantiles",
     "text_reg_domain",
     "dedup_span_removal_para", "text_crawl_latest_tied", "multimodal_real_meta",
-    "graph_hits", "graph_degree_stats",
+    "graph_hits", "graph_degree_stats", "text_readability",
+    "text_weighted_sample",
     # -- round-5 change canaries: graph tier (dangling mass, weight clamp) --
     "graph_host_rank",
     # -- intervals (state fingerprint) --

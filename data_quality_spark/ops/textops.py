@@ -2252,3 +2252,201 @@ def sql_registered_domain(host_expr: str, psl_multi=PSL_MULTI_DEFAULT) -> str:
         ELSE {reg_label} || '.' || pub END
       FROM (SELECT {pub} AS pub)
     )"""
+
+
+# ---------------------------------------------------------------------------
+# readability scoring (Flesch reading ease, integer milli-units)
+# ---------------------------------------------------------------------------
+
+READ_SENT_RE = r"[.!?]+"            # sentence-terminator runs
+READ_SYL_RE = r"[AEIOUYaeiouy]+"    # vowel-group syllable proxy
+# Flesch reading-ease bands (milli-units): score ≥ band → label
+READ_BANDS = (
+    (90_000, "very_easy"),
+    (70_000, "easy"),
+    (50_000, "standard"),
+    (30_000, "difficult"),
+)
+
+
+def readability(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Flesch reading-ease per document, exact integer milli-units.
+
+    The classic readability family (Flesch/Kincaid) is a standard web-text
+    quality feature next to Gopher's ratios: machine-generated keyword
+    stuffing scores absurdly low, boilerplate listings absurdly high, and
+    pretraining curricula bucket documents by band. Counts are cheap
+    proxies computed engine-portably:
+
+      words     = whitespace tokens (the shared \\s+ contract)
+      sentences = occurrences of [.!?]+ runs (min 1)
+      syllables = vowel-group runs [AEIOUYaeiouy]+ (the standard
+                  dictionary-free proxy; min clamp not needed — a zero
+                  numerator is fine)
+
+    Flesch = 206.835 − 1.015·(words/sentences) − 84.6·(syllables/words),
+    rendered in integer milli-units with floor division:
+
+      flesch_milli = 206835 − (1015·words) div max(sentences,1)
+                            − (84600·syllables) div max(words,1)
+
+    Every intermediate is a bigint (≤ 10^3 · words, no overflow until
+    ~10^15-token docs) and `div` floors identically in Spark and DuckDB —
+    bit-portable, no float rounding contract needed. The whole operator
+    is ONE map-only whole-stage-codegen projection: two regex counts + a
+    token count per row, no UDF, no shuffle — survives any scale-up.
+
+    Returns (id, n_words, n_sents, n_syll, flesch_milli, flesch double,
+    read_band string).
+    """
+    t = F.col(text_col)
+    out = df.select(
+        F.col(id_col),
+        F.size(_toks(t)).cast("bigint").alias("n_words"),
+        F.size(F.regexp_extract_all(t, F.lit(READ_SENT_RE), F.lit(0)))
+        .cast("bigint").alias("n_sents"),
+        F.size(F.regexp_extract_all(t, F.lit(READ_SYL_RE), F.lit(0)))
+        .cast("bigint").alias("n_syll"),
+    )
+    fm = F.expr(
+        "206835 - (1015 * n_words) div greatest(n_sents, 1L)"
+        " - (84600 * n_syll) div greatest(n_words, 1L)"
+    ).cast("bigint")
+    band = None
+    for thr, label in READ_BANDS:
+        c = F.col("flesch_milli") >= F.lit(thr)
+        band = F.when(c, label) if band is None else band.when(c, label)
+    band = band.otherwise("very_difficult")
+    return (
+        out.withColumn("flesch_milli", fm)
+        .withColumn("flesch", F.col("flesch_milli") / F.lit(1000.0))
+        .withColumn("read_band", band)
+    )
+
+
+def sql_readability(docs_sql: str, id_col: str = "doc_id") -> str:
+    """DuckDB twin of readability(): same token/sentence/syllable counts
+    (RE2-safe character classes), same integer milli-unit floor
+    arithmetic, same band thresholds."""
+    bands = " ".join(
+        f"WHEN flesch_milli >= {thr} THEN '{label}'"
+        for thr, label in READ_BANDS
+    )
+    return f"""
+WITH d AS ({docs_sql}),
+c AS (
+  SELECT {id_col},
+         len(list_filter(regexp_split_to_array(text, '\\s+'),
+                         x -> x <> ''))::BIGINT AS n_words,
+         len(regexp_extract_all(text, '{READ_SENT_RE}'))::BIGINT AS n_sents,
+         len(regexp_extract_all(text, '{READ_SYL_RE}'))::BIGINT AS n_syll
+  FROM d),
+s AS (
+  SELECT *, (206835 - (1015 * n_words) // greatest(n_sents, 1)
+                    - (84600 * n_syll) // greatest(n_words, 1))::BIGINT
+            AS flesch_milli
+  FROM c)
+SELECT *, flesch_milli / 1000.0 AS flesch,
+       CASE {bands} ELSE 'very_difficult' END AS read_band
+FROM s
+"""
+
+
+def py_readability_milli(text: str) -> int:
+    """Python twin of the milli-unit Flesch recurrence (unit tests)."""
+    import re
+
+    n_words = len([x for x in re.split(r"\s+", text) if x != ""])
+    n_sents = len(re.findall(READ_SENT_RE, text))
+    n_syll = len(re.findall(READ_SYL_RE, text))
+    return (
+        206835
+        - (1015 * n_words) // max(n_sents, 1)
+        - (84600 * n_syll) // max(n_words, 1)
+    )
+
+
+# ---------------------------------------------------------------------------
+# deterministic weighted sampling (priority sampling, Duffield 2007)
+# ---------------------------------------------------------------------------
+
+PRIO_SCALE = 10**6
+PRIO_MOD = 2**31  # hash folded to 31 bits so h·PRIO_SCALE fits bigint
+
+
+def weighted_sample(
+    df: DataFrame,
+    id_col: str,
+    weight_col: str,
+    k: int,
+    salt: str = "wsample",
+) -> DataFrame:
+    """Deterministic weight-proportional sample of k rows (priority
+    sampling): keep the k rows with the SMALLEST priority
+
+        prio = (h · PRIO_SCALE) div w,   h = hash64(id||'#'||salt) mod 2³¹
+
+    — the integer rendering of u/w, i.e. the top-k by w/u of Duffield's
+    priority sampling (each row's inclusion probability ∝ its weight for
+    w ≪ Σw; the 1e-6 quantization from PRIO_SCALE is documented slack).
+    Training-data use: sample documents proportional to token count or
+    quality weight for eval slices / curriculum probes, reproducibly.
+
+    Same determinism contract as sample_stratified: the priority is a
+    pure function of the row id — stable across runs, partitionings, and
+    engines (md5-portable, oracle-reproducible), and different salts give
+    independent samples. Weights must be integers ≥ 1: w = 0 would
+    floor-divide to NULL in Spark but ERROR in DuckDB (engine-divergent),
+    so it's validated eagerly (one tiny agg) instead.
+
+    Plan shape: map-only priority projection + TakeOrderedAndProject on
+    (prio, id) — per-partition top-k heaps merged on the driver, never a
+    global sort; k rows is the only thing that ever leaves the executors.
+
+    Returns the sampled rows with their prio_units (ascending = highest
+    priority first in the w/u sense).
+    """
+    from data_quality_spark.ops.hashing import portable_hash64
+
+    wrow = df.agg(F.min(F.col(weight_col)).alias("mn")).first()
+    if wrow["mn"] is not None and wrow["mn"] < 1:
+        raise ValueError(
+            f"weighted_sample(): weights must be ≥ 1 (got min={wrow['mn']});"
+            " shift or clamp zero-weight rows out first"
+        )
+    h = F.pmod(
+        portable_hash64(F.col(id_col).cast("string"), f"#{salt}"),
+        F.lit(PRIO_MOD),
+    )
+    prio = F.expr(
+        f"(__h * {PRIO_SCALE}) div __w"
+    )
+    return (
+        df.withColumn("__h", h)
+        .withColumn("__w", F.col(weight_col).cast("bigint"))
+        .withColumn("prio_units", prio.cast("bigint"))
+        .drop("__h", "__w")
+        .orderBy("prio_units", id_col)
+        .limit(k)
+    )
+
+
+def sql_weighted_sample(
+    rows_sql: str,
+    id_col: str,
+    weight_col: str,
+    k: int,
+    salt: str = "wsample",
+) -> str:
+    """DuckDB twin of weighted_sample (same hash, fold, and floor)."""
+    from data_quality_spark.ops.hashing import sql_hash64
+
+    h = sql_hash64(f"({id_col}::VARCHAR || '#{salt}')")
+    return f"""
+WITH d AS ({rows_sql}),
+p AS (
+  SELECT *, ((({h}) % {PRIO_MOD}) * {PRIO_SCALE})
+            // ({weight_col}::BIGINT) AS prio_units
+  FROM d)
+SELECT * FROM p ORDER BY prio_units, {id_col} LIMIT {k}
+"""

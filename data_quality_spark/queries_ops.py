@@ -4069,6 +4069,52 @@ LEFT JOIN rebuilt ON rebuilt.id = c.doc_id
 """
 
 
+# ---------------------------------------------------------------------------
+# text 0e — readability scoring + weighted priority sampling
+# ---------------------------------------------------------------------------
+
+
+def q_text_readability(spark, sf_dir):
+    """Flesch reading-ease per document (textops.readability): exact
+    integer milli-unit arithmetic over three portable counts (\\s+ words,
+    [.!?]+ sentence runs, vowel-group syllables) + band labels — one
+    map-only codegen projection, the classic curriculum/quality feature
+    next to the Gopher ratios."""
+    docs = _t(spark, sf_dir, "documents").where(F.col("text").isNotNull())
+    return T.readability(docs, "doc_id", "text")
+
+
+def _sql_text_readability() -> str:
+    return T.sql_readability(
+        "SELECT doc_id, text FROM documents WHERE text IS NOT NULL"
+    )
+
+
+def q_text_weighted_sample(spark, sf_dir):
+    """Deterministic weight-proportional document sample
+    (textops.weighted_sample, priority sampling): 64 docs weighted by
+    whitespace token count + 1 — integer priority (h·10^6) div w over the
+    portable md5 hash, TakeOrderedAndProject plan (per-partition top-k
+    heaps, never a global sort). Reproducible across runs, partitionings,
+    and engines."""
+    docs = _t(spark, sf_dir, "documents").where(F.col("text").isNotNull())
+    w = docs.select(
+        "doc_id",
+        (F.size(F.filter(F.split(F.col("text"), r"\s+"),
+                         lambda x: x != "")) + F.lit(1))
+        .cast("bigint").alias("w_tokens"),
+    )
+    return T.weighted_sample(w, "doc_id", "w_tokens", k=64)
+
+
+def _sql_text_weighted_sample() -> str:
+    rows = rf"""
+  SELECT doc_id, (len({SQL_TOKS}) + 1)::BIGINT AS w_tokens
+  FROM documents WHERE text IS NOT NULL
+"""
+    return T.sql_weighted_sample(rows, "doc_id", "w_tokens", k=64)
+
+
 OPS_QUERIES = {
     "dedup_exact": q_dedup_exact,
     "dedup_group_sizes": q_dedup_group_sizes,
@@ -4124,6 +4170,8 @@ OPS_QUERIES = {
     "text_crawl_latest_tied": q_text_crawl_latest_tied,
     "text_url_spam": q_text_url_spam,
     "text_fertility": q_text_fertility,
+    "text_readability": q_text_readability,
+    "text_weighted_sample": q_text_weighted_sample,
     "text_pii_counts": q_text_pii_counts,
     "text_badwords": q_text_badwords,
     "text_dsir_weights": q_text_dsir_weights,
@@ -4221,6 +4269,8 @@ OPS_ORACLES = {
     "text_crawl_latest_tied": _sql_text_crawl_latest_tied(),
     "text_url_spam": _sql_text_url_spam(),
     "text_fertility": _sql_text_fertility(),
+    "text_readability": _sql_text_readability(),
+    "text_weighted_sample": _sql_text_weighted_sample(),
     "text_pii_counts": _sql_text_pii_counts(),
     "text_badwords": _sql_text_badwords(),
     "text_dsir_weights": _sql_text_dsir_weights(),

@@ -3254,3 +3254,52 @@ def test_degree_stats(spark):
            for r in G.degree_stats(df).collect()}
     assert got == {"a.example": (2, 0), "b.example": (1, 1),
                    "c.example": (0, 2)}
+
+
+def test_readability_python_twin_and_bands(spark):
+    """Milli-unit Flesch values equal the pure-python twin exactly; band
+    labels follow the thresholds; empty / vowel-free / unpunctuated texts
+    exercise the greatest(…,1) clamps instead of dividing by zero."""
+    texts = [
+        "The cat sat. It was flat. A hat!",         # short easy prose
+        "Considerable institutional responsibilities "
+        "necessitate comprehensive organizational restructuring.",
+        "xyzzy 12345",                                # no vowels, no sents
+        "",                                           # empty
+        "word " * 50,                                 # no sentence marks
+    ]
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    got = {r["doc_id"]: r for r in
+           T.readability(df, "doc_id", "text").collect()}
+    for i, t in enumerate(texts):
+        assert got[i]["flesch_milli"] == T.py_readability_milli(t), t
+    assert got[0]["read_band"] == "very_easy"
+    assert got[1]["read_band"] == "very_difficult"
+    assert got[3]["n_words"] == 0 and got[3]["flesch_milli"] == 206835
+
+
+def test_weighted_sample_determinism_and_bias(spark):
+    """Same input → identical sample under any partitioning; zero weights
+    raise; heavier rows are sampled proportionally more often (the
+    priority-sampling contract) — with 10× weight on even ids, evens must
+    dominate the sample."""
+    import pytest as _pytest
+
+    rows = [(i, 10 if i % 2 == 0 else 1) for i in range(400)]
+    df = spark.createDataFrame(rows, "id long, w long")
+    a = [r["id"] for r in T.weighted_sample(df, "id", "w", k=50).collect()]
+    b = [r["id"] for r in
+         T.weighted_sample(df.repartition(7), "id", "w", k=50).collect()]
+    assert sorted(a) == sorted(b) and len(a) == 50
+    evens = sum(1 for i in a if i % 2 == 0)
+    assert evens >= 35  # E[evens] ≈ 45 of 50 at 10:1 weights
+    # independent salts give different samples
+    c = [r["id"] for r in
+         T.weighted_sample(df, "id", "w", k=50, salt="other").collect()]
+    assert sorted(c) != sorted(a)
+    with _pytest.raises(ValueError, match="weights must be"):
+        T.weighted_sample(
+            spark.createDataFrame([(1, 0)], "id long, w long"),
+            "id", "w", k=1)
