@@ -1249,3 +1249,169 @@ def ivfpq_rerank(
         n_probe=n_probe,
     )
     return _exact_rerank(emb_df, id_col, vec_col, cand, query, k)
+
+
+# ---------------------------------------------------------------------------
+# cross-corpus embedding decontamination (the semantic twin of the n-gram
+# decontaminate op: "is any training document a near-copy of an eval doc?")
+# ---------------------------------------------------------------------------
+
+DECON_EVAL_MAX = 200_000   # eval embeddings are driver-collected + shipped
+DECON_THRESHOLD = 0.99
+
+
+def embedding_decontaminate(
+    train: DataFrame,
+    eval_rows,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = DECON_THRESHOLD,
+) -> DataFrame:
+    """Per-EVAL-document max cosine over the whole training corpus.
+
+    The embedding-space complement of textops.decontaminate (n-gram
+    overlap): paraphrased or reformatted benchmark leakage shares no
+    8-gram but sits at cosine ≈ 1 — the Phi/FineWeb-style semantic
+    decontamination scan. Returns one row per eval doc:
+    (eval_id, best_train_id, max_cos, contaminated).
+
+    Scale shape — the corpus NEVER shuffles: eval embeddings (small by
+    contract: benchmarks are 10²–10⁵ docs; validated ≤ DECON_EVAL_MAX)
+    are collected once and shipped to executors inside ONE mapInPandas
+    crossing; each partition streams its train batches against the eval
+    matrix (dim-ordered accumulation — the same float op order as the
+    native `dot` fold and the DuckDB list_sum oracle), keeps a running
+    per-eval (max_cos, argmax_id) ACROSS batches, and emits exactly
+    n_eval tiny rows per partition. The only exchange is
+    (partitions × n_eval) rows of (idx, double, id) into a struct-max
+    aggregate. At 10^12 train docs this is one corpus scan with an
+    O(n_eval) reduce — the same shape as the Bloom/probe-gram broadcasts.
+
+    Determinism: per-eval best is the lexicographic MAX of
+    (raw_cos, train_id) — raw doubles are bit-identical across engines
+    (identical op order), so the struct-max tie rule (equal cos → larger
+    train id) is exact; cos is rounded to 6dp only at the output edge,
+    and `contaminated` compares the ROUNDED value to the threshold.
+
+    eval_rows: a DataFrame with (id_col, vec_col) — collected here — or a
+    pre-collected list of (id, [floats]) tuples."""
+    if isinstance(eval_rows, DataFrame):
+        head = eval_rows.limit(DECON_EVAL_MAX + 1).collect()
+        if len(head) > DECON_EVAL_MAX:
+            raise ValueError(
+                f"embedding_decontaminate(): eval set exceeds "
+                f"DECON_EVAL_MAX={DECON_EVAL_MAX} rows — a set that large "
+                "is a corpus, not a benchmark; block it or raise the cap"
+            )
+        ev = [(r[id_col], list(r[vec_col])) for r in head]
+    else:
+        ev = [(i, list(v)) for i, v in eval_rows]
+    if not ev:
+        raise ValueError("embedding_decontaminate(): empty eval set")
+    ev.sort(key=lambda t: t[0])
+    eval_ids = [i for i, _ in ev]
+    Q = np.asarray([v for _, v in ev], dtype=np.float64)   # (n_eval, dim)
+    dim = Q.shape[1]
+    # eval norms, dim-ordered accumulation (parity with the fold/oracle)
+    qn = np.zeros(len(ev))
+    for d in range(dim):
+        qn += Q[:, d] * Q[:, d]
+    qn = np.sqrt(qn)
+
+    spark = train.sparkSession
+    src = train.select(
+        F.col(id_col).cast("long").alias("__id"),
+        _as_double(F.col(vec_col)).alias("__v"),
+    ).where(F.col("__v").isNotNull())
+
+    def scan(batches):
+        best_cos = np.full(len(eval_ids), -np.inf)
+        best_id = np.full(len(eval_ids), -1, dtype=np.int64)
+        seen = False
+        for pdf in batches:
+            ok = pdf["__v"].map(
+                lambda v: v is not None and len(v) == dim
+            )
+            pdf = pdf[ok]
+            if pdf.empty:
+                continue
+            seen = True
+            A = np.stack(
+                [np.asarray(v, dtype=np.float64) for v in pdf["__v"]]
+            )
+            ids = pdf["__id"].to_numpy(dtype=np.int64)
+            an = np.zeros(len(A))
+            dots = np.zeros((len(A), len(eval_ids)))
+            for d in range(dim):  # dim-ordered like the fold / list_sum
+                an += A[:, d] * A[:, d]
+                dots += np.outer(A[:, d], Q[:, d])
+            an = np.sqrt(an)
+            denom = np.outer(an, qn)
+            cos = np.where(denom > 0, dots / denom, 0.0)
+            for j in range(len(eval_ids)):
+                cj = cos[:, j]
+                m = cj.max()
+                if m > best_cos[j]:
+                    # lexicographic (cos, id) max: highest id on cos tie
+                    cand = ids[cj == m].max()
+                    best_cos[j] = m
+                    best_id[j] = cand
+                elif m == best_cos[j]:
+                    best_id[j] = max(best_id[j], ids[cj == m].max())
+        if seen:
+            yield pd.DataFrame(
+                {
+                    "__eidx": np.arange(len(eval_ids), dtype=np.int64),
+                    "__cos": best_cos,
+                    "__tid": best_id,
+                }
+            )
+
+    part = src.mapInPandas(scan, "__eidx long, __cos double, __tid long")
+    agg = part.groupBy("__eidx").agg(
+        F.max(F.struct("__cos", "__tid")).alias("__b")
+    )
+    eid = spark.createDataFrame(
+        [(i, e) for i, e in enumerate(eval_ids)], "__eidx long, eval_id long"
+    )
+    return (
+        agg.join(F.broadcast(eid), "__eidx")
+        .select(
+            "eval_id",
+            F.col("__b.__tid").alias("best_train_id"),
+            F.round(F.col("__b.__cos"), 6).alias("max_cos"),
+            (F.round(F.col("__b.__cos"), 6) >= F.lit(threshold)).alias(
+                "contaminated"
+            ),
+        )
+    )
+
+
+def sql_embedding_decontaminate(
+    train_sql: str, eval_sql: str, threshold: float = DECON_THRESHOLD
+) -> str:
+    """DuckDB twin of embedding_decontaminate: brute-force cross join +
+    per-eval max, same raw-double cosine (list_sum over dim order), same
+    lexicographic (cos, train_id) tie rule, same rounded-edge threshold.
+    train_sql/eval_sql must yield (id BIGINT, v DOUBLE[])."""
+    cos = (
+        "CASE WHEN sqrt(list_sum([t.v[i]*t.v[i] for i in range(1, len(t.v)+1)])) > 0"
+        " AND sqrt(list_sum([e.v[i]*e.v[i] for i in range(1, len(e.v)+1)])) > 0"
+        " THEN list_sum([t.v[i]*e.v[i] for i in range(1, len(t.v)+1)])"
+        " / (sqrt(list_sum([t.v[i]*t.v[i] for i in range(1, len(t.v)+1)]))"
+        " * sqrt(list_sum([e.v[i]*e.v[i] for i in range(1, len(e.v)+1)])))"
+        " ELSE 0.0 END"
+    )
+    return f"""
+WITH train AS MATERIALIZED ({train_sql}),
+ev AS MATERIALIZED ({eval_sql}),
+pairs AS MATERIALIZED (
+  SELECT e.id AS eval_id, t.id AS train_id, {cos} AS c
+  FROM train t, ev e WHERE t.v IS NOT NULL),
+mx AS (SELECT eval_id, max(c) AS mc FROM pairs GROUP BY 1)
+SELECT p.eval_id, max(p.train_id) AS best_train_id,
+       round(any_value(mx.mc), 6) AS max_cos,
+       round(any_value(mx.mc), 6) >= {threshold} AS contaminated
+FROM pairs p JOIN mx ON mx.eval_id = p.eval_id AND p.c = mx.mc
+GROUP BY p.eval_id
+"""

@@ -1133,6 +1133,79 @@ WHERE vec_id NOT IN (SELECT id_b FROM ({_sql_sim_lsh_pairs()}))
 
 
 # ---------------------------------------------------------------------------
+# similarity 3c — cross-corpus embedding decontamination
+# ---------------------------------------------------------------------------
+
+# eval fixture: ids ≡ 0 (mod 25) become PERTURBED near-copies (leaked
+# benchmark docs → cosine ≈ 1), ids ≡ 7 (mod 25) become component-REVERSED
+# vectors (semantically unrelated → well below threshold); eval ids live in
+# a +2M / +3M id space so best_train_id can never alias an eval id.
+
+
+def _decon_eval(spark, sf_dir):
+    emb = _t(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v")
+    )
+    leaked = (
+        emb.where(F.col("vec_id") % 25 == 0)
+        .withColumn(
+            "v",
+            F.transform(
+                "v", lambda x, i: x + 0.001 * (((F.col("vec_id") + i) % 7) - 3)
+            ),
+        )
+        .select(
+            (F.col("vec_id") + 2_000_000).alias("vec_id"),
+            F.col("v").alias("embedding"),
+        )
+    )
+    clean = (
+        emb.where(F.col("vec_id") % 25 == 7)
+        .select(
+            (F.col("vec_id") + 3_000_000).alias("vec_id"),
+            F.reverse("v").alias("embedding"),
+        )
+    )
+    return leaked.unionByName(clean)
+
+
+def q_sim_decontaminate(spark, sf_dir):
+    """Cross-corpus embedding decontamination
+    (similarity.embedding_decontaminate): per-eval-doc max cosine over the
+    whole training corpus in ONE mapInPandas corpus scan (eval matrix
+    shipped once, running per-eval max across batches, n_eval tiny rows
+    per partition) — the semantic twin of text_decontaminate for
+    paraphrased benchmark leakage. Fixture: perturbed near-copies must
+    flag contaminated, reversed vectors must not."""
+    emb = _t(spark, sf_dir, "embeddings")
+    return S.embedding_decontaminate(
+        emb, _decon_eval(spark, sf_dir), "vec_id", "embedding",
+        threshold=SIM_DECON_THRESHOLD,
+    )
+
+
+SIM_DECON_THRESHOLD = 0.97
+
+
+def _sql_sim_decontaminate() -> str:
+    ev = """
+  SELECT vec_id + 2000000 AS id,
+         [v[i] + 0.001 * ((vec_id + i - 1) % 7 - 3) for i in range(1, len(v)+1)] AS v
+  FROM (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)
+  WHERE vec_id % 25 = 0
+  UNION ALL
+  SELECT vec_id + 3000000,
+         [v[len(v) + 1 - i] for i in range(1, len(v)+1)]
+  FROM (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)
+  WHERE vec_id % 25 = 7
+"""
+    train = "SELECT vec_id AS id, embedding::DOUBLE[] AS v FROM embeddings"
+    return S.sql_embedding_decontaminate(
+        train, ev, threshold=SIM_DECON_THRESHOLD
+    )
+
+
+# ---------------------------------------------------------------------------
 # similarity 4 — IVF coarse-quantizer centroids (long format) + IVF top-k
 # ---------------------------------------------------------------------------
 
@@ -4148,6 +4221,7 @@ OPS_QUERIES = {
     "sim_ivfpq_topk": q_sim_ivfpq_topk,
     "sim_ivfpq_res_topk": q_sim_ivfpq_res_topk,
     "sim_ivfpq_rerank": q_sim_ivfpq_rerank,
+    "sim_decontaminate": q_sim_decontaminate,
     "dedup_semantic": q_dedup_semantic,
     "dedup_semantic_drop": q_dedup_semantic_drop,
     "text_url_blocklist": q_text_url_blocklist,
@@ -4247,6 +4321,7 @@ OPS_ORACLES = {
     "sim_ivfpq_topk": _sql_ivfpq_topk(),
     "sim_ivfpq_res_topk": _sql_ivfpq_res_topk(),
     "sim_ivfpq_rerank": _sql_ivfpq_rerank(),
+    "sim_decontaminate": _sql_sim_decontaminate(),
     "dedup_semantic": _sql_dedup_semantic(),
     "dedup_semantic_drop": _sql_dedup_semantic_drop(),
     "text_url_blocklist": _sql_text_url_blocklist(),

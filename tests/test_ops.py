@@ -3303,3 +3303,60 @@ def test_weighted_sample_determinism_and_bias(spark):
         T.weighted_sample(
             spark.createDataFrame([(1, 0)], "id long, w long"),
             "id", "w", k=1)
+
+
+def test_embedding_decontaminate(spark):
+    """Exact copies flag contaminated with the right source; orthogonal
+    eval vectors don't; the (cos, train_id) tie rule picks the larger
+    train id among exact duplicates; results are partition-invariant."""
+    from data_quality_spark.ops import similarity as S
+
+    train_rows = [
+        (1, [1.0, 0.0, 0.0, 0.0]),
+        (2, [0.0, 1.0, 0.0, 0.0]),
+        (7, [1.0, 0.0, 0.0, 0.0]),   # duplicate of 1 → tie at cos 1.0
+        (9, [0.5, 0.5, 0.5, 0.5]),
+    ]
+    train = spark.createDataFrame(
+        train_rows, "vec_id long, embedding array<double>"
+    )
+    ev = spark.createDataFrame(
+        [(100, [1.0, 0.0, 0.0, 0.0]),    # leaked copy of 1/7
+         (200, [0.0, 0.0, 0.0, 1.0])],   # orthogonal to 1,2,7; 0.5 vs 9
+        "vec_id long, embedding array<double>",
+    )
+    got = {r["eval_id"]: r for r in
+           S.embedding_decontaminate(train, ev, threshold=0.99).collect()}
+    assert got[100]["contaminated"] and got[100]["max_cos"] == 1.0
+    assert got[100]["best_train_id"] == 7      # tie → larger train id
+    assert not got[200]["contaminated"] and got[200]["max_cos"] == 0.5
+    assert got[200]["best_train_id"] == 9
+    # partition-invariant (running max across batches/partitions)
+    got2 = {r["eval_id"]: (r["best_train_id"], r["max_cos"])
+            for r in S.embedding_decontaminate(
+                train.repartition(3), ev, threshold=0.99).collect()}
+    assert got2 == {k: (v["best_train_id"], v["max_cos"])
+                    for k, v in got.items()}
+
+
+def test_embedding_decontaminate_guards(spark):
+    from data_quality_spark.ops import similarity as S
+    import pytest as _pytest
+
+    train = spark.createDataFrame(
+        [(1, [1.0, 0.0])], "vec_id long, embedding array<double>"
+    )
+    empty = spark.createDataFrame([], "vec_id long, embedding array<double>")
+    with _pytest.raises(ValueError, match="empty eval set"):
+        S.embedding_decontaminate(train, empty)
+    orig = S.DECON_EVAL_MAX
+    S.DECON_EVAL_MAX = 1
+    try:
+        big = spark.createDataFrame(
+            [(1, [1.0, 0.0]), (2, [0.0, 1.0])],
+            "vec_id long, embedding array<double>",
+        )
+        with _pytest.raises(ValueError, match="DECON_EVAL_MAX"):
+            S.embedding_decontaminate(train, big)
+    finally:
+        S.DECON_EVAL_MAX = orig
