@@ -2450,3 +2450,213 @@ p AS (
   FROM d)
 SELECT * FROM p ORDER BY prio_units, {id_col} LIMIT {k}
 """
+
+
+# ---------------------------------------------------------------------------
+# n-gram novelty (curriculum/contribution scoring) + Heaps-law vocab growth
+# ---------------------------------------------------------------------------
+
+NOVELTY_N = 3
+
+
+def ngram_novelty(
+    df: DataFrame, id_col: str, text_col: str, n: int = NOVELTY_N
+) -> DataFrame:
+    """Per-document n-gram novelty: of the doc's DISTINCT word n-grams,
+    what fraction first appears (by minimum doc id) in THIS doc?
+
+    The marginal-contribution signal data-curation loops use: near-zero
+    novelty = the doc is recombined boilerplate (droppable even when no
+    single span is a verbatim duplicate); ordering a curriculum by
+    novelty front-loads coverage. Complements dedup (which needs a shared
+    span) and SemDeDup (which needs embedding proximity).
+
+    Plan shape: explode n-grams map-side → distinct (doc, gram-hash) →
+    per-gram min(doc_id) agg → hash-join back → per-doc count agg. Every
+    exchanged row is (bigint, bigint) — gram text never shuffles (the
+    shared 60-bit portable md5). Two shuffles, both on high-cardinality
+    keys; partial aggregation collapses the Zipf head map-side.
+
+    Ownership is min(doc_id) — ids must be numeric/orderable; novelty is
+    the exact double division of two bigints (bit-portable). Docs with
+    fewer than n tokens return n_grams = 0, novelty NULL.
+    """
+    from data_quality_spark.ops.hashing import portable_hash64
+
+    toks = _toks(F.col(text_col))
+    base = df.select(F.col(id_col).alias("__id"), toks.alias("__ts"))
+    starts = F.when(
+        F.size("__ts") >= n, F.sequence(F.lit(1), F.size("__ts") - (n - 1))
+    ).otherwise(F.array().cast("array<int>"))
+    grams = (
+        base.select(F.col("__id"), F.explode(starts).alias("__i"),
+                    F.col("__ts"))
+        .select(
+            "__id",
+            portable_hash64(
+                F.concat_ws(" ", F.slice(F.col("__ts"), F.col("__i"), n))
+            ).alias("__gh"),
+        )
+        .distinct()
+    )
+    first = grams.groupBy("__gh").agg(F.min("__id").alias("__first"))
+    per_doc = (
+        grams.join(first, "__gh")
+        .groupBy("__id")
+        .agg(
+            F.count(F.lit(1)).alias("n_grams"),
+            F.sum((F.col("__first") == F.col("__id")).cast("bigint"))
+            .alias("n_novel"),
+        )
+    )
+    return (
+        df.select(F.col(id_col).alias("__id"))
+        .join(per_doc, "__id", "left")
+        .select(
+            F.col("__id").alias(id_col),
+            F.coalesce("n_grams", F.lit(0)).cast("bigint").alias("n_grams"),
+            F.coalesce("n_novel", F.lit(0)).cast("bigint").alias("n_novel"),
+            (F.col("n_novel") / F.nullif(F.col("n_grams"), F.lit(0)))
+            .alias("novelty"),
+        )
+    )
+
+
+def sql_ngram_novelty(
+    docs_sql: str, id_col: str = "doc_id", n: int = NOVELTY_N
+) -> str:
+    """DuckDB twin of ngram_novelty (same hash, same min-id ownership)."""
+    from data_quality_spark.ops.hashing import sql_hash64
+
+    gh = sql_hash64("gram")
+    return f"""
+WITH d AS ({docs_sql}),
+t AS (SELECT {id_col} AS id,
+             list_filter(regexp_split_to_array(text, '\\s+'),
+                         x -> x <> '') AS ts
+      FROM d),
+grams AS (
+  SELECT DISTINCT id,
+         {gh.replace('gram', f"array_to_string(ts[i:i+{n - 1}], ' ')")} AS gh
+  FROM t, unnest(range(1, greatest(len(ts) - {n - 1}, 0) + 1)) AS u(i)),
+first AS (SELECT gh, min(id) AS fid FROM grams GROUP BY 1),
+pd AS (
+  SELECT g.id, count(*)::BIGINT AS n_grams,
+         sum(CASE WHEN f.fid = g.id THEN 1 ELSE 0 END)::BIGINT AS n_novel
+  FROM grams g JOIN first f ON f.gh = g.gh GROUP BY 1)
+SELECT d.{id_col}, coalesce(pd.n_grams, 0) AS n_grams,
+       coalesce(pd.n_novel, 0) AS n_novel,
+       coalesce(pd.n_novel, 0) / nullif(coalesce(pd.n_grams, 0), 0)::DOUBLE
+         AS novelty
+FROM d LEFT JOIN pd ON pd.id = d.{id_col}
+"""
+
+
+VOCAB_BUCKETS = 16
+
+
+def vocab_growth(
+    df: DataFrame,
+    order_col: str,
+    text_col: str,
+    buckets: int = VOCAB_BUCKETS,
+) -> DataFrame:
+    """Heaps-law vocabulary-growth curve: cumulative distinct vocabulary
+    vs cumulative token count along a corpus order (crawl time / doc id).
+
+    The release-notes diagnostic for corpus health: vocab_cum should
+    track K·tokens_cum^β (β ≈ 0.5–0.7 for natural text); a flattening
+    curve means the crawl is re-reading itself, a superlinear one means
+    encoding noise is minting fake types.
+
+    Order is bucketed by VALUE RANGE over [min, max] of order_col —
+    bucket = ((oc − mn) · B) div (mx − mn + 1), exact integer arithmetic
+    from one tiny 2-scalar agg — so there is NO global sort: tokens
+    explode map-side, each token type's FIRST bucket is a min-agg on the
+    60-bit portable hash, per-bucket news/token-counts aggregate on ≤ B
+    keys, and the cumulative sums are a window over B rows (B ≈ 16).
+    Every exchanged row after the explode is (bigint, bigint).
+
+    Returns (bucket, n_docs, n_tokens, tokens_cum, vocab_new, vocab_cum).
+    Empty input returns an empty frame.
+    """
+    from pyspark.sql import Window
+
+    from data_quality_spark.ops.hashing import portable_hash64
+
+    mrow = df.agg(
+        F.min(F.col(order_col).cast("bigint")).alias("mn"),
+        F.max(F.col(order_col).cast("bigint")).alias("mx"),
+    ).first()
+    mn, mx = mrow["mn"], mrow["mx"]
+    if mn is None:
+        return df.sparkSession.createDataFrame(
+            [],
+            "bucket bigint, n_docs bigint, n_tokens bigint, "
+            "tokens_cum bigint, vocab_new bigint, vocab_cum bigint",
+        )
+    span = mx - mn + 1
+    b = F.expr(
+        f"((cast({order_col} as bigint) - {mn}) * {buckets}) div {span}"
+    ).cast("bigint")
+    base = df.select(b.alias("__b"), _toks(F.col(text_col)).alias("__ts"))
+    docs = base.groupBy("__b").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.coalesce(F.sum(F.size("__ts")), F.lit(0)).cast("bigint")
+        .alias("n_tokens"),
+    )
+    toks = base.select(
+        "__b", F.explode("__ts").alias("__t")
+    ).select("__b", portable_hash64(F.col("__t")).alias("__th"))
+    news = (
+        toks.groupBy("__th").agg(F.min("__b").alias("__fb"))
+        .groupBy(F.col("__fb").alias("__b"))
+        .agg(F.count(F.lit(1)).alias("vocab_new"))
+    )
+    w = Window.orderBy("bucket").rowsBetween(Window.unboundedPreceding, 0)
+    return (
+        docs.join(news, "__b", "left")
+        .select(
+            F.col("__b").alias("bucket"),
+            "n_docs",
+            "n_tokens",
+            F.coalesce("vocab_new", F.lit(0)).cast("bigint")
+            .alias("vocab_new"),
+        )
+        .withColumn("tokens_cum", F.sum("n_tokens").over(w).cast("bigint"))
+        .withColumn("vocab_cum", F.sum("vocab_new").over(w).cast("bigint"))
+        .select("bucket", "n_docs", "n_tokens", "tokens_cum",
+                "vocab_new", "vocab_cum")
+    )
+
+
+def sql_vocab_growth(
+    docs_sql: str, order_col: str = "doc_id", buckets: int = VOCAB_BUCKETS
+) -> str:
+    """DuckDB twin of vocab_growth (same range bucketing, hash, cumsum)."""
+    from data_quality_spark.ops.hashing import sql_hash64
+
+    th = sql_hash64("tok")
+    return f"""
+WITH d AS ({docs_sql}),
+mm AS (SELECT min({order_col}::BIGINT) AS mn, max({order_col}::BIGINT) AS mx
+       FROM d),
+base AS (
+  SELECT (({order_col}::BIGINT - mm.mn) * {buckets})
+           // (mm.mx - mm.mn + 1) AS b,
+         list_filter(regexp_split_to_array(text, '\\s+'), x -> x <> '') AS ts
+  FROM d, mm),
+docs AS (SELECT b, count(*)::BIGINT AS n_docs,
+                coalesce(sum(len(ts)), 0)::BIGINT AS n_tokens
+         FROM base GROUP BY 1),
+toks AS (SELECT b, {th.replace('tok', 'u.tok')} AS th
+         FROM base, unnest(ts) AS u(tok)),
+news AS (SELECT fb AS b, count(*)::BIGINT AS vocab_new
+         FROM (SELECT th, min(b) AS fb FROM toks GROUP BY 1) GROUP BY 1)
+SELECT docs.b AS bucket, docs.n_docs, docs.n_tokens,
+       sum(docs.n_tokens) OVER (ORDER BY docs.b)::BIGINT AS tokens_cum,
+       coalesce(news.vocab_new, 0)::BIGINT AS vocab_new,
+       sum(coalesce(news.vocab_new, 0)) OVER (ORDER BY docs.b)::BIGINT
+         AS vocab_cum
+FROM docs LEFT JOIN news ON news.b = docs.b
+"""

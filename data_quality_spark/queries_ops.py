@@ -4188,6 +4188,38 @@ def _sql_text_weighted_sample() -> str:
     return T.sql_weighted_sample(rows, "doc_id", "w_tokens", k=64)
 
 
+def q_text_ngram_novelty(spark, sf_dir):
+    """Per-doc n-gram novelty (textops.ngram_novelty): fraction of the
+    doc's distinct 3-grams first owned (min doc_id) by this doc — the
+    marginal-contribution signal for curriculum ordering and recombined-
+    boilerplate dropping. Gram text never shuffles (60-bit portable md5);
+    novelty is an exact bigint/bigint double division."""
+    docs = _t(spark, sf_dir, "documents").where(F.col("text").isNotNull())
+    return T.ngram_novelty(docs, "doc_id", "text")
+
+
+def _sql_text_ngram_novelty() -> str:
+    return T.sql_ngram_novelty(
+        "SELECT doc_id, text FROM documents WHERE text IS NOT NULL"
+    )
+
+
+def q_text_vocab_growth(spark, sf_dir):
+    """Heaps-law vocabulary-growth curve (textops.vocab_growth): 16
+    doc_id-range buckets, per-bucket token counts and first-appearance
+    vocabulary, cumulative sums over the B-row result — no global sort
+    anywhere (range bucketing from one 2-scalar agg + min-bucket agg on
+    token hashes)."""
+    docs = _t(spark, sf_dir, "documents").where(F.col("text").isNotNull())
+    return T.vocab_growth(docs, "doc_id", "text")
+
+
+def _sql_text_vocab_growth() -> str:
+    return T.sql_vocab_growth(
+        "SELECT doc_id, text FROM documents WHERE text IS NOT NULL"
+    )
+
+
 OPS_QUERIES = {
     "dedup_exact": q_dedup_exact,
     "dedup_group_sizes": q_dedup_group_sizes,
@@ -4246,6 +4278,8 @@ OPS_QUERIES = {
     "text_fertility": q_text_fertility,
     "text_readability": q_text_readability,
     "text_weighted_sample": q_text_weighted_sample,
+    "text_ngram_novelty": q_text_ngram_novelty,
+    "text_vocab_growth": q_text_vocab_growth,
     "text_pii_counts": q_text_pii_counts,
     "text_badwords": q_text_badwords,
     "text_dsir_weights": q_text_dsir_weights,
@@ -4346,6 +4380,8 @@ OPS_ORACLES = {
     "text_fertility": _sql_text_fertility(),
     "text_readability": _sql_text_readability(),
     "text_weighted_sample": _sql_text_weighted_sample(),
+    "text_ngram_novelty": _sql_text_ngram_novelty(),
+    "text_vocab_growth": _sql_text_vocab_growth(),
     "text_pii_counts": _sql_text_pii_counts(),
     "text_badwords": _sql_text_badwords(),
     "text_dsir_weights": _sql_text_dsir_weights(),

@@ -3360,3 +3360,41 @@ def test_embedding_decontaminate_guards(spark):
             S.embedding_decontaminate(train, big)
     finally:
         S.DECON_EVAL_MAX = orig
+
+
+def test_ngram_novelty(spark):
+    """Doc 1 owns all its grams (first by min id); doc 2 repeats doc 1
+    verbatim → novelty 0; doc 3 is half-copied → 2 of 4 distinct grams
+    novel; a short doc yields 0 grams and NULL novelty."""
+    df = spark.createDataFrame(
+        [(1, "a b c d"),            # grams: abc, bcd (both novel)
+         (2, "a b c d"),            # same grams, owned by 1 → novelty 0
+         (3, "a b c x y z"),        # abc(old) bcx cxy xyz → 3/4 novel
+         (4, "one two")],           # < n tokens
+        "doc_id long, text string",
+    )
+    got = {r["doc_id"]: r for r in
+           T.ngram_novelty(df, "doc_id", "text").collect()}
+    assert got[1]["n_grams"] == 2 and got[1]["novelty"] == 1.0
+    assert got[2]["n_grams"] == 2 and got[2]["novelty"] == 0.0
+    assert got[3]["n_grams"] == 4 and got[3]["n_novel"] == 3
+    assert got[4]["n_grams"] == 0 and got[4]["novelty"] is None
+
+
+def test_vocab_growth_heaps(spark):
+    """Range bucketing is exact integer arithmetic; vocab_cum counts each
+    type once at its FIRST bucket; tokens_cum is the running total; empty
+    input returns an empty frame."""
+    rows = [(i, f"w{i} w{i} shared") for i in range(8)]  # 1 new type/doc
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r["bucket"]: r for r in
+           T.vocab_growth(df, "doc_id", "text", buckets=4).collect()}
+    assert sorted(got) == [0, 1, 2, 3]          # 2 docs per bucket
+    assert all(got[b]["n_docs"] == 2 and got[b]["n_tokens"] == 6
+               for b in got)
+    # bucket 0 mints w0, w1 and 'shared' = 3 types; later buckets 2 each
+    assert [got[b]["vocab_new"] for b in range(4)] == [3, 2, 2, 2]
+    assert [got[b]["vocab_cum"] for b in range(4)] == [3, 5, 7, 9]
+    assert [got[b]["tokens_cum"] for b in range(4)] == [6, 12, 18, 24]
+    empty = spark.createDataFrame([], "doc_id long, text string")
+    assert T.vocab_growth(empty, "doc_id", "text").count() == 0
