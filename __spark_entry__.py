@@ -59,7 +59,7 @@ DRIVER_PRIORITY = [
     "dedup_span_removal_para", "text_crawl_latest_tied", "multimodal_real_meta",
     "graph_hits", "graph_degree_stats", "text_readability",
     "text_weighted_sample", "sim_decontaminate", "text_ngram_novelty",
-    "text_vocab_growth",
+    "text_vocab_growth", "qf_host_keep_rates",
     # -- round-5 change canaries: graph tier (dangling mass, weight clamp) --
     "graph_host_rank",
     # -- intervals (state fingerprint) --

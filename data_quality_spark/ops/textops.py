@@ -2660,3 +2660,67 @@ SELECT docs.b AS bucket, docs.n_docs, docs.n_tokens,
          AS vocab_cum
 FROM docs LEFT JOIN news ON news.b = docs.b
 """
+
+
+# ---------------------------------------------------------------------------
+# host-level keep-rate telemetry → blocklist induction
+# ---------------------------------------------------------------------------
+
+HOST_BLOCK_MIN_DOCS = 10      # evidence floor before a host can be blocked
+HOST_BLOCK_MAX_KEEP = 0.5     # keep_rate ≤ this (with evidence) → blocked
+
+
+def host_keep_stats(
+    df: DataFrame,
+    host_col: str,
+    keep_col: str,
+    min_docs: int = HOST_BLOCK_MIN_DOCS,
+    max_keep_rate: float = HOST_BLOCK_MAX_KEEP,
+) -> DataFrame:
+    """Per-host keep/drop aggregation over an annotated pages frame, and
+    the blocklist it induces: hosts with ≥ min_docs observations whose
+    keep_rate ≤ max_keep_rate get blocked = true.
+
+    This is the crawl feedback loop every production filter runs (CCNet /
+    RefinedWeb): per-document verdicts are expensive model+rule passes, so
+    hosts that consistently fail get promoted to a cheap URL-level
+    blocklist (url_blocklist_filter) that drops them BEFORE fetch/extract
+    next crawl. The evidence floor keeps one-page hosts from flapping.
+
+    One (host, two-bigint) aggregate — partial map-side combine, tiny
+    exchange; keep_rate is the exact double division of two bigints, and
+    the blocked predicate compares that exact double (bit-portable).
+    Returns (host, n_docs, n_keep, keep_rate, blocked).
+    """
+    agg = df.groupBy(F.col(host_col).alias("host")).agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.col(keep_col).cast("bigint")).alias("n_keep"),
+    )
+    rate = F.col("n_keep") / F.col("n_docs")
+    return agg.select(
+        "host",
+        F.col("n_docs").cast("bigint").alias("n_docs"),
+        F.col("n_keep").cast("bigint").alias("n_keep"),
+        rate.alias("keep_rate"),
+        ((F.col("n_docs") >= F.lit(min_docs))
+         & (rate <= F.lit(float(max_keep_rate)))).alias("blocked"),
+    )
+
+
+def sql_host_keep_stats(
+    rows_sql: str,
+    min_docs: int = HOST_BLOCK_MIN_DOCS,
+    max_keep_rate: float = HOST_BLOCK_MAX_KEEP,
+) -> str:
+    """DuckDB twin of host_keep_stats; rows_sql yields (host, keep)."""
+    return f"""
+WITH r AS ({rows_sql}),
+a AS (SELECT host, count(*)::BIGINT AS n_docs,
+             sum(CASE WHEN keep THEN 1 ELSE 0 END)::BIGINT AS n_keep
+      FROM r GROUP BY 1)
+SELECT host, n_docs, n_keep,
+       n_keep / n_docs::DOUBLE AS keep_rate,
+       n_docs >= {min_docs}
+         AND (n_keep / n_docs::DOUBLE) <= {float(max_keep_rate)} AS blocked
+FROM a
+"""

@@ -3994,6 +3994,45 @@ def _sql_qf_pipeline_annotate() -> str:
     )
 
 
+QF_HOST_MOD = 13  # synthetic host spread for the keep-rate rollup
+
+
+def q_qf_host_keep_rates(spark, sf_dir):
+    """Host-level keep-rate telemetry + blocklist induction
+    (textops.host_keep_stats) over the REAL pipeline's per-doc verdicts:
+    docs are spread across 13 synthetic hosts (doc_id % 13 from the url
+    tail), aggregated to (n_docs, n_keep, keep_rate, blocked) — the
+    CCNet-style crawl feedback loop that promotes consistently-failing
+    hosts into the cheap URL blocklist before the next fetch. Oracle =
+    the same pandas-reference expected frame the qf family pins."""
+    from data_quality_spark.pipeline.quality_filter import annotate_pages
+
+    _refresh_qf_expected(sf_dir)
+    ann = annotate_pages(_qf_pages(spark, sf_dir))
+    hosted = ann.select(
+        F.concat(
+            F.lit("h"),
+            (F.regexp_extract("url", r"([0-9]+)$", 1).cast("bigint")
+             % QF_HOST_MOD).cast("string"),
+            F.lit(".example"),
+        ).alias("host"),
+        "keep",
+    )
+    return T.host_keep_stats(hosted, "host", "keep")
+
+
+def _sql_qf_host_keep_rates() -> str:
+    from data_quality_spark.pipeline.expected import QF_EXPECTED_PATH
+
+    rows = f"""
+  SELECT 'h' || (regexp_extract(url, '([0-9]+)$', 1)::BIGINT % {QF_HOST_MOD})
+           || '.example' AS host,
+         keep
+  FROM read_parquet('{QF_EXPECTED_PATH}')
+"""
+    return T.sql_host_keep_stats(rows)
+
+
 # ---------------------------------------------------------------------------
 # global period intersection — range-partitioned scale path (no global window)
 # ---------------------------------------------------------------------------
@@ -4320,6 +4359,7 @@ OPS_QUERIES = {
     "qf_scrub": q_qf_scrub,
     "qf_pipeline_annotate": q_qf_pipeline_annotate,
     "qf_rule_ablation": q_qf_rule_ablation,
+    "qf_host_keep_rates": q_qf_host_keep_rates,
 }
 
 OPS_ORACLES = {
@@ -4422,4 +4462,5 @@ OPS_ORACLES = {
     "qf_scrub": _sql_qf_scrub(),
     "qf_pipeline_annotate": _sql_qf_pipeline_annotate(),
     "qf_rule_ablation": _sql_qf_rule_ablation(),
+    "qf_host_keep_rates": _sql_qf_host_keep_rates(),
 }

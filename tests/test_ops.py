@@ -3398,3 +3398,23 @@ def test_vocab_growth_heaps(spark):
     assert [got[b]["tokens_cum"] for b in range(4)] == [6, 12, 18, 24]
     empty = spark.createDataFrame([], "doc_id long, text string")
     assert T.vocab_growth(empty, "doc_id", "text").count() == 0
+
+
+def test_host_keep_stats(spark):
+    """Keep-rate arithmetic, the evidence floor (low-volume hosts never
+    block), and the boundary (rate exactly at max_keep_rate blocks)."""
+    rows = (
+        [("bad.example", False)] * 9 + [("bad.example", True)]       # 0.1
+        + [("good.example", True)] * 9 + [("good.example", False)]   # 0.9
+        + [("edge.example", True), ("edge.example", False)] * 5      # 0.5
+        + [("tiny.example", False)] * 3                              # n<10
+    )
+    df = spark.createDataFrame(rows, "host string, keep boolean")
+    got = {r["host"]: r for r in
+           T.host_keep_stats(df, "host", "keep").collect()}
+    assert got["bad.example"]["blocked"]
+    assert got["bad.example"]["keep_rate"] == 0.1
+    assert not got["good.example"]["blocked"]
+    assert got["edge.example"]["blocked"]          # ≤ is inclusive
+    assert not got["tiny.example"]["blocked"]      # evidence floor
+    assert got["tiny.example"]["n_docs"] == 3
