@@ -88,6 +88,10 @@ HEADLINE = [
     "sketch_distinct_hll",    # group-wise HLL distinct counting
     "sketch_token_cms",       # Count-Min token-frequency table
     "text_len_quantiles",     # exact rank-selection group quantiles
+    "graph_hits",             # HITS: 2 (host,bigint) shuffles / iteration
+    "sim_decontaminate",      # eval-matrix corpus scan (one mapInPandas)
+    "text_ngram_novelty",     # gram-hash min-owner join (2 wide shuffles)
+    "text_readability",       # map-only integer Flesch scoring
 ]
 
 

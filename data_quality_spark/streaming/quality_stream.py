@@ -333,3 +333,47 @@ def stream_rule_metrics(
         .groupBy(F.window("warc_ts", window).alias("w"))
         .agg(*aggs)
     )
+
+
+def host_keep_stats_stream(
+    pages: DataFrame,
+    host_col: str = "host",
+    keep_col: str = "keep",
+    min_docs: int = None,
+    max_keep_rate: float = None,
+) -> DataFrame:
+    """Streaming twin of ``ops.textops.host_keep_stats``: running per-host
+    keep/drop counts across the whole stream, with the induced blocklist
+    flag live — the crawl feedback loop (consistently-failing hosts get
+    promoted to the URL blocklist) evaluated as pages arrive instead of
+    in the nightly batch.
+
+    Built-in unwindowed stateful aggregation (update/complete output):
+    state is exactly two longs per host — the same bound as
+    host_quota_stream's counter, RocksDB-friendly at web host
+    cardinality. The keep_rate / blocked arithmetic is the SAME exact
+    bigint-division expression as the batch op, so a snapshot of this
+    stream's complete output equals host_keep_stats over the union of all
+    micro-batches (test-pinned parity)."""
+    from data_quality_spark.ops.textops import (
+        HOST_BLOCK_MAX_KEEP,
+        HOST_BLOCK_MIN_DOCS,
+    )
+
+    if min_docs is None:
+        min_docs = HOST_BLOCK_MIN_DOCS
+    if max_keep_rate is None:
+        max_keep_rate = HOST_BLOCK_MAX_KEEP
+    agg = pages.groupBy(F.col(host_col).alias("host")).agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.col(keep_col).cast("bigint")).alias("n_keep"),
+    )
+    rate = F.col("n_keep") / F.col("n_docs")
+    return agg.select(
+        "host",
+        F.col("n_docs").cast("bigint").alias("n_docs"),
+        F.col("n_keep").cast("bigint").alias("n_keep"),
+        rate.alias("keep_rate"),
+        ((F.col("n_docs") >= F.lit(min_docs))
+         & (rate <= F.lit(float(max_keep_rate)))).alias("blocked"),
+    )

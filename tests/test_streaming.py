@@ -479,3 +479,53 @@ def test_distinct_hll_stream_matches_batch(spark, tmp_path):
         assert got[h]["distinct_est"] == expect[h]["distinct_est"], h
         # truth: 37 urls spread over 3 hosts -> 12-13 distinct per host
         assert got[h]["distinct_est"] > 0
+
+
+def test_host_keep_stats_stream_batch_parity(spark, tmp_path):
+    """Running per-host keep-rate aggregation over a 2-batch stream: the
+    complete-mode snapshot after the drain must equal the batch
+    host_keep_stats over the union of all micro-batches — same counts,
+    same exact-division rates, same induced blocklist."""
+    from pyspark.sql import functions as F
+
+    from data_quality_spark.ops.textops import host_keep_stats
+    from data_quality_spark.streaming.quality_stream import (
+        host_keep_stats_stream,
+    )
+
+    rows = []
+    for i in range(40):
+        rows.append((f"b{i}", "bad.example", i % 12 == 0))   # rate < 0.1
+        rows.append((f"g{i}", "good.example", i % 4 != 0))   # rate 0.75
+    rows += [(f"t{i}", "tiny.example", False) for i in range(3)]
+    src_dir = str(tmp_path / "pages_in")
+    df = spark.createDataFrame(rows, "url string, host string, keep boolean")
+    # two files → at least two micro-batches with maxFilesPerTrigger=1
+    df.where(F.length("url") % 2 == 0).write.parquet(src_dir)
+    df.where(F.length("url") % 2 == 1).write.mode("append").parquet(src_dir)
+
+    stream = spark.readStream.schema(df.schema).option(
+        "maxFilesPerTrigger", 1
+    ).parquet(src_dir)
+    q = (
+        host_keep_stats_stream(stream, min_docs=5, max_keep_rate=0.5)
+        .writeStream.format("memory")
+        .queryName("host_keep_test")
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    got = {
+        r["host"]: (r["n_docs"], r["n_keep"], r["keep_rate"], r["blocked"])
+        for r in spark.sql("SELECT * FROM host_keep_test").collect()
+    }
+    want = {
+        r["host"]: (r["n_docs"], r["n_keep"], r["keep_rate"], r["blocked"])
+        for r in host_keep_stats(
+            df, "host", "keep", min_docs=5, max_keep_rate=0.5
+        ).collect()
+    }
+    assert got == want
+    assert got["bad.example"][3] and not got["good.example"][3]
+    assert not got["tiny.example"][3]  # evidence floor
