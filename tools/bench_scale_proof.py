@@ -43,6 +43,9 @@ HEAVY = [
     "graph_anchor_stats",     # map-side grammar extraction + distinct agg
     "sketch_token_cms",       # bounded-exchange CMS table build
     "text_len_quantiles",     # distinct-value window quantiles
+    "graph_hits",             # iterative 2-shuffle L∞ power iteration
+    "sim_decontaminate",      # eval-matrix single corpus scan
+    "text_ngram_novelty",     # gram-hash distinct + min-owner join
 ]
 
 N_REPS = 3
