@@ -1124,19 +1124,31 @@ def hits(
     Scale shape: state is two bigints per host; each iteration exchanges
     (host, bigint) twice. Degrees are validated ≤ HITS_MAX_DEG=10^6 (one
     tiny agg) so the normalization multiply can't wrap bigint with ANSI
-    off. The frames are localCheckpoint-pinned every RANK_CHECKPOINT_EVERY
-    iterations (same plan-tree-growth bound as host_rank).
+    off. The edge/node frames are pinned once and each half-step's raw-sum
+    frame is localCheckpoint-pinned (it is referenced twice — join + max —
+    so a lazy chain grows ~4^iters; the pin keeps every job shallow and
+    runtime linear in iters, the GraphX-style iterative materialization).
 
     Returns (host, auth_units, hub_units, auth double, hub double).
     """
+    # pin the edge and node frames ONCE: every iteration references e twice
+    # and nodes twice, and the two degree-validation aggs below are eager —
+    # without the pin each of those subtrees re-derives the edge set from
+    # the source scan (for host graphs built from a pages table that is the
+    # full extract+explode+distinct, re-run ~4×iters times). The pinned
+    # frames are bare (host, host) / (host) rows — the standard iterative-
+    # graph materialization (GraphX does the same), executor-storage-sized
+    # by the HOST graph, not the corpus.
     e = (
         edges.select(F.col(src_col).alias("src"), F.col(dst_col).alias("dst"))
         .distinct()
+        .localCheckpoint(eager=True)
     )
     nodes = (
         e.select(F.col("src").alias("host"))
         .unionByName(e.select(F.col("dst").alias("host")))
         .distinct()
+        .localCheckpoint(eager=True)
     )
     degs = e.groupBy("src").count().agg(F.max("count")).first()[0]
     degd = e.groupBy("dst").count().agg(F.max("count")).first()[0]
@@ -1159,10 +1171,18 @@ def hits(
     )
     auth = None
     for it in range(iters):
+        # each half-step references its raw-sum frame TWICE (normalization
+        # join + the 1-row max) — left lazy, the plan tree grows ~4^iters
+        # and, unlike host_rank's single dangling agg, Spark does NOT
+        # manage to reuse the exchanges across the broadcast boundary here
+        # (measured: 2 iters 4.6 s → 4 iters 31 s on the sf0.1 fixture).
+        # Pinning the raw frame per half-step makes every lineage shallow
+        # (two eager (host, bigint) jobs per iteration, values unchanged).
         a_raw = (
             e.join(hub.withColumnRenamed("host", "src"), "src")
             .groupBy(F.col("dst").alias("host"))
             .agg(F.sum("__h").alias("__ar"))
+            .localCheckpoint(eager=True)
         )
         a_max = a_raw.agg(F.max("__ar").alias("__am"))
         auth = (
@@ -1179,6 +1199,7 @@ def hits(
             e.join(auth.withColumnRenamed("host", "dst"), "dst")
             .groupBy(F.col("src").alias("host"))
             .agg(F.sum("__a").alias("__hr"))
+            .localCheckpoint(eager=True)
         )
         h_max = h_raw.agg(F.max("__hr").alias("__hm"))
         hub = (
@@ -1191,9 +1212,6 @@ def hits(
                 ).cast("bigint").alias("__h"),
             )
         )
-        if (it + 1) % RANK_CHECKPOINT_EVERY == 0 and (it + 1) < iters:
-            hub = hub.localCheckpoint(eager=True)
-            auth = auth.localCheckpoint(eager=True)
     return (
         nodes.join(auth, "host", "left")
         .join(hub, "host", "left")
